@@ -1,0 +1,74 @@
+"""SparkSession bootstrap with scale-aware defaults.
+
+Local testing runs ``local[N]`` in one JVM, but every config here is chosen
+so the same code is correct on a 1000-executor cluster: AQE on (runtime
+re-plan, skew-join splitting, partition coalescing), UTC session timezone
+(oracle parity — DuckDB timestamps are UTC-naive), Arrow enabled for the
+Pandas-UDF slow path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    # AQE: runtime re-planning — coalesce small shuffle partitions, convert
+    # sort-merge→broadcast when the built side turns out small, split skewed
+    # partitions.  Essential at 100 TB, harmless locally.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic oracle comparison: DuckDB parquet timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow batches for pandas_udf / applyInPandas / createDataFrame(pandas).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off keeps permissive casts (reference semantics are permissive:
+    # everything maps through a lossy 5-type system, SURVEY.md §1).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "gcp_cloudsql_to_bigquery_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master=None`` respects an externally-provided master (cluster deploys,
+    or the driver's own session); tests/bench pass ``local[N]`` explicitly.
+    ``shuffle_partitions`` defaults to ``SPARK_GRAFT_CPUS`` (or 32) locally —
+    on a real cluster leave it unset and let AQE coalesce from a high initial
+    value instead.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_existing(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to a session we didn't build.
+
+    The driver hands ``queries()`` callables an already-built session; session
+    timezone and AQE flags are runtime-settable, so pin them here for oracle
+    parity and plan quality.
+    """
+    for k, v in DEFAULT_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a running session — keep going
+    return spark
