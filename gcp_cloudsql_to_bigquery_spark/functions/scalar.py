@@ -1,0 +1,239 @@
+"""Scalar function library: string / date-time / math / JSON / array /
+conditional / codec functions.
+
+Reference precedent (SURVEY.md §2A): string surgery #12/#14/#16
+(``/root/reference/app/csv-cleaner/main.py:21-39``), base64 codec #24
+(``/root/reference/app/cloud-sql-query-runner/main.py:23``), date paths #25.
+Everything runs JVM-side inside whole-stage codegen — no Python UDFs in any
+of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                                   AS up,
+           lower(c_mktsegment)                             AS lo,
+           substring(c_name, 1, 8)                         AS sub8,
+           length(c_name)                                  AS len,
+           concat_ws('|', c_name, c_mktsegment)            AS joined,
+           replace(c_name, '#', '_')                       AS repl,
+           regexp_replace(c_name, '[0-9]+', 'N', 'g')      AS re_repl,
+           lpad(CAST(c_nationkey AS VARCHAR), 4, '0')      AS natkey4,
+           trim('  ' || c_mktsegment || ' ')               AS trimmed,
+           split_part(c_name, '#', 2)                      AS name_id
+    FROM customer
+    WHERE c_custkey <= 200
+    """,
+    doc="String family: case, substring, length, concat_ws, replace, regexp "
+    "(reference ops #14/#16 generalized).",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("sub8"),
+        F.length("c_name").alias("len"),
+        F.concat_ws("|", "c_name", "c_mktsegment").alias("joined"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("_")).alias("repl"),
+        F.regexp_replace("c_name", "[0-9]+", "N").alias("re_repl"),
+        F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("natkey4"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("trimmed"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_id"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                                   AS yr,
+           month(o_orderdate)                                  AS mo,
+           day(o_orderdate)                                    AS dom,
+           CAST(date_trunc('month', o_orderdate) AS DATE)      AS month_start,
+           date_diff('day', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE))                AS days_since_95,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)   AS eom,
+           dayofweek(CAST(o_orderdate AS DATE)) + 1            AS dow,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE)         AS due_date
+    FROM orders
+    WHERE o_orderkey <= 500
+    """,
+    doc="Date/time family: extract, trunc, diff, last_day, interval arithmetic "
+    "(reference op #25's date-partitioned layout generalized). DuckDB dow is "
+    "0=Sunday vs Spark 1=Sunday — oracle adds 1.",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.last_day(d.cast("date")).alias("eom"),
+        F.dayofweek(d.cast("date")).alias("dow"),
+        F.date_add(d.cast("date"), 90).alias("due_date"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 6)        AS adisc,
+           CAST(floor(l_extendedprice) AS BIGINT)  AS fl,
+           CAST(ceil(l_extendedprice) AS BIGINT)   AS ce,
+           round(sqrt(l_quantity), 6)              AS sq,
+           round(pow(1 + l_discount, 2), 6)        AS compounded,
+           round(ln(l_extendedprice), 6)           AS lnp,
+           round(log10(l_extendedprice), 6)        AS lgp,
+           CAST(l_quantity AS BIGINT) % 7          AS qmod,
+           sign(l_discount - 0.05)                 AS sgn,
+           round(exp(l_discount), 6)               AS ex
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    """,
+    doc="Math family: abs/floor/ceil/sqrt/pow/ln/log10/mod/sign/exp.",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("adisc"),
+        F.floor(price).cast("bigint").alias("fl"),
+        F.ceil(price).cast("bigint").alias("ce"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sq"),
+        F.round(F.pow(F.col("l_discount") + 1, 2), 6).alias("compounded"),
+        F.round(F.log(price), 6).alias("lnp"),
+        F.round(F.log10(price), 6).alias("lgp"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qmod"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.round(F.exp("l_discount"), 6).alias("ex"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')            AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing
+    FROM events
+    WHERE event_id < 500
+    """,
+    doc="JSON family over events.props: get_json_object (path extract) + "
+    "from_json (schema-applied parse) — reference op #17's JSON emit inverted.",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = F.from_json(F.col("props"), T.StructType([T.StructField("k", T.LongType())]))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                    AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)            AS first_elem,
+           round(CAST(list_sum(embedding) AS DOUBLE), 4)     AS vec_sum,
+           round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vec_max,
+           round(CAST(list_sum(list_transform(embedding, x -> x * x)) AS DOUBLE), 4) AS sq_norm
+    FROM embeddings
+    WHERE vec_id < 100
+    """,
+    doc="Array family over embeddings: size, element_at, aggregate (fold), "
+    "array_max, transform — the building blocks of the similarity operators.",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(emb, 1), 6).alias("first_elem"),
+        F.round(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x), 4).alias("vec_sum"),
+        F.round(F.array_max(emb), 6).alias("vec_max"),
+        F.round(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                         AS price_band,
+           least(o_totalprice, 250000.0)               AS capped,
+           greatest(o_totalprice, 50000.0)             AS floored,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_label,
+           CAST(o_orderstatus = 'F' AS INT)            AS is_final
+    FROM orders
+    WHERE o_orderkey <= 400
+    """,
+    doc="Conditional family: CASE WHEN, least/greatest, coalesce/nullif, boolean cast.",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 400)
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(tp > 300000, "high").when(tp > 100000, "mid").otherwise("low").alias("price_band"),
+        F.least(tp, F.lit(250000.0)).alias("capped"),
+        F.greatest(tp, F.lit(50000.0)).alias("floored"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        (F.col("o_orderstatus") == "F").cast("int").alias("is_final"),
+    )
+
+
+@register(
+    "fn_codec_hash",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(source))    AS src_b64,
+           md5(text)                 AS text_md5,
+           sha256(text)              AS text_sha256,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    doc="Codec/hash family: base64 (reference op #24, payload codec), md5/sha2 "
+    "(content fingerprints for dedup), byte length.",
+)
+def fn_codec_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.base64(F.col("source").cast("binary")).alias("src_b64"),
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
+        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
+    )

@@ -1,0 +1,232 @@
+"""Aggregation operators: multi-agg groupBy, HAVING, count-distinct (exact +
+approximate), grouping sets / rollup / cube, percentiles, pivot.
+
+All delegated capability in the reference (SURVEY.md §2B "Aggregations");
+the reference's only aggregate is the post-load row count
+(``/root/reference/app/bq-importer/main.py:41-43``).
+
+Scale notes: every groupBy here compiles to hash aggregation with map-side
+partial aggregation (one shuffle of the *partial* state, not the rows);
+``approx_count_distinct`` is the 100 TB path for cardinality (HLL sketch,
+constant memory) with the exact ``count_distinct`` kept for oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "agg_multi_stats",
+    oracle="""
+    SELECT c_nationkey,
+           count(*)                      AS n_cust,
+           round(sum(c_acctbal), 2)      AS sum_bal,
+           round(avg(c_acctbal), 4)      AS avg_bal,
+           round(min(c_acctbal), 2)      AS min_bal,
+           round(max(c_acctbal), 2)      AS max_bal,
+           count(DISTINCT c_mktsegment)  AS n_segments
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    doc="Multi-aggregate groupBy: count/sum/avg/min/max/count-distinct in one pass.",
+)
+def agg_multi_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+    doc="GROUP BY + HAVING (post-aggregation filter).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy with GROUPING() markers distinguishing NULL-key from rolled-up.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_st, grouping(o_orderpriority) AS g_pr,
+           count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE: all grouping-set combinations in one shuffle (Expand + hash-agg).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_st"),
+            F.grouping("o_orderpriority").alias("g_pr"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS via the SQL API (Catalyst Expand, same plan shape as cube).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey)  AS n_supp,
+           count(DISTINCT l_partkey)  AS n_part,
+           count(*)                   AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact multi-column COUNT DISTINCT (Expand-based; the exact path).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    oracle=None,  # HLL sketch values differ between engines by design → rows-only
+    doc="approx_count_distinct (HyperLogLog++): the constant-memory 100 TB "
+    "cardinality path. Sketch estimates are engine-specific, so no value "
+    "oracle; accuracy is asserted in tests/test_aggregates.py against the "
+    "exact count (rsd 5%).",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.05).alias("approx_orders"),
+        )
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(min(o_totalprice), 2)                 AS lo,
+           round(max(o_totalprice), 2)                 AS hi
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact continuous percentiles (Spark `percentile` ≡ DuckDB quantile_cont); "
+    "percentile_approx is the sketch path at scale (tested separately).",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="PIVOT with an explicit value list (never let pivot infer values at "
+    "scale — that is an extra pass over 100 TB).",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return df.select("l_returnflag", F.round("O", 2).alias("O"), F.round("F", 2).alias("F"))

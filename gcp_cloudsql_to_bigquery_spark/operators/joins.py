@@ -1,0 +1,263 @@
+"""Join operators: all join types, broadcast strategy, theta/as-of joins.
+
+The reference implements zero joins — they run in MySQL/BigQuery on either
+side of the pipeline (SURVEY.md §2A "implements zero of").  This module is
+the §2B join surface, Spark-first:
+
+- small dimensions (region/nation/supplier/customer at star-schema scale)
+  are broadcast (``F.broadcast``) so fact-table joins never shuffle the
+  big side — at 100 TB the lineitem scan streams through map-side hash
+  joins with zero exchange for the dimension legs;
+- the as-of join (Spark lacks a native one) is composed from an equi-join
+  on the key + window top-1 on the time condition — one shuffle on the
+  join key, no nested loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "join_star_q3",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+    doc="TPC-H Q3-shaped star join: broadcast customer dim, fact-fact equi-join, group-agg.",
+)
+def join_star_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "join_q5_region_revenue",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shaped 6-table join; all dims broadcast, lineitem never shuffled "
+    "for the dimension legs.",
+)
+def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS spend
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    doc="LEFT OUTER join preserving customers with zero orders (count(col) skips NULLs).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nationkey = sn.nationkey
+    """,
+    doc="FULL OUTER join of two pre-aggregated sides (aggregate-before-join "
+    "shrinks both shuffle inputs).",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cn.join(sn, "nationkey", "full").select(
+        F.col("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    doc="LEFT SEMI join (EXISTS): no payload columns from the right side, "
+    "right side reduced before the join.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    f_orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(f_orders, cust.c_custkey == f_orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="LEFT ANTI join (NOT EXISTS): customers with no orders.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, seg.c_mktsegment AS segment
+    FROM region
+    CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) seg
+    """,
+    doc="CROSS join of two tiny sides (broadcast nested loop; only ever safe "
+    "when at least one side is provably small).",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").select("r_name")
+    seg = load(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.crossJoin(F.broadcast(seg)).select("r_name", F.col("c_mktsegment").alias("segment"))
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    SELECT s_suppkey, count(*) AS n_richer_nations
+    FROM supplier JOIN nation ON n_nationkey < s_nationkey
+    GROUP BY s_suppkey
+    """,
+    doc="Theta (non-equi) join on a small pair — broadcast nested loop; at scale "
+    "a non-equi join must keep one side broadcastable or be bucketized first.",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        supp.join(F.broadcast(nation), nation.n_nationkey < supp.s_nationkey)
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer_nations"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS order_key,
+             round(sum(o_totalprice), 2) AS day_spend
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, od.o_orderdate AS asof_orderdate,
+           od.order_key, od.day_spend
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+    ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    """,
+    doc="As-of join (Spark lacks a native one): equi-join on the key + window "
+    "top-1 on the time condition — one shuffle on user_id, no nested loop. "
+    "Orders are pre-collapsed to one row per (custkey, orderdate) so the "
+    "match is deterministic.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("order_key"),
+            F.round(F.sum("o_totalprice"), 2).alias("day_spend"),
+        )
+    )
+    joined = events.join(
+        od, (events.user_id == od.o_custkey) & (events.ts >= od.o_orderdate), "inner"
+    )
+    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("o_orderdate").alias("asof_orderdate"),
+            "order_key",
+            "day_spend",
+        )
+    )

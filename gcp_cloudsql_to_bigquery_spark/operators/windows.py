@@ -1,0 +1,175 @@
+"""Window functions: ranking, analytic (lag/lead/first/last/ntile), and
+aggregate-over-frame (running sums, moving averages, range frames).
+
+Delegated capability (SURVEY.md §2B "Window functions"); zero precedent in
+the reference.  Scale notes: each window spec is one shuffle on its
+partition key; specs sharing (partitionBy, orderBy) reuse the same sort, so
+queries below deliberately stack functions on a single spec.  Ordering
+always includes a unique tiebreak column — nondeterministic window results
+are a correctness bug that only *shows up* at scale when partitioning
+changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "window_ranking",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           row_number()   OVER w AS rn,
+           round(percent_rank() OVER w, 6) AS prnk
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+    doc="Ranking family sharing one window spec (single sort per partition).",
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(o_totalprice, 2) AS total,
+           round(lag(o_totalprice)  OVER w, 2) AS prev_total,
+           round(lead(o_totalprice) OVER w, 2) AS next_total,
+           round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead with deterministic (date, key) ordering; delta vs previous order.",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    total = F.col("o_totalprice")
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(total, 2).alias("total"),
+        F.round(F.lag(total).over(w), 2).alias("prev_total"),
+        F.round(F.lead(total).over(w), 2).alias("next_total"),
+        F.round(total - F.coalesce(F.lag(total).over(w), total), 2).alias("delta"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+           count(*) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS order_seq
+    FROM orders
+    """,
+    doc="Running aggregate over a rows frame (cumulative spend + sequence number).",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
+    FROM orders
+    """,
+    doc="Moving average over a bounded rows frame (3-order trailing window).",
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("ma3"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY day_no
+                          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_last_30d
+    FROM (SELECT o_custkey, o_orderkey,
+                 date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS day_no
+          FROM orders)
+    """,
+    doc="RANGE frame on a numeric day offset: orders within a trailing 30-day "
+    "window per customer (value-based, not row-based).",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").withColumn(
+        "day_no", F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    )
+    w = W.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_last_30d"),
+    )
+
+
+@register(
+    "window_ntile_first_last",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4) OVER w AS bal_quartile,
+           round(first_value(c_acctbal) OVER w2, 2) AS seg_max_bal,
+           round(last_value(c_acctbal)  OVER w2, 2) AS seg_min_bal
+    FROM customer
+    WINDOW w  AS (ORDER BY c_acctbal DESC, c_custkey),
+           w2 AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="ntile quartiles (global order) + first/last over an unbounded frame per segment. "
+    "NOTE: the unpartitioned ntile is a single-reducer sort — fine for ranking a "
+    "dimension, never for a 100 TB fact table.",
+)
+def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    w2 = (
+        W.partitionBy("c_mktsegment")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.round(F.first("c_acctbal").over(w2), 2).alias("seg_max_bal"),
+        F.round(F.last("c_acctbal").over(w2), 2).alias("seg_min_bal"),
+    )
