@@ -1,0 +1,94 @@
+"""The four-stage reference pipeline collapsed into Spark jobs.
+
+Reference chain (SURVEY.md §3): catalog query → per-table CSV export to a
+date-partitioned staging layout → NULL-sentinel clean + schema JSON →
+schema-applied WRITE_TRUNCATE load → row-count check.  Spark replaces each
+process/bucket boundary with a DataFrame stage; idempotence comes from
+``mode("overwrite")`` (the file-sink commit protocol) instead of 409
+dup-guards and truncate dispositions.
+
+At 100 TB: ``export_table`` writes partitioned CSV in parallel (one task
+per input partition — no 540 s wall limit, no batch requeue), and
+``load_table`` is a distributed schema-applied read; neither stage touches
+the driver with data.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .nulls import read_csv_with_sentinel
+from .sanitize import sanitize_columns
+from .schema_io import bq_schema_to_struct, struct_to_bq_schema
+from .types import BQ_TO_SPARK
+
+
+def export_table(
+    df: DataFrame,
+    base_dir: str,
+    table: str,
+    export_date: str | None = None,
+) -> tuple[str, str]:
+    """Stage 2 analog (``cloud-sql-exporter``): dump a table to CSV under the
+    reference's date-partitioned layout ``{base}/exports/{date}/{table}.csv``
+    plus its schema at ``{base}/schemas/{date}/{table}.schema.json``.
+
+    NULLs are written as empty fields — the *cleaned* representation the
+    reference's csv-cleaner produces (its BigQuery load reads empty as NULL).
+    The raw-MySQL sentinel form ('"N') is a read-side concern handled by
+    ``read_csv_with_sentinel``; Spark's writer would quote-escape the
+    sentinel, which is not MySQL's byte format.  Returns (data_path,
+    schema_path)."""
+    export_date = export_date or _dt.date.today().isoformat()
+    data_path = os.path.join(base_dir, "exports", export_date, f"{table}.csv")
+    schema_path = os.path.join(base_dir, "schemas", export_date, f"{table}.schema.json")
+    df.write.mode("overwrite").options(header=False, emptyValue='""').csv(data_path)
+    os.makedirs(os.path.dirname(schema_path), exist_ok=True)
+    import json
+
+    with open(schema_path, "w") as fh:
+        json.dump(struct_to_bq_schema(df.schema), fh)
+    return data_path, schema_path
+
+
+def load_table(
+    spark: SparkSession,
+    data_path: str,
+    schema_path: str,
+    table: str | None = None,
+    mode: str = "csv-aware",
+) -> DataFrame:
+    """Stages 3+4 analog (``csv-cleaner`` + ``bq-importer``): schema-applied
+    CSV read with NULL-sentinel handling; optionally registered as a view
+    (the 'load'); WRITE_TRUNCATE semantics are the overwrite of that view."""
+    import json
+
+    with open(schema_path) as fh:
+        struct = bq_schema_to_struct(json.load(fh))
+    df = read_csv_with_sentinel(spark, data_path, struct, mode=mode)
+    df = sanitize_columns(df)
+    if table:
+        df.createOrReplaceTempView(table)
+    return df
+
+
+def roundtrip(
+    spark: SparkSession,
+    df: DataFrame,
+    base_dir: str,
+    table: str,
+    mode: str = "csv-aware",
+) -> DataFrame:
+    """Full pipeline: export → clean → schema-applied load.  The loaded frame
+    goes through the five-type system, so e.g. int columns come back BIGINT
+    and floats come back DOUBLE — reference-lossy by design."""
+    data_path, schema_path = export_table(df, base_dir, table)
+    return load_table(spark, data_path, schema_path, table=None, mode=mode)
+
+
+def verify_rowcount(source: DataFrame, loaded: DataFrame) -> tuple[int, int]:
+    """Reference op #21 (``bq-importer/main.py:41-43``): post-load row count."""
+    return source.count(), loaded.count()

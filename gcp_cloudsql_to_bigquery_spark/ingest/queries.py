@@ -1,0 +1,82 @@
+"""Registry queries exercising the ELT pipeline inside the correctness gate.
+
+These run the actual export→clean→load chain on a temp dir, then return the
+loaded table so the DuckDB oracle (reading the *original* parquet with the
+equivalent lossy casts) verifies the pipeline end-to-end — the
+sqllogictest-style check the reference never had (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+from .pipeline import roundtrip
+
+
+@register(
+    "elt_roundtrip_nation",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS n_regionkey
+    FROM nation
+    """,
+    doc="Full pipeline on `nation`: CSV export (date-partitioned layout) → "
+    "sentinel clean → BQ-JSON schema-applied load. Ints come back BIGINT "
+    "(BQ INTEGER is 64-bit).",
+)
+def elt_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = load(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="elt_nation_")  # lives past return; /tmp GC'd by OS
+    return roundtrip(spark, src, tmp, "nation")
+
+
+@register(
+    "elt_roundtrip_null_sentinel",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT)       AS o_orderkey,
+           nullif(o_orderstatus, 'O')       AS status_or_null,
+           round(o_totalprice, 2)           AS total
+    FROM orders
+    WHERE o_orderkey <= 1000
+    """,
+    doc="Pipeline with real NULLs: nullable column exported with the MySQL "
+    '"N sentinel, cleaned CSV-aware, loaded with schema — NULLs survive '
+    "the trip (the reference's known-issue fix, op #12).",
+)
+def elt_roundtrip_null_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="elt_nulls_")
+    return roundtrip(spark, src, tmp, "orders_nulls")
+
+
+@register(
+    "elt_schema_catalog",
+    oracle="""
+    SELECT table_name, column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position
+    FROM information_schema.columns
+    WHERE table_name IN ('region', 'nation', 'supplier')
+    """,
+    doc="Catalog schema scan (reference ops #1/#4): enumerate columns with "
+    "ordinal positions for selected tables — Spark's df.schema vs DuckDB's "
+    "information_schema.columns.",
+)
+def elt_schema_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for t in ("region", "nation", "supplier"):
+        for i, f in enumerate(load(spark, sf_dir, t).schema.fields, start=1):
+            rows.append((t, f.name, i))
+    return spark.createDataFrame(rows, "table_name string, column_name string, ordinal_position bigint")

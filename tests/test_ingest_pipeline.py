@@ -1,0 +1,52 @@
+"""End-to-end pipeline tests (FIXTURES.md B4): export → clean → load,
+truncate idempotence, row-count verification — the reference 4-stage chain
+on sf0.001."""
+
+from pyspark.sql import functions as F
+
+from gcp_cloudsql_to_bigquery_spark.catalog import load
+from gcp_cloudsql_to_bigquery_spark.ingest.pipeline import (
+    export_table,
+    load_table,
+    roundtrip,
+    verify_rowcount,
+)
+
+
+def test_roundtrip_preserves_rows_and_values(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "supplier")
+    out = roundtrip(spark, src, str(tmp_path), "supplier")
+    n_src, n_out = verify_rowcount(src, out)
+    assert n_src == n_out == 10
+    # values survive the five-type trip (ints widen to bigint)
+    a = sorted((r.s_suppkey, r.s_name, round(r.s_acctbal, 2)) for r in src.collect())
+    b = sorted((r.s_suppkey, r.s_name, round(r.s_acctbal, 2)) for r in out.collect())
+    assert a == b
+
+
+def test_truncate_idempotence(spark, sf_dir, tmp_path):
+    # B4: loading twice equals the second load (WRITE_TRUNCATE semantics)
+    src = load(spark, sf_dir, "region")
+    d1, s1 = export_table(src, str(tmp_path), "region", export_date="2026-08-13")
+    first = load_table(spark, d1, s1).collect()
+    d2, s2 = export_table(src, str(tmp_path), "region", export_date="2026-08-13")
+    assert (d1, s1) == (d2, s2)  # same date-partitioned path → overwritten
+    second = load_table(spark, d2, s2).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_nulls_survive_pipeline(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st")
+    )
+    n_null_src = src.filter(F.col("st").isNull()).count()
+    assert n_null_src > 0
+    out = roundtrip(spark, src, str(tmp_path), "orders_st")
+    assert out.filter(F.col("st").isNull()).count() == n_null_src
+
+
+def test_date_partitioned_layout(spark, sf_dir, tmp_path):
+    src = load(spark, sf_dir, "region")
+    data_path, schema_path = export_table(src, str(tmp_path), "region", export_date="2026-01-02")
+    assert "/exports/2026-01-02/region.csv" in data_path
+    assert "/schemas/2026-01-02/region.schema.json" in schema_path
