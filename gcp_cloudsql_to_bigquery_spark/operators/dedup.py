@@ -1,0 +1,327 @@
+"""Deduplication operators over ``documents`` / ``embeddings``: exact hash,
+exact shingle-Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+North-star extension surface (BASELINE.json).  Scale design:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle keyed by
+  digest, the canonical 100 TB exact-dedup plan.
+- **exact Jaccard** is quadratic unless candidate-limited; it exists as the
+  ground-truth oracle.  The scale path is **MinHash+LSH**: per-doc signature
+  (narrow, no shuffle) → band buckets → shuffle only on (band, bucket-hash)
+  → exact verification only on candidate pairs.  Band/row parameters trade
+  recall vs candidate volume (16 bands × 4 rows ⇒ ~(1-(1-j⁴)¹⁶) recall).
+- **SimHash** is a vectorized Pandas UDF (Arrow-batched; md5-based, so
+  deterministic across sessions) producing one 64-bit value per doc;
+  candidate pairs join on 16-bit bands (Hamming ≤ k ⇒ some band equal when
+  k < #bands), verified with ``bit_count(xor)``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import register
+
+# --- shared shingling -----------------------------------------------------
+
+SHINGLE_EXPR = (
+    "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), "
+    "i -> substring(text, i, 3)))"
+)
+_DUCK_SHINGLES = "list_distinct(list_transform(range(1, greatest(length(text)-1, 2)), i -> substr(text, i, 3)))"
+
+
+def with_shingles(docs: DataFrame) -> DataFrame:
+    """Character 3-gram shingle set per document (JVM expression, no UDF)."""
+    return docs.withColumn("shingles", F.expr(SHINGLE_EXPR))
+
+
+# --- exact dedup ----------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           count(*)     AS n_copies,
+           min(doc_id)  AS keeper
+    FROM documents
+    GROUP BY fp
+    """,
+    doc="Exact dedup: hash-groupBy on normalized-content digest; keeper = "
+    "min doc_id per group. One shuffle keyed by digest — the 100 TB plan.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary"))
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.65
+    """,
+    doc="Exact character-3-gram Jaccard near-dup (ground truth for LSH). "
+    "Implemented as inverted-index self-join (explode shingle → join on "
+    "shingle → count intersections), NOT an array cross-product: the join "
+    "shuffles on the shingle key, so it distributes; still quadratic in the "
+    "worst case — at scale this runs only on LSH candidates.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_shingles(load(spark, sf_dir, "documents"))
+    sizes = d.select("doc_id", F.size("shingles").alias("n_sh"))
+    toks = d.select("doc_id", F.explode("shingles").alias("sh"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.65)
+    )
+
+
+# --- MinHash + LSH --------------------------------------------------------
+
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def minhash_signatures(docs_with_shingles: DataFrame) -> DataFrame:
+    """64 minhash values per doc (packed into one array column): explode
+    shingles once, take 64 mins of seeded xxhash64 in a single
+    hash-aggregate (no per-seed passes)."""
+    exploded = docs_with_shingles.select("doc_id", F.explode("shingles").alias("sh"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(N_HASHES)
+    ]
+    wide = exploded.groupBy("doc_id").agg(*mins)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band the signature (16 bands × 4 rows), bucket-join per band, then
+    pre-filter candidates on the signature-estimated Jaccard.
+
+    The estimate (fraction of equal minhashes) costs a 64-int compare per
+    pair — orders cheaper than exact shingle intersection.  Cut at 0.55 for
+    a 0.8 exact threshold: stderr of the estimate is ≈√(j(1-j)/64) ≈ 0.05,
+    so true positives sit >4σ above the cut while the j≈0.5 bulk of a
+    near-degenerate corpus is dropped before the expensive verify."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", bi * ROWS_PER_BAND + r + 1)
+                        for r in range(ROWS_PER_BAND)
+                    ]
+                ).alias("bucket"),
+            )
+            for bi in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", "sig", F.explode(bands).alias("b")).select(
+        "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    est = (
+        F.size(F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda v: v))
+        / F.lit(N_HASHES)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(est >= 0.55)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+    """,
+    doc="MinHash (64 hashes) + LSH (16 bands × 4 rows) candidate generation, "
+    "then exact-Jaccard verification at ≥0.8 on candidates only. At j≥0.8 "
+    "band recall is 1-(1-j⁴)¹⁶ ≥ 0.9996, so verified output equals the "
+    "exact ground truth (the oracle) with near-certainty; tests/test_dedup.py "
+    "asserts containment + recall explicitly.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_shingles(load(spark, sf_dir, "documents"))
+    sig = minhash_signatures(d)
+    cand = lsh_candidate_pairs(sig)
+    # exact verification on 64-bit-hashed shingle sets: integer intersects
+    # are far cheaper than string intersects, and 64-bit collisions are
+    # negligible (~(N·250)²/2⁶⁵), so Jaccard values equal the raw-string
+    # oracle's.  Shingle-hash table is small per doc → broadcast both sides.
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
+    )
+    return (
+        cand.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+# --- SimHash --------------------------------------------------------------
+
+
+@F.pandas_udf(T.LongType())
+def simhash64(token_lists: pd.Series) -> pd.Series:
+    """64-bit SimHash per document from its token list.
+
+    md5-based per-token hashing → deterministic across sessions/executors
+    (Python's builtin hash is salted; never use it in distributed code).
+    Arrow-batched; numpy popcount-style accumulation per batch.
+    """
+    import numpy as np
+
+    out = []
+    for toks in token_lists:
+        acc = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            digest8 = hashlib.md5(t.encode()).digest()[:8]
+            bits = np.unpackbits(np.frombuffer(digest8, dtype=np.uint8)).astype(np.int64)
+            acc += 2 * bits - 1
+        v = 0
+        for j in range(64):
+            if acc[j] > 0:
+                v |= 1 << j
+        # map to signed int64 range
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out, dtype="int64")
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # Pandas-UDF hash; verified structurally in tests/test_dedup.py
+    doc="SimHash near-dup: 64-bit signature per doc (vectorized Pandas UDF), "
+    "candidates via 16-bit band equality (4 bands ⇒ catches Hamming ≤ 3 "
+    "always, most ≤ 12), verified with bit_count(a XOR b) ≤ 12. "
+    "Signature step is narrow (no shuffle); candidate join shuffles only "
+    "(band, value) pairs.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    sig = d.select("doc_id", simhash64("toks").alias("sim"))
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("sim", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+            )
+            for i in range(4)
+        ]
+    )
+    banded = sig.select("doc_id", "sim", F.explode(bands).alias("b")).select(
+        "doc_id", "sim", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 12)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """,
+    doc="Embedding-cosine near-dup: all pairs ≥ 0.4 cosine. Brute-force here "
+    "(ground truth); the scale path is the anchor-LSH bucketing in "
+    "similarity.py applied before the pairwise step.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    cos = F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6)
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )

@@ -1,0 +1,157 @@
+"""Text-analysis operators over ``documents``: token/char statistics,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+North-star extension surface (BASELINE.json): the text half of a large-scale
+training-data pipeline.  Everything here is built-in-function only — split /
+transform / aggregate / regexp — i.e. whole-stage-codegen JVM expressions
+with zero Python in the hot path, so the same code runs unchanged over
+100 TB of documents (narrow per-row transforms, no shuffle at all except
+where a query aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# deliberately tiny, fixed stopword list — the heuristic is the operator,
+# not the lexicon
+EN_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def tokens(col: F.Column) -> F.Column:
+    """Whitespace tokenization of lowercased text (shared Spark/oracle def)."""
+    return F.split(F.lower(col), " ")
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(lower(text), ' '))  AS n_tokens,
+           length(text)                         AS n_chars,
+           round(CAST(list_sum(list_transform(string_split(lower(text), ' '),
+                                              w -> length(w))) AS DOUBLE)
+                 / len(string_split(lower(text), ' ')), 4) AS avg_word_len,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens, char count, mean word length, "
+    "distinct-token cardinality per document.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda w: F.length(w)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_word_len"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, text,
+             string_split(lower(text), ' ') AS toks,
+             length(text)                   AS n_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+           round(CAST(len(list_filter(toks, w -> w IN ('a','the','of','and','to','in','is','on','for','with')))
+                      AS DOUBLE) / len(toks), 6)       AS stopword_ratio,
+           CAST(n_chars BETWEEN 100 AND 2000 AS INT)   AS len_ok,
+           round(  0.4 * CAST(n_chars BETWEEN 100 AND 2000 AS INT)
+                 + 0.3 * (1 - least(CAST(n_punct AS DOUBLE) / n_chars * 10, 1.0))
+                 + 0.3 * least(CAST(len(list_filter(toks, w -> w IN ('a','the','of','and','to','in','is','on','for','with')))
+                                    AS DOUBLE) / len(toks) * 5, 1.0), 6) AS quality
+    FROM s
+    """,
+    doc="Quality scoring: punctuation ratio, stopword ratio, length band, "
+    "composite quality in [0,1] — the classic pretraining-filter features.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*EN_STOPWORDS)))
+    punct_ratio = n_punct.cast("double") / n_chars
+    stop_ratio = stop_hits.cast("double") / F.size(toks)
+    len_ok = n_chars.between(100, 2000).cast("int")
+    quality = (
+        0.4 * len_ok
+        + 0.3 * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        len_ok.alias("len_ok"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id, lang,
+           round(CAST(len(list_filter(toks, w -> w IN ('a','the','of','and','to','in','is','on','for','with')))
+                      AS DOUBLE) / len(toks), 6) AS en_score,
+           CASE WHEN CAST(len(list_filter(toks, w -> w IN ('a','the','of','and','to','in','is','on','for','with')))
+                     AS DOUBLE) / len(toks) > 0.02
+                THEN 'en' ELSE 'unknown' END     AS pred_lang
+    FROM s
+    """,
+    doc="Language-ID heuristic: stopword-hit ratio thresholded — the n-gram "
+    "heuristic pattern (fixed lexicon stands in for per-language n-gram tables).",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    score = F.size(F.filter(toks, lambda w: w.isin(*EN_STOPWORDS))).cast("double") / F.size(toks)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(score, 6).alias("en_score"),
+        F.when(score > 0.02, "en").otherwise("unknown").alias("pred_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8) AS fp_short
+    FROM documents
+    """,
+    doc="Document fingerprint: whitespace-normalized lowercase md5 — the "
+    "exact-dedup key (rolling/content-defined hashing reduces to this for "
+    "whole-document granularity).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    fp = F.md5(norm.cast("binary"))
+    return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_short"))

@@ -27,6 +27,8 @@ DEFAULT_CONFS: dict[str, str] = {
     # ANSI off keeps permissive casts (reference semantics are permissive:
     # everything maps through a lossy 5-type system, SURVEY.md §1).
     "spark.sql.ansi.enabled": "false",
+    # progress bars interleave with stdout in non-interactive runs
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

@@ -1,0 +1,180 @@
+"""Structured Streaming slice over ``events``: tumbling/sliding/session
+windows, watermark, streaming dedup.
+
+The reference's streaming analog is its event-driven GCS chain (SURVEY.md
+§2A #18/#22, ``csv-cleaner.tf:53-56``) — object-finalize events drive
+per-file processing, cron drives the batch.  Here the real thing: file
+source → event-time windows with watermark → memory sink, driven to
+completion with ``availableNow`` so results are deterministic and
+oracle-comparable (batch-equivalent SQL, SURVEY.md §5.4).
+
+At scale: the same code points at a Kafka/file-stream source; watermark
+bounds state, ``foreachBatch`` gives exactly-once sinks.  Each query below
+runs a genuine StreamingQuery (incremental state, not a batch rewrite).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+
+# physical parquet schema of events.parquet (ts is TIMESTAMP(NANOS) → int64
+# under nanosAsLong; converted to a micro timestamp after read)
+_EVENTS_PHYS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_MEMSINK_SEQ = 0
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the events parquet."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_PHYS)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_completion(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive a streaming aggregation through a real StreamingQuery with an
+    availableNow trigger + complete-mode memory sink; return the result as a
+    (batch) DataFrame."""
+    global _MEMSINK_SEQ
+    _MEMSINK_SEQ += 1
+    name = f"stream_out_{_MEMSINK_SEQ}"
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS win_start,
+           event_type,
+           count(*)             AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY win_start, event_type
+    """,
+    doc="Tumbling 1 h event-time window × event_type, via a real StreamingQuery "
+    "(file source → window agg → availableNow → memory sink). Oracle is the "
+    "batch-equivalent time_bucket SQL.",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = run_to_completion(agg, spark)
+    return out.select(
+        F.col("window.start").alias("win_start"), "event_type", "n", "total_value"
+    )
+
+
+@register(
+    "stream_sliding_window",
+    oracle="""
+    SELECT win_start, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+               - k.i * INTERVAL '30 minutes' AS win_start,
+             value
+      FROM events CROSS JOIN (VALUES (0), (1)) k(i)
+    )
+    GROUP BY win_start
+    """,
+    doc="Sliding window 1 h / 30 min slide: each event lands in 2 windows. "
+    "Oracle expands event→windows with a 2-row cross join on the slide index.",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    out = run_to_completion(agg, spark)
+    return out.select(F.col("window.start").alias("win_start"), "n", "total_value")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) ts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                       OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                          > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+    doc="Session window (30 min gap) per user via session_window() in a "
+    "streaming agg; oracle is the batch gaps-and-islands rewrite (lag + "
+    "cumulative sum).",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(agg, spark)
+    return out.select(
+        "user_id", F.col("session_window.start").alias("sess_start"), "n_events"
+    )
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n_unique_users
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    GROUP BY event_type
+    """,
+    doc="Streaming dedup: dropDuplicates on (event_type, user_id) under a "
+    "watermark, then count — the stateful streaming dedup pattern; batch "
+    "oracle is DISTINCT.",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    dedup = ev.withWatermark("ts", "2 hours").dropDuplicates(["event_type", "user_id"])
+    agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_users"))
+    out = run_to_completion(agg, spark)
+    return out
