@@ -1,0 +1,85 @@
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the summed wall-clock of all headline queries (each timed as
+plan-build + execute + collect, the same work the DuckDB baseline does).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# representative spread: scan-agg, star joins, as-of, rollup, window,
+# top-k, dedup, ANN, text, streaming. dedup_minhash_lsh / ngram_jaccard are
+# excluded: on this deliberately self-similar corpus their cost is exact
+# O(candidates) verification, which benchmarks the corpus, not the engine
+# (see PERF.md).
+HEADLINE = (
+    "q1_pricing_summary",
+    "join_star_q3",
+    "join_q5_region_revenue",
+    "join_asof",
+    "agg_rollup",
+    "agg_count_distinct",
+    "window_running_sum",
+    "topk_per_group",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+    "stream_tumbling_window",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from gcp_cloudsql_to_bigquery_spark.session import get_spark
+    from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    qs = queries()
+
+    # warm the JVM/codegen/Python-worker paths: run every headline query once
+    # at the smallest SF so timings measure sf execution, not JIT compilation
+    # of identical plan shapes
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        for name in HEADLINE:
+            qs[name](spark, warm_dir).toPandas()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).toPandas()  # Arrow materialization
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (spark local[{}] vs duckdb oracle)".format(
+                    cpus
+                ),
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

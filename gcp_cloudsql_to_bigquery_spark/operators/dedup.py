@@ -305,23 +305,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     """,
-    doc="Embedding-cosine near-dup: all pairs ≥ 0.4 cosine. Brute-force here "
-    "(ground truth); the scale path is the anchor-LSH bucketing in "
-    "similarity.py applied before the pairwise step.",
+    doc="Embedding-cosine near-dup: all pairs ≥ 0.4 cosine via the blocked "
+    "numpy GEMM kernel (similarity.blocked_pairwise_cosine) — one BLAS call "
+    "per block pair instead of an interpreted fold per vector pair. At scale "
+    "the anchor-LSH bucketing runs in front of this dense kernel.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import blocked_pairwise_cosine
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-    cos = F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6)
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.4)
+    # 4 blocks → 10 block pairs, ~3× replication; at this corpus size each
+    # GEMM is trivial, so fewer/bigger blocks minimize shuffle + worker count
+    return blocked_pairwise_cosine(e, n_blocks=4, threshold=0.4).filter(
+        F.col("cosine") >= 0.4
     )

@@ -231,8 +231,9 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
     ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
     """,
-    doc="As-of join (Spark lacks a native one): equi-join on the key + window "
-    "top-1 on the time condition — one shuffle on user_id, no nested loop. "
+    doc="As-of join (Spark lacks a native one): equi-join on the key + "
+    "max(struct(time, payload)) hash-aggregate picking the latest match — "
+    "map-side partial aggregation, no sort, one shuffle on the join key. "
     "Orders are pre-collapsed to one row per (custkey, orderdate) so the "
     "match is deterministic.",
 )
@@ -249,15 +250,17 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = events.join(
         od, (events.user_id == od.o_custkey) & (events.ts >= od.o_orderdate), "inner"
     )
-    w = W.partitionBy("event_id").orderBy(F.col("o_orderdate").desc())
+    # lexicographic max of (orderdate, key, spend) ≡ latest-date match;
+    # (custkey, orderdate) is unique post-collapse, so no tie ambiguity
+    best = F.max(F.struct("o_orderdate", "order_key", "day_spend")).alias("m")
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        joined.groupBy("event_id", "user_id")
+        .agg(best)
         .select(
             "event_id",
             "user_id",
-            F.col("o_orderdate").alias("asof_orderdate"),
-            "order_key",
-            "day_spend",
+            F.col("m.o_orderdate").alias("asof_orderdate"),
+            F.col("m.order_key").alias("order_key"),
+            F.col("m.day_spend").alias("day_spend"),
         )
     )
