@@ -1,0 +1,220 @@
+"""Complex-type and user-defined function surface: explode/posexplode,
+map construction/access, struct nesting, unpivot (stack), Python UDTF,
+Pandas grouped-agg UDAF, applyInPandas grouped-map.
+
+Completes SURVEY.md §2B rows "Array/map/JSON fns" and "UDF/UDAF/UDTF".
+The UDF examples exist to prove the surfaces with deterministic kernels;
+everything that *can* stay JVM-side does (the reference's only scalar
+'UDF', the type mapper, is pure metadata here — ingest/types.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "fn_explode_posexplode",
+    oracle="""
+    SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+          WHERE doc_id < 50),
+         LATERAL unnest(range(1, len(toks) + 1)) AS u(i)
+    """,
+    doc="posexplode: one row per (doc, position, token) — the tokenizer "
+    "fan-out every text pipeline starts with (generator, no shuffle).",
+)
+def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "tok")
+    )
+
+
+@register(
+    "fn_map_functions",
+    oracle="""
+    SELECT event_id,
+           CAST(map_keys(m)[1] AS VARCHAR)     AS first_key,
+           CAST(map_values(m)[1] AS BIGINT)    AS k_value,
+           CAST(element_at(m, 'k')[1] AS BIGINT) AS lookup_k,
+           cardinality(m)                      AS n_entries
+    FROM (SELECT event_id,
+                 MAP(['k', 'etype_len'],
+                     [CAST(json_extract_string(props, '$.k') AS BIGINT),
+                      CAST(length(event_type) AS BIGINT)]) AS m
+          FROM events WHERE event_id < 200)
+    """,
+    doc="Map construction + access: create_map / map_keys / map_values / "
+    "element_at / size over JSON-extracted values.",
+)
+def fn_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    m = F.create_map(
+        F.lit("k"),
+        F.get_json_object("props", "$.k").cast("bigint"),
+        F.lit("etype_len"),
+        F.length("event_type").cast("bigint"),
+    )
+    return e.select(
+        "event_id",
+        F.map_keys(m).getItem(0).alias("first_key"),
+        F.map_values(m).getItem(0).alias("k_value"),
+        F.element_at(m, F.lit("k")).alias("lookup_k"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@register(
+    "fn_struct_nesting",
+    oracle="""
+    SELECT o_orderkey,
+           info.who.cust       AS who_cust,
+           info.who.status     AS who_status,
+           info.amount         AS amount
+    FROM (
+      SELECT o_orderkey,
+             {'who': {'cust': o_custkey, 'status': o_orderstatus},
+              'amount': round(o_totalprice, 2)} AS info
+      FROM orders WHERE o_orderkey <= 300
+    )
+    """,
+    doc="Nested struct construction then field re-extraction through two "
+    "levels (what a multimodal metadata column looks like structurally); "
+    "flat output so the oracle compares values, not struct encodings.",
+)
+def fn_struct_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    info = F.struct(
+        F.struct(
+            F.col("o_custkey").alias("cust"), F.col("o_orderstatus").alias("status")
+        ).alias("who"),
+        F.round("o_totalprice", 2).alias("amount"),
+    )
+    return (
+        o.select("o_orderkey", info.alias("info"))
+        .select(
+            "o_orderkey",
+            F.col("info.who.cust").alias("who_cust"),
+            F.col("info.who.status").alias("who_status"),
+            F.col("info.amount").alias("amount"),
+        )
+    )
+
+
+@register(
+    "fn_unpivot_stack",
+    oracle="""
+    SELECT c_custkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT c_custkey, round(c_acctbal, 2) AS bal,
+             CAST(c_nationkey AS DOUBLE) AS nat
+      FROM customer WHERE c_custkey <= 100
+    ) UNPIVOT (val FOR metric IN (bal, nat))
+    """,
+    doc="Unpivot via stack(): wide→long metric reshape (generator, no shuffle).",
+)
+def fn_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return c.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.col("c_nationkey").cast("double").alias("nat"),
+    ).select(
+        "c_custkey",
+        F.expr("stack(2, 'bal', bal, 'nat', nat) AS (metric, val)"),
+    )
+
+
+@register(
+    "fn_python_udtf",
+    oracle="""
+    SELECT doc_id, CAST(n - 1 AS BIGINT) AS chunk_no,
+           substr(text, (n - 1) * 200 + 1, 200) AS chunk
+    FROM documents, LATERAL unnest(range(1, CAST(ceil(length(text) / 200.0) AS BIGINT) + 1)) AS t(n)
+    WHERE doc_id < 50
+    """,
+    doc="Python UDTF (Spark 3.5+ table function): fixed-width document "
+    "chunker — one input row → N chunk rows, the pretraining tokenization "
+    "fan-out shape. Lateral-join equivalent in the oracle.",
+)
+def fn_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no bigint, chunk string")
+    class Chunker:
+        def eval(self, text: str, width: int):
+            if text is None:
+                return
+            for i in range(0, len(text), width):
+                yield i // width, text[i : i + width]
+
+    spark.udtf.register("chunker", Chunker)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_no, c.chunk
+        FROM documents d, LATERAL chunker(d.text, 200) c
+        WHERE d.doc_id < 50
+        """
+    )
+
+
+@register(
+    "fn_pandas_udaf_geomean",
+    oracle="""
+    SELECT o_orderpriority,
+           round(exp(avg(ln(o_totalprice))), 4) AS geo_mean
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Pandas grouped-agg UDAF (Arrow-batched): geometric mean of order "
+    "value per priority; oracle is the exp∘avg∘ln identity.",
+)
+def fn_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf(T.DoubleType())
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geo_mean("o_totalprice"), 4).alias("geo_mean")
+    )
+
+
+@register(
+    "fn_grouped_map_zscore",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 4) AS z
+    FROM customer
+    """,
+    doc="applyInPandas grouped-map: per-segment z-score normalization "
+    "(numpy per group); oracle is the window-function identity. The "
+    "feature-normalization shape of an ML data pipeline.",
+)
+def fn_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["c_acctbal"]
+        sd = v.std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_mktsegment": pdf["c_mktsegment"],
+                "z": ((v - v.mean()) / sd).round(4),
+            }
+        )
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        zscore, schema="c_custkey long, c_mktsegment string, z double"
+    )

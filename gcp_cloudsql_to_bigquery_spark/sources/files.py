@@ -1,0 +1,109 @@
+"""File sources & sinks: JSON/CSV round-trips with explicit schemas,
+date-partitioned parquet layout with partition pruning.
+
+SURVEY.md §2B "Scans/sources" / "Sinks" + §2A #25 (date-partitioned layout).
+Partition pruning is the point: a date-partitioned 100 TB table answers a
+one-day query by listing one directory — asserted via plan inspection in
+tests/test_sources.py.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+def write_date_partitioned(
+    df: DataFrame, path: str, date_col: str, granularity: str = "day"
+) -> None:
+    """Reference op #25 as a real partitioned layout: one directory per
+    day/month (``export_date=.../``) instead of path-string interpolation.
+
+    Granularity is a partition-count knob: partitions must be large enough
+    to matter (thousands of tiny directories make listing the bottleneck —
+    measured 32 s vs 3 s on the fixture) and few enough to prune."""
+    part = F.to_date(F.date_trunc(granularity, F.col(date_col)))
+    df.withColumn("export_date", part).write.mode("overwrite").partitionBy(
+        "export_date"
+    ).parquet(path)
+
+
+@register(
+    "src_json_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, round(value, 2) AS value,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events WHERE event_id < 300
+    """,
+    doc="JSON sink → schema-applied JSON source round-trip (no inference — "
+    "schema inference is a full extra pass at 100 TB).",
+)
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 300)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="src_json_"), "events_json")
+    e.write.mode("overwrite").json(out)
+    return spark.read.schema("event_id bigint, event_type string, value double, k bigint").json(out)
+
+
+@register(
+    "src_partitioned_parquet_pruning",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS export_date,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE CAST(date_trunc('month', o_orderdate) AS DATE)
+          BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+    GROUP BY export_date
+    """,
+    doc="Date-partitioned parquet write (reference op #25) + partition-pruned "
+    "read: the H1-1996 filter prunes to 6 of ~79 month-directories before "
+    "any file is opened (PartitionFilters, asserted in tests/test_sources.py).",
+)
+def src_partitioned_parquet_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(tempfile.mkdtemp(prefix="src_part_"), "orders_by_month")
+    write_date_partitioned(load(spark, sf_dir, "orders"), out, "o_orderdate", "month")
+    back = spark.read.parquet(out)
+    return (
+        back.filter(
+            F.col("export_date").between(F.lit("1996-01-01"), F.lit("1996-06-30"))
+        )
+        .groupBy("export_date")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "src_csv_schema_applied",
+    oracle="""
+    SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS p_size,
+           round(p_retailprice, 2) AS price
+    FROM part WHERE p_size >= 25
+    """,
+    doc="CSV sink → schema-applied CSV source with a pushed filter (the "
+    "reference's whole load stage as two lines, SURVEY.md §3 entry 3).",
+)
+def src_csv_schema_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size", F.round("p_retailprice", 2).alias("price")
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="src_csv_"), "part_csv")
+    p.write.mode("overwrite").options(header=True).csv(out)
+    back = spark.read.options(header=True).schema(
+        "p_partkey bigint, p_brand string, p_size bigint, price double"
+    ).csv(out)
+    return back.filter(F.col("p_size") >= 25)

@@ -13,15 +13,18 @@ from .operators import relational  # noqa: F401
 # functions, streaming, dedup/similarity/text extensions.
 _OPTIONAL_MODULES = (
     "gcp_cloudsql_to_bigquery_spark.operators.joins",
+    "gcp_cloudsql_to_bigquery_spark.operators.tpch",
     "gcp_cloudsql_to_bigquery_spark.operators.aggregates",
     "gcp_cloudsql_to_bigquery_spark.operators.windows",
     "gcp_cloudsql_to_bigquery_spark.functions.scalar",
+    "gcp_cloudsql_to_bigquery_spark.functions.complex",
     "gcp_cloudsql_to_bigquery_spark.operators.dedup",
     "gcp_cloudsql_to_bigquery_spark.operators.similarity",
     "gcp_cloudsql_to_bigquery_spark.operators.text",
     "gcp_cloudsql_to_bigquery_spark.operators.multimodal",
     "gcp_cloudsql_to_bigquery_spark.streaming.events",
     "gcp_cloudsql_to_bigquery_spark.ingest.queries",
+    "gcp_cloudsql_to_bigquery_spark.sources.files",
 )
 
 

@@ -1,0 +1,77 @@
+"""Source/sink tests: JDBC option assembly (no DB in container — structural),
+partition pruning on the date layout, streaming foreachBatch sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_cloudsql_to_bigquery_spark.catalog import load
+from gcp_cloudsql_to_bigquery_spark.sources.files import write_date_partitioned
+from gcp_cloudsql_to_bigquery_spark.sources.jdbc import JdbcSource
+
+SF = "/root/testdata/sf0.001"
+
+
+def _src():
+    return JdbcSource(url="jdbc:mysql://db:3306/default", user="u", password="p")
+
+
+def test_jdbc_options_partitioned():
+    opts = _src().options_for("orders", partition_column="o_orderkey",
+                              lower_bound=0, upper_bound=1_000_000)
+    assert opts["partitionColumn"] == "o_orderkey"
+    assert opts["numPartitions"] == "32"
+    assert opts["fetchsize"] == "10000"
+
+
+def test_jdbc_partition_requires_bounds():
+    with pytest.raises(ValueError):
+        _src().options_for("orders", partition_column="o_orderkey")
+
+
+def test_jdbc_catalog_query_matches_reference_shape():
+    # reference default (variables.tf:72-75) + prod example (README.md:27)
+    q = _src().catalog_tables_query("default")
+    assert "table_schema = 'default'" in q and "LIKE" not in q
+    q2 = _src().catalog_tables_query("prod", like="user__field%", include=("users",))
+    assert "table_name LIKE 'user__field%'" in q2
+    assert "table_name IN ('users')" in q2
+    assert q2.startswith("(SELECT table_name FROM information_schema.tables")
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    out = str(tmp_path / "orders_by_month")
+    write_date_partitioned(load(spark, SF, "orders"), out, "o_orderdate", "month")
+    back = spark.read.parquet(out).filter(F.col("export_date") == "1996-01-01")
+    from gcp_cloudsql_to_bigquery_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan
+    # the pruned scan must not enumerate every partition
+    n_total = spark.read.parquet(out).select("export_date").distinct().count()
+    n_files_read = back.rdd.getNumPartitions()
+    assert n_files_read < n_total
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """Streaming foreachBatch: the exactly-once custom-sink surface
+    (SURVEY.md §2B streaming row) — micro-batches land as parquet."""
+    from gcp_cloudsql_to_bigquery_spark.streaming.events import read_events_stream
+
+    out = str(tmp_path / "sink")
+    seen = []
+
+    def write_batch(df, epoch_id: int) -> None:
+        seen.append(epoch_id)
+        df.write.mode("append").parquet(out)
+
+    q = (
+        read_events_stream(spark, SF)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen, "at least one micro-batch"
+    n = spark.read.parquet(out).count()
+    assert n == load(spark, SF, "events").count()
