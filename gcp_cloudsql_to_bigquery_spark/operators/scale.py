@@ -1,0 +1,64 @@
+"""Scale patterns: bucketed co-located joins and salted skew joins.
+
+Neither changes query *semantics* — they are physical-layout levers for the
+100 TB regime (pyspark_guide.md "Partitioning & shuffle"):
+
+- **Bucketing** pre-shuffles at write time: two tables bucketed on the join
+  key co-locate, so every later join/agg on that key runs with ZERO
+  exchanges.  Worth it when a fact table is joined on the same key by many
+  queries (lineitem⋈orders on orderkey is the canonical case).
+- **Salting** splits a hot key across S sub-keys: the big side gets a
+  deterministic salt, the small side is replicated ×S, and the join key
+  becomes (key, salt) — no single reducer owns the hot key.  AQE's skew
+  split handles moderate skew automatically; salting is for the extreme
+  tail (one key ≫ a partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int, sort_by: str | None = None
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table; later
+    equi-joins/aggs on ``key`` skip their shuffle (and with sort_by, the
+    sort-merge sort too)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on, how: str = "inner"
+) -> DataFrame:
+    """Join two pre-bucketed tables; with matching bucket specs the plan has
+    no Exchange on either side (asserted in tests/test_scale.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: big side salted deterministically (hash of the
+    whole row's key ⊕ a stable secondary column is unnecessary — pmod of
+    xxhash64 over monotonically varying payload spreads a hot key), small
+    side replicated ×n_salts.  Result is identical to ``big.join(small,
+    key, how)`` for inner/left joins on an equi-key.
+    """
+    salt_values = [(i,) for i in range(n_salts)]
+    salts = big.sparkSession.createDataFrame(salt_values, "salt int")
+    # deterministic per-row salt on the big side: hash all big-side columns
+    big_salted = big.withColumn(
+        "salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("int")
+    )
+    small_replicated = small.crossJoin(F.broadcast(salts))
+    joined = big_salted.join(small_replicated, [key, "salt"], how)
+    return joined.drop("salt")

@@ -139,6 +139,59 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           len(string_split(text, ' '))                                      AS n_ws_tokens,
+           round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4)                          AS fertility
+    FROM documents
+    """,
+    doc="Token counting, BPE-ish: pre-tokenizer regex (letter runs / digit "
+    "runs / single punctuation — the GPT-2-style split) vs whitespace "
+    "count, plus fertility ratio. Pure JVM regexp_count, no UDF.",
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bpe = F.regexp_count("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    ws = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.round(bpe.cast("double") / ws, 4).alias("fertility"),
+    )
+
+
+@register(
+    "text_rolling_hash_shingles",
+    oracle="""
+    SELECT doc_id,
+           len(list_distinct(list_transform(range(1, greatest(length(text) - 6, 1) + 1),
+                                            i -> md5(substr(text, i, 7))))) AS n_distinct_shingles,
+           min(length(text)) AS n_chars
+    FROM documents
+    GROUP BY doc_id, text
+    """,
+    doc="Rolling-window content fingerprinting: 7-char shingle hashes per "
+    "document (the content-defined-chunking primitive); distinct-shingle "
+    "cardinality is the dedup signal.",
+)
+def text_rolling_hash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    shingle_hashes = F.expr(
+        "array_distinct(transform(sequence(1, greatest(length(text) - 6, 1)), "
+        "i -> md5(substring(text, i, 7))))"
+    )
+    return d.select(
+        "doc_id",
+        F.size(shingle_hashes).alias("n_distinct_shingles"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -51,15 +51,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def run_to_completion(stream_df: DataFrame, spark: SparkSession) -> DataFrame:
+def run_to_completion(
+    stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming aggregation through a real StreamingQuery with an
-    availableNow trigger + complete-mode memory sink; return the result as a
-    (batch) DataFrame."""
+    availableNow trigger + memory sink; return the result as a (batch)
+    DataFrame."""
     global _MEMSINK_SEQ
     _MEMSINK_SEQ += 1
     name = f"stream_out_{_MEMSINK_SEQ}"
     q = (
-        stream_df.writeStream.outputMode("complete")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
