@@ -64,6 +64,34 @@ def elt_roundtrip_null_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "elt_pipeline_to_query",
+    oracle="""
+    SELECT n_name, count(*) AS n_supp, round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="The whole reference chain feeding the query layer: export supplier "
+    "+ nation through CSV → clean → schema-applied load → register views → "
+    "run a join-aggregate on the LOADED tables. This is the reference's "
+    "end-state ('analytics happen in BigQuery after load') in one job.",
+)
+def elt_pipeline_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="elt_e2e_")
+    from .pipeline import export_table, load_table
+
+    for t in ("supplier", "nation"):
+        data_path, schema_path = export_table(load(spark, sf_dir, t), base, t)
+        load_table(spark, data_path, schema_path, table=f"{t}_loaded")
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_supp, round(sum(s_acctbal), 2) AS total_bal
+        FROM supplier_loaded JOIN nation_loaded ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
+@register(
     "elt_schema_catalog",
     oracle="""
     SELECT table_name, column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position

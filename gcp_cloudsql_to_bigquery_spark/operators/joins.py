@@ -217,6 +217,82 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    tolerance=None,
+) -> DataFrame:
+    """General as-of join (Spark lacks a native one): for each left row,
+    the single right row with the nearest ``right_time`` at-or-before
+    (``backward``) / at-or-after (``forward``) ``left_time``, per key.
+
+    Composition: equi-join on the key with the time inequality, then a
+    ``max(struct(time, payload))`` (or min) hash-aggregate — map-side
+    partials, no sort, one shuffle on the join key.  ``tolerance`` (a
+    Column interval / duration expr) bounds the time gap, like
+    ``pd.merge_asof(tolerance=...)``.  Right payload columns come back
+    prefixed ``asof_``.  Deterministic iff (key, time) is unique on the
+    right — pre-collapse the right side otherwise.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    # dataframe-qualified refs so identical column names on both sides work
+    lt, rt = left[left_time], right[right_time]
+    cond = (left[left_on] == right[right_on]) & (lt >= rt if direction == "backward" else lt <= rt)
+    if tolerance is not None:
+        cond = cond & ((lt - rt <= tolerance) if direction == "backward" else (rt - lt <= tolerance))
+    payload = [c for c in right.columns if c != right_on]
+    joined = left.join(right, cond, "inner")
+    pick = F.struct(*([right[right_time]] + [right[c] for c in payload if c != right_time]))
+    best = (F.max(pick) if direction == "backward" else F.min(pick)).alias("_asof")
+    out = joined.groupBy(*[left[c] for c in left.columns]).agg(best)
+    for c in payload:
+        out = out.withColumn(f"asof_{c}", F.col(f"_asof.{c}"))
+    return out.drop("_asof")
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS order_key
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           od.o_orderdate AS asof_o_orderdate, od.order_key AS asof_order_key
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_id < 2000) e
+    ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+    WHERE e.ts - od.o_orderdate <= INTERVAL 365 DAY
+    """,
+    doc="asof_join helper with a 365-day tolerance window (merge_asof "
+    "semantics); oracle is DuckDB's native ASOF JOIN + gap filter.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "ts")
+    )
+    od = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("order_key"))
+    )
+    return asof_join(
+        events, od,
+        left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        direction="backward",
+        tolerance=F.expr("INTERVAL 365 DAYS"),
+    )
+
+
 @register(
     "join_asof",
     oracle="""

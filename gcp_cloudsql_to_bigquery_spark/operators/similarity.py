@@ -16,6 +16,7 @@ North-star extension surface (BASELINE.json).  Scale design:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -169,6 +170,66 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = e.mapInPandas(part_topk, schema="query_id long, neighbor_id long, cosine double")
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return local.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= K)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # probe-limited search is approximate by design; recall vs
+    # brute force asserted in tests/test_similarity.py
+    doc="IVF-style ANN: corpus vectors assigned to their nearest of 16 "
+    "anchor 'centroids' (broadcast); each query probes its 4 nearest cells "
+    "and exact-scores only those candidates (numpy GEMM per cell group). "
+    "At 100 TB: centroids come from offline k-means, cells are partitions, "
+    "a query touches nprobe/ncells of the corpus instead of all of it.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    N_CELLS, N_PROBE, K = 16, 4, 5
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # anchors = first N_CELLS vectors (stand-in for trained centroids)
+    anchors = sorted(
+        (r["vec_id"], np.asarray(r["v"])) for r in e.filter(F.col("vec_id") < N_CELLS).collect()
+    )
+    cent = np.stack([v for _, v in anchors])
+    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    bc = e.sparkSession.sparkContext.broadcast(cent_unit)
+
+    @F.pandas_udf("int")
+    def nearest_cell(vs: pd.Series) -> pd.Series:
+        m = np.stack(vs.to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+
+    assigned = e.withColumn("cell", nearest_cell("v"))
+    queries_df = assigned.filter(F.col("vec_id") < 10).collect()
+    q_ids = np.array([r["vec_id"] for r in queries_df])
+    q_mat = np.stack([np.asarray(r["v"]) for r in queries_df])
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probe_cells = np.argsort(-(q_unit @ cent_unit.T), axis=1)[:, :N_PROBE]
+    # (query, cell) probe list — broadcast to the cell-partitioned corpus
+    probes = e.sparkSession.createDataFrame(
+        [
+            (int(q_ids[i]), [float(x) for x in q_mat[i]], int(c))
+            for i in range(len(q_ids))
+            for c in probe_cells[i]
+        ],
+        "query_id long, qv array<double>, cell int",
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    from .similarity import cosine as _cos  # self-import safe at runtime
+
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= K)
 
 
 N_ANCHORS = 8  # 8 sign bits → 256 buckets
