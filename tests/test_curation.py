@@ -1,0 +1,29 @@
+"""Curation operator tests: stratified sample proportions + determinism,
+hash sample stability across scale factors."""
+
+from gcp_cloudsql_to_bigquery_spark.catalog import load
+from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stratified_proportions_and_determinism(spark):
+    d = load(spark, SF, "documents")
+    totals = {r.lang: r.n for r in d.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    s1 = queries()["sample_stratified"](spark, SF).collect()
+    s2 = queries()["sample_stratified"](spark, SF).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # seeded → stable
+    got = {}
+    for r in s1:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    for lang, n in got.items():
+        frac = n / totals[lang]
+        assert 0.02 <= frac <= 0.95, (lang, frac)  # loose Bernoulli bounds
+
+
+def test_hash_sample_is_stable_subset_across_sf(spark):
+    # the same doc_id keeps/loses membership regardless of corpus size —
+    # the property TABLESAMPLE lacks (sf0.001 has ids 0..499; sf0.1 0..4999)
+    small = {r.doc_id for r in queries()["sample_hash_based"](spark, SF).collect()}
+    big = {r.doc_id for r in queries()["sample_hash_based"](spark, "/root/testdata/sf0.1").collect()}
+    assert small == {d for d in big if d < 500}
