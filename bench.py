@@ -35,6 +35,8 @@ HEADLINE = (
     "dedup_embedding_cosine",
     "ann_bruteforce_topk",
     "text_quality_score",
+    "sessionize_batch",
+    "profile_table",
     "stream_tumbling_window",
 )
 

@@ -183,6 +183,77 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_ops_multiset",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority AS pri FROM orders WHERE o_orderkey <= 3000),
+         b AS (SELECT o_orderpriority AS pri FROM orders
+               WHERE o_orderkey > 1500 AND o_orderkey <= 4500)
+    SELECT pri, 'intersect_all' AS op, count(*) AS n
+    FROM (SELECT pri FROM a INTERSECT ALL SELECT pri FROM b) GROUP BY pri
+    UNION ALL
+    SELECT pri, 'except_all' AS op, count(*) AS n
+    FROM (SELECT pri FROM a EXCEPT ALL SELECT pri FROM b) GROUP BY pri
+    """,
+    doc="Multiset set-ops: INTERSECT ALL / EXCEPT ALL preserve duplicate "
+    "counts (bag semantics) — different operator than the distinct variants.",
+)
+def set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") <= 3000).select(F.col("o_orderpriority").alias("pri"))
+    b = o.filter((F.col("o_orderkey") > 1500) & (F.col("o_orderkey") <= 4500)).select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    ia = a.intersectAll(b).groupBy("pri").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "op", F.lit("intersect_all")
+    )
+    ea = a.exceptAll(b).groupBy("pri").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "op", F.lit("except_all")
+    )
+    return ia.unionByName(ea).select("pri", "op", "n")
+
+
+@register(
+    "filter_null_safe_eq",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS st FROM orders)
+    SELECT
+      count(CASE WHEN st IS NOT DISTINCT FROM 'F' THEN 1 END)   AS n_f,
+      count(CASE WHEN st IS NOT DISTINCT FROM NULL THEN 1 END)  AS n_null,
+      count(CASE WHEN st IS DISTINCT FROM 'O' THEN 1 END)       AS n_not_o
+    FROM t
+    """,
+    doc="Null-safe equality (<=> / IS NOT DISTINCT FROM): the join/compare "
+    "semantics NULL-heavy ELT data needs (a NULL key still matches itself).",
+)
+def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("st")
+    )
+    st = F.col("st")
+    return o.agg(
+        F.count(F.when(st.eqNullSafe("F"), 1)).alias("n_f"),
+        F.count(F.when(st.eqNullSafe(F.lit(None)), 1)).alias("n_null"),
+        F.count(F.when(~st.eqNullSafe("O"), 1)).alias("n_not_o"),
+    )
+
+
+@register(
+    "agg_percentile_approx",
+    oracle=None,  # t-digest/KLL sketch values are engine-specific → rows-only;
+    # accuracy vs exact percentile asserted in tests/test_dedup.py-style check
+    doc="percentile_approx (sketch): the constant-memory quantile path at "
+    "100 TB; accuracy vs the exact percentile asserted in "
+    "tests/test_curation.py.",
+)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("p99_approx"),
+    )
+
+
+@register(
     "dedup_dropduplicates",
     oracle="""
     SELECT o_custkey, count(*) AS n_status

@@ -164,6 +164,62 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           round(CAST(date_diff('microsecond', v.ts, c.ts) AS DOUBLE) / 1000000, 3)
+             AS view_to_click_sec
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
+          WHERE event_type = 'click') c
+    JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
+          WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '10 minutes'
+    """,
+    doc="Stream-stream inner join: clicks ⋈ views per user within a 10-minute "
+    "attribution window, both sides watermarked (bounds the join state). "
+    "availableNow drains fully, so the result equals the batch time-range "
+    "join (the oracle).",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        F.round(
+            F.col("click_ts").cast("double") - F.col("view_ts").cast("double"), 3
+        ).alias("view_to_click_sec"),
+    )
+    out = run_to_completion(joined, spark, output_mode="append")
+    return out
+
+
+@register(
     "stream_dedup_watermark",
     oracle="""
     SELECT event_type, count(*) AS n_unique_users

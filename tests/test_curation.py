@@ -27,3 +27,26 @@ def test_hash_sample_is_stable_subset_across_sf(spark):
     small = {r.doc_id for r in queries()["sample_hash_based"](spark, SF).collect()}
     big = {r.doc_id for r in queries()["sample_hash_based"](spark, "/root/testdata/sf0.1").collect()}
     assert small == {d for d in big if d < 500}
+
+
+def test_percentile_approx_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+
+    exact = {
+        r.l_returnflag: (r.p50, r.p99)
+        for r in load(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        )
+        .collect()
+    }
+    approx = {r.l_returnflag: (r.p50_approx, r.p99_approx)
+              for r in queries()["agg_percentile_approx"](spark, SF).collect()}
+    for k, (p50, p99) in exact.items():
+        a50, a99 = approx[k]
+        assert abs(a50 - p50) / p50 < 0.05
+        assert abs(a99 - p99) / p99 < 0.05
