@@ -268,9 +268,9 @@ def asof_join(
     FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
           FROM events WHERE event_id < 2000) e
     ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
-    WHERE e.ts - od.o_orderdate <= INTERVAL 365 DAY
+    WHERE e.ts - od.o_orderdate <= INTERVAL 8250 DAY
     """,
-    doc="asof_join helper with a 365-day tolerance window (merge_asof "
+    doc="asof_join helper with a tolerance window (merge_asof "
     "semantics); oracle is DuckDB's native ASOF JOIN + gap filter.",
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,7 +289,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_on="user_id", right_on="o_custkey",
         left_time="ts", right_time="o_orderdate",
         direction="backward",
-        tolerance=F.expr("INTERVAL 365 DAYS"),
+        tolerance=F.expr("INTERVAL 8250 DAYS"),
     )
 
 
@@ -307,11 +307,12 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
     ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
     """,
-    doc="As-of join (Spark lacks a native one): equi-join on the key + "
-    "max(struct(time, payload)) hash-aggregate picking the latest match — "
-    "map-side partial aggregation, no sort, one shuffle on the join key. "
-    "Orders are pre-collapsed to one row per (custkey, orderdate) so the "
-    "match is deterministic.",
+    doc="As-of join via union + last(ignoreNulls) window: tag order-days and "
+    "events into one stream per user, sort once by (time, tag), carry the "
+    "last order payload forward onto each event. LINEAR in |left|+|right| — "
+    "no multiplicative join intermediate, which is what kills the join+agg "
+    "form (joins.asof_join, kept for the tolerance variant) when keys have "
+    "many historical matches. The 100 TB as-of shape.",
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
@@ -323,20 +324,32 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("day_spend"),
         )
     )
-    joined = events.join(
-        od, (events.user_id == od.o_custkey) & (events.ts >= od.o_orderdate), "inner"
+    p_type = "struct<o_orderdate:timestamp,order_key:bigint,day_spend:double>"
+    right_rows = od.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("tag"),  # orders sort before a same-instant event (ts >= orderdate)
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.struct("o_orderdate", "order_key", "day_spend").alias("p"),
     )
-    # lexicographic max of (orderdate, key, spend) ≡ latest-date match;
-    # (custkey, orderdate) is unique post-collapse, so no tie ambiguity
-    best = F.max(F.struct("o_orderdate", "order_key", "day_spend")).alias("m")
+    left_rows = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.col("event_id"),
+        F.lit(None).cast(p_type).alias("p"),
+    )
+    w = W.partitionBy("k").orderBy("t", "tag").rowsBetween(W.unboundedPreceding, 0)
+    carried = F.last("p", ignorenulls=True).over(w)
     return (
-        joined.groupBy("event_id", "user_id")
-        .agg(best)
+        right_rows.unionByName(left_rows)
+        .withColumn("c", carried)
+        .filter((F.col("tag") == 1) & F.col("c").isNotNull())
         .select(
             "event_id",
-            "user_id",
-            F.col("m.o_orderdate").alias("asof_orderdate"),
-            F.col("m.order_key").alias("order_key"),
-            F.col("m.day_spend").alias("day_spend"),
+            F.col("k").alias("user_id"),
+            F.col("c.o_orderdate").alias("asof_orderdate"),
+            F.col("c.order_key").alias("order_key"),
+            F.col("c.day_spend").alias("day_spend"),
         )
     )
