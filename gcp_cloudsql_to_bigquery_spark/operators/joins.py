@@ -169,14 +169,18 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_mktsegment
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
     """,
-    doc="LEFT ANTI join (NOT EXISTS): customers with no orders.",
+    doc="LEFT ANTI join (NOT EXISTS): customers with no high-value order. "
+    "(Condition chosen to be non-empty at every SF — every customer has "
+    "*some* order in the fixtures, which made the bare version a vacuous "
+    "empty-set comparison.)",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    big_orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti").select(
         "c_custkey", "c_mktsegment"
     )
 

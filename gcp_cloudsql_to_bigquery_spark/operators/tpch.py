@@ -280,19 +280,21 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
     FROM customer c
     WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
     """,
     doc="Q22-flavor: uncorrelated scalar subquery (global average as a "
-    "broadcast scalar) + anti join, then group.",
+    "broadcast scalar) + anti join on a filtered right side, then group. "
+    "(Anti condition filtered so the result is non-empty at every SF.)",
 )
 def q22_global_avg_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
     return (
         c.filter(F.col("c_acctbal") > F.lit(avg_bal))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
     )
