@@ -92,6 +92,42 @@ def elt_pipeline_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "elt_merge_upsert",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END AS status,
+           CASE WHEN o_orderkey % 10 = 0 THEN round(o_totalprice, 2) + 1000.0
+                ELSE round(o_totalprice, 2) END AS total
+    FROM orders
+    """,
+    doc="MERGE-equivalent upsert (ingest/merge.py): a 10% delta overwrites "
+    "its keys, everything else passes through — the incremental-load "
+    "upgrade to the reference's WRITE_TRUNCATE full reload. Oracle applies "
+    "the same delta as a CASE projection.",
+)
+def elt_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .merge import upsert
+
+    target = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("total"),
+    )
+    updates = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("status"),
+            # round-then-add: ×1.1 manufactures exact half-cent values where
+            # Spark (HALF_UP) and DuckDB disagree — see oracle-parity rules
+            (F.round("o_totalprice", 2) + 1000.0).alias("total"),
+        )
+    )
+    return upsert(target, updates, "o_orderkey")
+
+
+@register(
     "elt_schema_catalog",
     oracle="""
     SELECT table_name, column_name, CAST(ordinal_position AS BIGINT) AS ordinal_position

@@ -145,6 +145,34 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_distribution",
+    oracle="""
+    SELECT p_partkey,
+           round(cume_dist() OVER w, 6)                    AS cd,
+           round(CAST(nth_value(p_retailprice, 2) OVER w2 AS DOUBLE), 2) AS second_price
+    FROM part
+    WINDOW w  AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey),
+           w2 AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Distribution window functions: cume_dist + nth_value over an "
+    "unbounded frame (the 2nd-highest price per brand).",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    w2 = (
+        W.partitionBy("p_brand")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.nth_value("p_retailprice", 2).over(w2), 2).alias("second_price"),
+    )
+
+
+@register(
     "window_ntile_first_last",
     oracle="""
     SELECT c_custkey,
