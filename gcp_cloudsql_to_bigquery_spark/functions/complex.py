@@ -133,6 +133,43 @@ def fn_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_array_advanced",
+    oracle="""
+    SELECT vec_id,
+           round(CAST(e2[3] AS DOUBLE), 6)                    AS third,
+           list_position(sorted_idx, 1)                       AS pos_of_one,
+           len(flat)                                          AS flat_len,
+           round(CAST(list_sum(sliced) AS DOUBLE), 4)         AS slice_sum
+    FROM (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e2,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CASE WHEN x >= 0 THEN 1 ELSE 0 END AS BIGINT)) AS sorted_idx,
+             flatten([CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])]) AS flat,
+             CAST(embedding AS DOUBLE[])[1:8] AS sliced
+      FROM embeddings WHERE vec_id < 50
+    )
+    """,
+    doc="Advanced array ops: element access, array_position, flatten, slice "
+    "+ fold — the vector-column manipulation toolkit.",
+)
+def fn_array_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load as _load
+
+    e = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    emb = F.col("embedding").cast("array<double>")
+    signs = F.transform(emb, lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"))
+    return e.select(
+        "vec_id",
+        F.round(F.element_at(emb, 3), 6).alias("third"),
+        F.array_position(signs, 1).alias("pos_of_one"),
+        F.size(F.flatten(F.array(emb, emb))).alias("flat_len"),
+        F.round(
+            F.aggregate(F.slice(emb, 1, 8), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("slice_sum"),
+    )
+
+
+@register(
     "fn_python_udtf",
     oracle="""
     SELECT doc_id, CAST(n - 1 AS BIGINT) AS chunk_no,

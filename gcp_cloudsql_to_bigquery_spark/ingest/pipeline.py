@@ -45,6 +45,19 @@ def export_table(
     export_date = export_date or _dt.date.today().isoformat()
     data_path = os.path.join(base_dir, "exports", export_date, f"{table}.csv")
     schema_path = os.path.join(base_dir, "schemas", export_date, f"{table}.schema.json")
+    # CSV cannot carry complex types; the reference's five-type system maps
+    # everything unknown to STRING (datatype_to_bq.py fallback) — serialize
+    # array/map/struct columns to JSON text, which round-trips as STRING.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = [
+        F.to_json(f.name).alias(f.name)
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    df = df.select(cols)
     df.write.mode("overwrite").options(header=False, emptyValue='""').csv(data_path)
     os.makedirs(os.path.dirname(schema_path), exist_ok=True)
     import json
