@@ -204,6 +204,78 @@ def fn_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_cte_window",
+    oracle="""
+    WITH seg_spend AS (
+      SELECT c_mktsegment AS seg, c_custkey, round(sum(o_totalprice), 2) AS spend
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_mktsegment, c_custkey
+    ),
+    ranked AS (
+      SELECT seg, c_custkey, spend,
+             rank() OVER (PARTITION BY seg ORDER BY spend DESC, c_custkey) AS rnk
+      FROM seg_spend
+    )
+    SELECT seg, c_custkey, spend, rnk FROM ranked WHERE rnk <= 5
+    """,
+    doc="Pure Spark-SQL form (WITH … CTEs + window) — Catalyst produces the "
+    "same plan as the DataFrame API; top-5 spenders per segment.",
+)
+def sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH seg_spend AS (
+          SELECT c_mktsegment AS seg, c_custkey, round(sum(o_totalprice), 2) AS spend
+          FROM customer JOIN orders ON o_custkey = c_custkey
+          GROUP BY c_mktsegment, c_custkey
+        ),
+        ranked AS (
+          SELECT seg, c_custkey, spend,
+                 rank() OVER (PARTITION BY seg ORDER BY spend DESC, c_custkey) AS rnk
+          FROM seg_spend
+        )
+        SELECT seg, c_custkey, spend, rnk FROM ranked WHERE rnk <= 5
+        """
+    )
+
+
+@register(
+    "fn_map_higher_order",
+    oracle="""
+    SELECT event_id,
+           CAST(map_entries(m2)[1].value AS BIGINT) AS k_doubled,
+           CAST(cardinality(m2) AS INT)             AS n_after_filter
+    FROM (
+      SELECT event_id,
+             map_from_entries(
+               list_transform(
+                 list_filter(map_entries(m), e -> e.value > 10),
+                 e -> {'key': e.key, 'value': e.value * 2})) AS m2
+      FROM (SELECT event_id,
+                   MAP(['k'], [CAST(json_extract_string(props, '$.k') AS BIGINT)]) AS m
+            FROM events WHERE event_id < 300)
+    )
+    """,
+    doc="Map higher-order functions: map_filter + transform_values "
+    "(entries round-trip in the oracle) — typed-metadata manipulation for "
+    "multimodal columns.",
+)
+def fn_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    m = F.create_map(F.lit("k"), F.get_json_object("props", "$.k").cast("bigint"))
+    m2 = F.transform_values(
+        F.map_filter(m, lambda _k, v: v > 10), lambda _k, v: v * 2
+    )
+    return e.select(
+        "event_id",
+        F.element_at(F.map_values(m2), 1).alias("k_doubled"),
+        F.size(m2).alias("n_after_filter"),
+    )
+
+
+@register(
     "fn_pandas_udaf_geomean",
     oracle="""
     SELECT o_orderpriority,

@@ -221,6 +221,91 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_key: str,
+    interval_key: str,
+    point_time: str,
+    start: str,
+    end: str,
+    bucket_width_sec: int,
+) -> DataFrame:
+    """Scalable point-in-interval join: bucketize time into fixed-width
+    buckets, explode each interval over the buckets it spans, equi-join on
+    (key, bucket), then filter exact containment ``start <= t < end``.
+
+    A naive inequality join is a broadcast-nested-loop (quadratic); this
+    form shuffles on (key, bucket) like any equi-join.  Choose the bucket
+    width near the typical interval length: intervals explode into
+    ``len/width + 1`` rows, and each point probes exactly one bucket.
+    """
+    pt = points.withColumn(
+        "_bucket", F.floor(F.col(point_time).cast("timestamp").cast("double") / bucket_width_sec)
+    )
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start).cast("timestamp").cast("double") / bucket_width_sec),
+                F.floor(F.col(end).cast("timestamp").cast("double") / bucket_width_sec),
+            )
+        ),
+    )
+    joined = pt.join(
+        iv,
+        (pt[point_key] == iv[interval_key]) & (pt["_bucket"] == iv["_bucket"]),
+        "inner",
+    )
+    return joined.filter(
+        (pt[point_time] >= iv[start]) & (pt[point_time] < iv[end])
+    ).drop("_bucket")
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+    WITH ship AS (
+      SELECT o_custkey AS custkey, l_shipdate AS ship_ts
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    win AS (
+      SELECT o_custkey AS custkey, max(o_orderkey) AS order_key,
+             o_orderdate AS win_start,
+             o_orderdate + INTERVAL 30 DAY AS win_end
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT order_key, count(*) AS n_ship_in_window
+    FROM win JOIN ship ON win.custkey = ship.custkey
+                      AND ship.ship_ts >= win.win_start
+                      AND ship.ship_ts <  win.win_end
+    GROUP BY order_key
+    """,
+    doc="Point-in-interval join via bucketization: customer shipments falling "
+    "in each 30-day post-order window. Bucket+equi-join+filter shuffles on "
+    "(key, bucket) — the scale-safe form of an inequality join (a naive "
+    "theta join is a nested loop).",
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ship = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"), F.col("l_shipdate").alias("ship_ts")
+    )
+    win = orders.groupBy(
+        F.col("o_custkey").alias("wk"), F.col("o_orderdate").alias("win_start")
+    ).agg(F.max("o_orderkey").alias("order_key")).withColumn(
+        "win_end", F.col("win_start") + F.expr("INTERVAL 30 DAYS")
+    )
+    j = interval_join(
+        ship, win,
+        point_key="custkey", interval_key="wk",
+        point_time="ship_ts", start="win_start", end="win_end",
+        bucket_width_sec=30 * 86400,
+    )
+    return j.groupBy("order_key").agg(F.count(F.lit(1)).alias("n_ship_in_window"))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
