@@ -75,3 +75,14 @@ def test_foreach_batch_sink(spark, tmp_path):
     assert seen, "at least one micro-batch"
     n = spark.read.parquet(out).count()
     assert n == load(spark, SF, "events").count()
+
+
+def test_parquet_compression_codecs(spark, tmp_path):
+    """Sink options: zstd/snappy parquet writes both read back losslessly;
+    codec choice is a write option, not a schema concern."""
+    df = load(spark, SF, "nation")
+    for codec in ("snappy", "zstd"):
+        out = str(tmp_path / f"nation_{codec}")
+        df.write.mode("overwrite").option("compression", codec).parquet(out)
+        back = spark.read.parquet(out)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
