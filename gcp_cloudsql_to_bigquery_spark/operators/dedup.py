@@ -220,6 +220,93 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- near-dup clustering ----------------------------------------------------
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Distributed connected components by min-label propagation.
+
+    ``edges``: (doc_a, doc_b) undirected pairs.  Each node repeatedly takes
+    the min label over itself and its neighbors until fixpoint — O(component
+    diameter) iterations, each one join + hash-agg shuffled on the node id
+    (the standard large-graph CC shape; GraphX/Pregel does the same rounds).
+    Driver only checks the per-round change count — no data is collected.
+    """
+    edges = edges.localCheckpoint()  # materialize once: the edge list is
+    # re-read twice per round; recomputing its (possibly expensive) lineage
+    # each iteration turns O(diameter) rounds into O(diameter × edge-cost)
+    fwd = edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    und = fwd.unionByName(
+        edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy(und.src.alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate the iterative lineage
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "node")
+            .filter(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    WITH RECURSIVE s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.65
+    ),
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    )
+    SELECT src AS doc_id, least(min(dst), src) AS component
+    FROM reach GROUP BY src
+    """,
+    doc="Near-dup clustering: connected components over Jaccard≥0.65 edges "
+    "via iterative min-label propagation (O(diameter) shuffle rounds, "
+    "lineage truncated per round). Oracle computes the same components "
+    "with a recursive-CTE transitive closure.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.65).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components(edges)
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
 # --- SimHash --------------------------------------------------------------
 
 

@@ -68,3 +68,17 @@ def test_anchor_lsh_candidates_subset_of_bruteforce_space(spark):
     out = queries()["ann_anchor_lsh"](spark, SF).collect()
     assert all(r.cosine >= 0.2 for r in out)
     assert all(r.vec_a < r.vec_b for r in out)
+
+
+def test_connected_components_properties(spark):
+    from gcp_cloudsql_to_bigquery_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "doc_a long, doc_b long",
+    )
+    labels = {r.node: r.label for r in connected_components(edges).collect()}
+    assert labels[1] == labels[2] == labels[3] == 1   # chain collapses to min
+    assert labels[10] == labels[11] == 10
+    assert labels[20] == labels[21] == labels[22] == 20  # cycle
+    assert labels[1] != labels[10] != labels[20]
