@@ -215,6 +215,29 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_string_similarity",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id < 100
+    """,
+    doc="Edit-distance similarity (levenshtein on 30-char prefixes of "
+    "adjacent docs) — the fuzzy-matching primitive; quadratic per pair, so "
+    "at scale it runs only on candidate pairs from LSH/blocking.",
+)
+def fn_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", F.substring("text", 1, 30).alias("p"))
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    return (
+        a.filter(F.col("doc_a") < 100)
+        .join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select("doc_a", "doc_b", F.levenshtein("pa", "pb").alias("edit_dist"))
+    )
+
+
+@register(
     "fn_codec_hash",
     oracle="""
     SELECT doc_id,

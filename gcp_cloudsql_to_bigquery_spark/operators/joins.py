@@ -8,9 +8,12 @@ the §2B join surface, Spark-first:
   are broadcast (``F.broadcast``) so fact-table joins never shuffle the
   big side — at 100 TB the lineitem scan streams through map-side hash
   joins with zero exchange for the dimension legs;
-- the as-of join (Spark lacks a native one) is composed from an equi-join
-  on the key + window top-1 on the time condition — one shuffle on the
-  join key, no nested loop.
+- the as-of join (Spark lacks a native one) comes in two compositions:
+  union + last(ignoreNulls) window (linear, the registered ``join_asof``)
+  and equi-join + max(struct) hash-agg (``asof_join`` helper, supports
+  tolerance);
+- non-equi joins are bucketized (``interval_join``) so they shuffle on
+  (key, bucket) instead of planning a nested loop.
 """
 
 from __future__ import annotations
