@@ -57,3 +57,38 @@ def test_metadata_stats_prunes_text_payload(spark):
     scans = inspect.read_schema_columns(df)
     read = {c for cols in scans for c in cols}
     assert "lang" not in read, read
+
+
+def test_q6_filters_pushed_and_pruned(spark):
+    # Q6 is the pushdown benchmark: date/discount/quantity predicates must
+    # reach the parquet reader and the scan must touch only the 4 columns
+    # the query needs.
+    df = queries()["q6_forecast_revenue"](spark, SF)
+    assert inspect.has_pushed_filters(df), "q6 predicates must push to parquet"
+    scans = inspect.read_schema_columns(df)
+    read = set(scans[0])
+    assert read <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, read
+
+
+def test_q10_topk_is_take_ordered(spark):
+    # sort+limit must compile to TakeOrderedAndProject (map-side top-k),
+    # never a global sort — at 100 TB a global sort of the aggregate is a
+    # full exchange; top-k reduces 20 rows per partition.
+    df = queries()["q10_returned_items"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q21_supplier_broadcast_no_extra_smj(spark):
+    # the two per-order aggregates + semi joins shuffle on orderkey;
+    # supplier (the only dim) must be broadcast, never sort-merge joined.
+    df = queries()["q21_waiting_suppliers"](spark, SF)
+    assert inspect.broadcast_join_count(df) >= 1, inspect.physical_plan(df)
+
+
+def test_q17_window_decorrelation_single_shuffle_for_avg(spark):
+    # the correlated avg is a window over l_partkey — there must be no
+    # self-join of lineitem in the plan (one scan of the fact, not two).
+    df = queries()["q17_small_quantity_revenue"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert plan.count("Scan parquet") <= 2, plan  # lineitem + part only
