@@ -49,7 +49,14 @@ def main() -> None:
     from gcp_cloudsql_to_bigquery_spark.workload import queries
 
     spark = get_spark(
-        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        # Scale-matched scan splits: sf0.1 is ~60 MB of parquet total, so the
+        # 128 MB default puts each table in ONE task and leaves 31 cores idle
+        # during scans.  4 MB ≈ input/(2-3x cores) here.  On a real cluster
+        # the default is right — this knob tracks data volume, not CPU count.
+        extra_conf={"spark.sql.files.maxPartitionBytes": "4m"},
     )
     qs = queries()
 

@@ -392,19 +392,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     """,
-    doc="Embedding-cosine near-dup: all pairs ≥ 0.4 cosine via the blocked "
-    "numpy GEMM kernel (similarity.blocked_pairwise_cosine) — one BLAS call "
-    "per block pair instead of an interpreted fold per vector pair. At scale "
-    "the anchor-LSH bucketing runs in front of this dense kernel.",
+    doc="Embedding-cosine near-dup: all pairs ≥ 0.4 cosine via the "
+    "size-adaptive GEMM kernel (similarity.pairwise_cosine) — corpus "
+    "broadcast + zero-shuffle map pass while N·d·8 fits executor memory, "
+    "blocked block-pair GEMM beyond that. At scale the anchor-LSH bucketing "
+    "runs in front of the dense kernel either way.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import blocked_pairwise_cosine
+    from .similarity import pairwise_cosine
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # 4 blocks → 10 block pairs, ~3× replication; at this corpus size each
-    # GEMM is trivial, so fewer/bigger blocks minimize shuffle + worker count
-    return blocked_pairwise_cosine(e, n_blocks=4, threshold=0.4).filter(
-        F.col("cosine") >= 0.4
-    )
+    # 4 blocks → 10 block pairs on the blocked path; the adaptive dispatch
+    # picks the broadcast path whenever the corpus fits under the cap
+    return pairwise_cosine(e, threshold=0.4, n_blocks=4).filter(F.col("cosine") >= 0.4)

@@ -112,6 +112,69 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def broadcast_pairwise_cosine(
+    e: DataFrame, threshold: float, round_to: int = 6
+) -> DataFrame:
+    """All-pairs cosine >= threshold with the CORPUS BROADCAST: one map-side
+    GEMM pass, zero shuffle.
+
+    The whole (id, vector, norm) set is collected once on the driver and
+    broadcast; each input partition multiplies its rows against the corpus
+    matrix and emits pairs (vec_a < vec_b keeps each pair once).  Correct
+    choice whenever N*d*8 bytes fits comfortably in executor memory — the
+    blocked kernel's replication shuffle and B(B+1)/2 worker fan-out are pure
+    overhead at that size.  Same pair semantics and 6dp rounding as
+    ``blocked_pairwise_cosine``, so the two are drop-in interchangeable.
+    """
+    import numpy as np
+
+    pdf = e.select("vec_id", "v").toPandas()
+    ids_c = pdf["vec_id"].to_numpy()
+    mat_c = np.stack(pdf["v"].to_numpy())
+    norms_c = np.linalg.norm(mat_c, axis=1)
+    bc = e.sparkSession.sparkContext.broadcast((ids_c, mat_c.T.copy(), norms_c))
+
+    def gen(batches):
+        ids_corpus, matT, norms = bc.value
+        for b in batches:
+            if b.empty:
+                continue
+            ida = b["vec_id"].to_numpy()
+            mat_a = np.stack(b["v"].to_numpy())
+            na = np.linalg.norm(mat_a, axis=1)
+            cos = np.round((mat_a @ matT) / np.outer(na, norms), round_to)
+            ii, jj = np.where(cos >= threshold)
+            keep = ida[ii] < ids_corpus[jj]
+            ii, jj = ii[keep], jj[keep]
+            yield pd.DataFrame(
+                {"vec_a": ida[ii], "vec_b": ids_corpus[jj], "cosine": cos[ii, jj]}
+            )
+
+    return e.select("vec_id", "v").mapInPandas(
+        gen, schema="vec_a long, vec_b long, cosine double"
+    )
+
+
+def pairwise_cosine(
+    e: DataFrame,
+    threshold: float,
+    n_blocks: int = 16,
+    round_to: int = 6,
+    broadcast_cap_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Size-adaptive all-pairs cosine: broadcast kernel when the corpus fits
+    under ``broadcast_cap_bytes`` (N*d*8), blocked GEMM kernel otherwise —
+    the same decision AQE makes for joins, applied to the vector kernel.
+    The corpus size check is one metadata count + one first-row probe.
+    """
+    n = e.count()
+    dim_row = e.select(F.size("v").alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 0
+    if n * dim * 8 <= broadcast_cap_bytes:
+        return broadcast_pairwise_cosine(e, threshold, round_to)
+    return blocked_pairwise_cosine(e, n_blocks, threshold, round_to)
+
+
 @register(
     "ann_bruteforce_topk",
     oracle="""

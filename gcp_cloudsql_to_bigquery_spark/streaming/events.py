@@ -52,23 +52,40 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_completion(
-    stream_df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+    stream_df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drive a streaming aggregation through a real StreamingQuery with an
     availableNow trigger + memory sink; return the result as a (batch)
-    DataFrame."""
+    DataFrame.
+
+    The stateful shuffle is pinned to ``state_partitions``: the state store
+    creates one HDFS-backed store + delta/commit files PER shuffle partition
+    PER micro-batch, so an oversized setting turns into pure checkpoint-I/O
+    overhead.  (The number is baked into the checkpoint at first start and
+    cannot change on resume, so it is a deliberate parameter, not the
+    session-wide shuffle setting; on a real cluster size it to total state /
+    executor-memory, not to CPU count.)
+    """
     global _MEMSINK_SEQ
     _MEMSINK_SEQ += 1
     name = f"stream_out_{_MEMSINK_SEQ}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

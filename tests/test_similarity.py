@@ -68,3 +68,42 @@ def test_blocked_cosine_matches_direct(spark):
                 float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6
             )
     assert got == want  # every pair exactly once, scores equal
+
+
+def test_broadcast_cosine_matches_blocked(spark):
+    # the adaptive dispatcher's two kernels must be drop-in interchangeable:
+    # identical pair set, identical 6dp scores
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_to_bigquery_spark.operators.similarity import (
+        blocked_pairwise_cosine,
+        broadcast_pairwise_cosine,
+        pairwise_cosine,
+    )
+
+    e = (
+        load(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < 60)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    blocked = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in blocked_pairwise_cosine(e, n_blocks=3, threshold=0.1).collect()
+    }
+    bcast = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in broadcast_pairwise_cosine(e, threshold=0.1).collect()
+    }
+    assert bcast == blocked
+    # tiny corpus → the dispatcher must take the broadcast path and agree
+    adaptive = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in pairwise_cosine(e, threshold=0.1).collect()
+    }
+    assert adaptive == blocked
+    # and an artificially tiny cap must route to the blocked kernel
+    forced = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in pairwise_cosine(e, threshold=0.1, n_blocks=3, broadcast_cap_bytes=1).collect()
+    }
+    assert forced == blocked
