@@ -230,3 +230,29 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sum("l_quantity")
     )
     return df.select("l_returnflag", F.round("O", 2).alias("O"), F.round("F", 2).alias("F"))
+
+
+@register(
+    "agg_hll_sketch_rollup",
+    oracle=None,  # HLL estimates are implementation-defined → rows-only;
+    # estimate-vs-exact tolerance asserted in tests (tests/test_curation.py)
+    doc="Mergeable-sketch rollup (DataSketches HLL): per-nation customer "
+    "sketches built in one pass, then UNIONED up to region level with "
+    "hll_union_agg — re-aggregation without touching the base table again. "
+    "This is THE 100 TB distinct-count pattern: partial sketches are tiny, "
+    "commutative, and shuffle-friendly (bytes per group, not keys per row), "
+    "and a stored sketch answers every coarser-grained rollup later.",
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"))
+        .orderBy("n_regionkey")
+    )

@@ -140,3 +140,41 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows", "n_orders", "null_qty", "min_qty", "max_qty",
         "avg_price", "sd_price", "median_disc", "n_flags",
     )
+
+
+@register(
+    "curation_mix_weighted",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+               THEN substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 1)
+                      NOT IN ('c', 'd', 'e', 'f')
+               ELSE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0', '1', '2', '3')
+          END
+    """,
+    doc="Weighted source mixing: per-source keep rates (even-numbered "
+    "sources 12/16, odd 4/16) via a digest-bucket on (source, doc_id) — "
+    "the data-mixture reweighting step of a training pipeline, done "
+    "deterministically so the mixture is reproducible run-over-run and "
+    "engine-independent (unlike seeded Bernoulli sampling).  Narrow filter, "
+    "no shuffle; rates are exact in expectation and stable under data "
+    "growth because the bucket is keyed, not positional.",
+)
+def curation_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(
+            F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+        1,
+        1,
+    )
+    even_src = F.substring("source", 4, 10).cast("int") % 2 == 0
+    keep = F.when(even_src, ~bucket.isin("c", "d", "e", "f")).otherwise(
+        bucket.isin("0", "1", "2", "3")
+    )
+    return d.filter(keep).select("doc_id", "source")

@@ -116,3 +116,34 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("doc_id", "payload", "media_type").mapInPandas(
         fake_decode_batch, schema=DECODED_SCHEMA
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+           CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+    FROM documents, LATERAL unnest(range(0, CAST(floor(n_chars / 50) AS BIGINT), 4)) AS t(f)
+    WHERE doc_id % 3 = 2
+    """,
+    doc="Frame sampling for video rows: every 4th frame index from a "
+    "metadata-declared frame count (n_frames ~ content_length/50), fanned "
+    "out 1→N with explode(sequence(...)) — the decode work-list a video "
+    "pipeline feeds to its frame extractor.  The payload is carried by "
+    "REFERENCE (doc_id + byte length only) so the blob is never replicated "
+    "per frame — the fan-out that must stay metadata-sized at 100 TB.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = as_media_table(load(spark, sf_dir, "documents"))
+    video = media.filter(F.col("media_type") == "video/mp4")
+    n_frames = (F.col("meta.content_length") / 50).cast("long")
+    frames = F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(4).cast("long"))
+    return (
+        video.filter(n_frames > 0)
+        .select(
+            "doc_id",
+            F.octet_length("payload").cast("long").alias("payload_bytes"),
+            F.explode(frames).alias("frame_no"),
+        )
+        .select("doc_id", "frame_no", "payload_bytes")
+    )

@@ -208,3 +208,89 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     fp = F.md5(norm.cast("binary"))
     return d.select("doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_short"))
+
+
+@register(
+    "text_chunk_overlap",
+    oracle="""
+    SELECT doc_id, CAST(i // 80 AS BIGINT) AS chunk_idx,
+           substr(text, CAST(i AS INT) + 1, 100) AS chunk,
+           CAST(length(substr(text, CAST(i AS INT) + 1, 100)) AS BIGINT) AS chunk_len
+    FROM documents, LATERAL unnest(range(0, length(text), 80)) AS t(i)
+    WHERE doc_id < 200
+    """,
+    doc="Sliding-window chunking: 100-char windows with 20-char overlap "
+    "(stride 80) — the context-window fan-out for pretraining/RAG, where "
+    "overlap preserves cross-boundary context that fixed-width chunking "
+    "(fn_python_udtf) loses.  Pure built-ins: explode(sequence(...)) + "
+    "substring, whole-stage-codegen JVM — a narrow 1→N row transform with "
+    "zero shuffle, so it streams at scan speed over 100 TB.",
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    starts = F.sequence(F.lit(0), F.length("text") - 1, F.lit(80))
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            F.floor(F.col("i") / 80).alias("chunk_idx"),
+            F.substring(F.col("text"), F.col("i") + 1, F.lit(100)).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )
+
+
+# shared Spark/oracle regexes (RE2 and Java dialects agree on this subset:
+# character classes, quantifiers, alternation — no lookaround)
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = "[+]?1-555-[0-9]{4}"
+
+
+@register(
+    "text_pii_redaction",
+    oracle="""
+    SELECT doc_id,
+           substr(
+             regexp_replace(
+               regexp_replace(full_text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+               '[+]?1-555-[0-9]{4}', '<PHONE>', 'g'),
+             1, 80) AS snippet,
+           CAST(len(regexp_extract_all(full_text, '[a-z0-9._]+@[a-z0-9.-]+')) AS BIGINT)
+             AS email_count,
+           CAST(len(regexp_extract_all(full_text, '[+]?1-555-[0-9]{4}')) AS BIGINT)
+             AS phone_count
+    FROM (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text
+               AS full_text
+      FROM documents
+    )
+    """,
+    doc="PII redaction: regexp scrub of emails/phones with per-doc match "
+    "counts — the compliance pass every training corpus needs.  The fixture "
+    "text contains no PII, so a deterministic synthetic email+phone is "
+    "prefixed per doc (identically on both engines) before redaction.  "
+    "Patterns stay in the RE2∩Java regex subset (no lookaround); DuckDB "
+    "regexp_replace needs the 'g' flag where Spark replaces all by default.  "
+    "Narrow per-row transform, zero shuffle, codegen JVM regex at scale.",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    full = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" "),
+        F.col("text"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(full, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.substring(redacted, 1, 80).alias("snippet"),
+        F.size(F.regexp_extract_all(full, F.lit(_EMAIL_RE), 0)).cast("long").alias("email_count"),
+        F.size(F.regexp_extract_all(full, F.lit(_PHONE_RE), 0)).cast("long").alias("phone_count"),
+    )

@@ -107,3 +107,31 @@ def src_csv_schema_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey bigint, p_brand string, p_size bigint, price double"
     ).csv(out)
     return back.filter(F.col("p_size") >= 25)
+
+
+@register(
+    "src_orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(l_extendedprice, 2) AS price
+    FROM lineitem WHERE l_orderkey < 500
+    """,
+    doc="ORC sink → ORC source round-trip: the second columnar format the "
+    "engine speaks natively (warehouse interchange with Hive/Trino stacks). "
+    "Same pushdown/pruning machinery as parquet — predicate and projection "
+    "reach the ORC reader.",
+)
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "lineitem_orc")
+    li.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

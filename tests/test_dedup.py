@@ -82,3 +82,24 @@ def test_connected_components_properties(spark):
     assert labels[10] == labels[11] == 10
     assert labels[20] == labels[21] == labels[22] == 20  # cycle
     assert labels[1] != labels[10] != labels[20]
+
+
+def test_hll_sketch_rollup_estimates_match_exact(spark):
+    # the union-of-sketches region estimate must agree with the exact
+    # distinct count within HLL tolerance (default lgConfigK=12 → ~1.6% rsd),
+    # proving the merge path loses nothing vs re-aggregating the base table
+    exact = {
+        r.n_regionkey: r.n
+        for r in load(spark, SF, "customer")
+        .join(load(spark, SF, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.n_regionkey: r.approx_customers
+        for r in queries()["agg_hll_sketch_rollup"](spark, SF).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
