@@ -256,3 +256,38 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"))
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "agg_incremental_maintenance",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Incremental aggregate maintenance, oracle-proven equal to a full "
+    "recompute: the 'stored' rollup (orders before 1999) and the 'delta' "
+    "batch (1999 onward) are aggregated separately into mergeable partial "
+    "states (count, sum) and combined by re-aggregating the union of "
+    "partials — never re-reading the historical fact.  This is the nightly-"
+    "refresh pattern at 100 TB: the delta scan is incremental, the merge is "
+    "group-count-sized, and any algebraic aggregate (sum/count/min/max, "
+    "avg = sum/count) maintains this way; sketches (HLL, KLL) extend it to "
+    "distinct/quantile.",
+)
+def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("pn"), F.sum("o_totalprice").alias("psum")
+        )
+
+    stored = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        stored.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("pn").alias("n"), F.round(F.sum("psum"), 2).alias("total"))
+    )

@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import load
+from ..registry import register
+
 
 def write_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int, sort_by: str | None = None
@@ -62,3 +65,39 @@ def salted_join(
     small_replicated = small.crossJoin(F.broadcast(salts))
     joined = big_salted.join(small_replicated, [key, "salt"], how)
     return joined.drop("salt")
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT s_name, count(*) AS n_lines,
+           round(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    """,
+    doc="Skew-safe salted equi-join, oracle-proven IDENTICAL to the plain "
+    "join: the big side gets a deterministic per-row salt, the small side is "
+    "replicated x8, and the shuffle key becomes (suppkey, salt) so no single "
+    "reducer owns a hot supplier.  This is the manual fallback for skew "
+    "beyond what AQE's skew-join splitting handles (one key >> a partition); "
+    "the aggregation on top re-shuffles by name only after the skew-safe "
+    "join has reduced the data.  Revenue sums in exact integer ten-"
+    "thousandths so the result is bit-identical regardless of summation "
+    "order (see q9).",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    joined = salted_join(li, supp, key="l_suppkey", n_salts=8)
+    rev10k = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return joined.groupBy("s_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(rev10k) / 10000.0, 2).alias("revenue"),
+    )

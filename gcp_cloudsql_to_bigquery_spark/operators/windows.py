@@ -201,3 +201,70 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("c_acctbal").over(w2), 2).alias("seg_max_bal"),
         F.round(F.last("c_acctbal").over(w2), 2).alias("seg_min_bal"),
     )
+
+
+@register(
+    "ts_gapfill_locf",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t, b,
+           LATERAL unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    agg AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             count(*) AS n, round(sum(value), 2) AS hour_value
+      FROM events GROUP BY event_type, h
+    )
+    SELECT s.event_type, s.h AS bucket, coalesce(a.n, 0) AS n,
+           last_value(a.hour_value IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+    FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.h = s.h
+    """,
+    doc="Time-series gap fill + LOCF (the hypertable/timescale rollup "
+    "pattern): build the dense hour×type spine from the global bounds "
+    "(2-row broadcast) with explode(sequence(...)), left-join the hourly "
+    "aggregate onto it, zero-fill counts, and carry the last observed value "
+    "forward with last(ignoreNulls) per type.  Spine size is buckets×types "
+    "(metadata-sized) regardless of fact volume; the fact is touched once "
+    "for the aggregate and once for the bounds — at 100 TB the bounds scan "
+    "is a min/max over parquet footer stats.",
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+        )
+    )
+    agg = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("hour_value")
+    )
+    joined = spine.join(
+        agg,
+        (spine.event_type == agg.event_type) & (spine.bucket == agg.h),
+        "left",
+    ).select(spine.event_type, "bucket", "n", "hour_value")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("value_locf"),
+    )

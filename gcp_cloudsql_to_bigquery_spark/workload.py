@@ -28,6 +28,7 @@ _OPTIONAL_MODULES = (
     "gcp_cloudsql_to_bigquery_spark.ingest.routing",
     "gcp_cloudsql_to_bigquery_spark.ingest.queries",
     "gcp_cloudsql_to_bigquery_spark.sources.files",
+    "gcp_cloudsql_to_bigquery_spark.operators.scale",
 )
 
 
