@@ -294,3 +294,69 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(full, F.lit(_EMAIL_RE), 0)).cast("long").alias("email_count"),
         F.size(F.regexp_extract_all(full, F.lit(_PHONE_RE), 0)).cast("long").alias("phone_count"),
     )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS cnt FROM tok GROUP BY doc_id, term),
+    dlen AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, round(score, 6) AS tfidf
+    FROM (
+      SELECT t.doc_id, t.term,
+             (CAST(t.cnt AS DOUBLE) / d.n_tok)
+               * ln(CAST(n.n_docs AS DOUBLE) / f.df) AS score,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY (CAST(t.cnt AS DOUBLE) / d.n_tok)
+                          * ln(CAST(n.n_docs AS DOUBLE) / f.df) DESC, t.term
+             ) AS rk
+      FROM tf t
+      JOIN dlen d USING (doc_id)
+      JOIN dfreq f USING (term)
+      CROSS JOIN n
+    )
+    WHERE rk <= 3 AND doc_id < 100
+    """,
+    doc="TF-IDF top-3 terms per document — the classic salient-term scoring "
+    "pass of a text pipeline.  One tokenize fan-out feeds three aggregates "
+    "(term freq per doc, doc length, doc freq per term); doc-freq and the "
+    "corpus count are vocabulary-sized => broadcast back onto the per-doc "
+    "term list, so the only fact-sized shuffles are the two doc-keyed "
+    "aggregates.  Scores are exact ratios of integers (cnt/len, ln(N/df)) — "
+    "bit-identical in both engines, so ranking and 6dp rounding cannot "
+    "diverge; ties broken by term for determinism.",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    dlen = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("cnt").cast("double") / F.col("n_tok")) * F.log(
+        F.col("n_docs").cast("double") / F.col("df")
+    )
+    ranked = (
+        tf.join(dlen, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", score)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+            ),
+        )
+    )
+    return ranked.filter((F.col("rk") <= 3) & (F.col("doc_id") < 100)).select(
+        "doc_id", "term", F.round("score", 6).alias("tfidf")
+    )
