@@ -268,3 +268,117 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.last("hour_value", ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+@register(
+    "ts_gapfill_interpolate",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t, b,
+           LATERAL unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS g(h)
+    ),
+    agg AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(round(sum(value) * 100) AS BIGINT) AS hv_c
+      FROM events GROUP BY event_type, h
+    ),
+    j AS (
+      SELECT s.event_type, s.h AS bucket, a.hv_c,
+             last_value(a.hv_c IGNORE NULLS) OVER w_back AS pv_c,
+             first_value(a.hv_c IGNORE NULLS) OVER w_fwd AS nv_c,
+             last_value(CASE WHEN a.hv_c IS NOT NULL THEN s.h END IGNORE NULLS)
+               OVER w_back AS pt,
+             first_value(CASE WHEN a.hv_c IS NOT NULL THEN s.h END IGNORE NULLS)
+               OVER w_fwd AS nt
+      FROM spine s LEFT JOIN agg a ON a.event_type = s.event_type AND a.h = s.h
+      WINDOW
+        w_back AS (PARTITION BY s.event_type ORDER BY s.h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fwd AS (PARTITION BY s.event_type ORDER BY s.h
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ),
+    k AS (
+      SELECT event_type, bucket, hv_c, pv_c, nv_c,
+             CAST((epoch(bucket) - epoch(pt)) / 3600 AS BIGINT) AS a_h,
+             CAST((epoch(nt) - epoch(pt)) / 3600 AS BIGINT) AS b_h
+      FROM j
+    )
+    SELECT event_type, bucket,
+           CASE
+             WHEN hv_c IS NOT NULL THEN hv_c * 100
+             WHEN pv_c IS NULL THEN nv_c * 100
+             WHEN nv_c IS NULL THEN pv_c * 100
+             ELSE CAST(floor(
+               ((pv_c * (b_h - a_h) + nv_c * a_h) * 200 + b_h)
+                 / CAST(b_h * 2 AS DOUBLE)) AS BIGINT)
+           END / 10000.0 AS value_interp
+    FROM k
+    """,
+    doc="Time-series gap fill with LINEAR interpolation (pairs with the "
+    "LOCF variant): missing buckets get pv + (nv-pv)*frac between the "
+    "previous and next observed hour, edges fall back to nearest-"
+    "observation.  Two mirrored window frames (unbounded-back, unbounded-"
+    "forward) over the same type-keyed partition => one shuffle serves "
+    "all four carried columns.  The interpolation runs entirely in exact "
+    "integer arithmetic — cent-scaled values, hour-counted gaps, half-up "
+    "rounding via (num*200 + b)//(2b) — because a float round at the 4dp "
+    "boundary is engine-divergent: interpolating 2dp values with rational "
+    "fractions lands EXACTLY on x.xxxx5, where Spark (BigDecimal of the "
+    "shortest repr) rounds up and DuckDB (exact binary value) rounds down.",
+)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    bounds = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    types = ev.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+    )
+    agg = ev.groupBy("event_type", "h").agg(
+        F.round(F.sum("value") * 100).cast("long").alias("hv_c")
+    )
+    j = spine.join(
+        agg, (spine.event_type == agg.event_type) & (spine.bucket == agg.h), "left"
+    ).select(spine.event_type, "bucket", "hv_c")
+    w_back = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    w_fwd = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        0, W.unboundedFollowing
+    )
+    obs_t = F.when(F.col("hv_c").isNotNull(), F.col("bucket"))
+    j = (
+        j.withColumn("pv_c", F.last("hv_c", ignorenulls=True).over(w_back))
+        .withColumn("nv_c", F.first("hv_c", ignorenulls=True).over(w_fwd))
+        .withColumn("pt", F.last(obs_t, ignorenulls=True).over(w_back))
+        .withColumn("nt", F.first(obs_t, ignorenulls=True).over(w_fwd))
+        .withColumn(
+            "a_h",
+            ((F.unix_timestamp("bucket") - F.unix_timestamp("pt")) / 3600).cast("long"),
+        )
+        .withColumn(
+            "b_h",
+            ((F.unix_timestamp("nt") - F.unix_timestamp("pt")) / 3600).cast("long"),
+        )
+    )
+    num = F.col("pv_c") * (F.col("b_h") - F.col("a_h")) + F.col("nv_c") * F.col("a_h")
+    scaled = F.floor((num * 200 + F.col("b_h")) / (F.col("b_h") * 2).cast("double")).cast(
+        "long"
+    )
+    interp_scaled = (
+        F.when(F.col("hv_c").isNotNull(), F.col("hv_c") * 100)
+        .when(F.col("pv_c").isNull(), F.col("nv_c") * 100)
+        .when(F.col("nv_c").isNull(), F.col("pv_c") * 100)
+        .otherwise(scaled)
+    )
+    return j.select(
+        "event_type", "bucket", (interp_scaled / 10000.0).alias("value_interp")
+    )
