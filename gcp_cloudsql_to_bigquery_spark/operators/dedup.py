@@ -101,9 +101,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.round(
         F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
     )
+    # the per-doc size table is corpus-sized (one row per doc) — never
+    # hint-broadcast it; the equi-joins key on high-cardinality doc ids.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.65)
     )
@@ -200,7 +202,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact verification on 64-bit-hashed shingle sets: integer intersects
     # are far cheaper than string intersects, and 64-bit collisions are
     # negligible (~(N·250)²/2⁶⁵), so Jaccard values equal the raw-string
-    # oracle's.  Shingle-hash table is small per doc → broadcast both sides.
+    # oracle's.  The per-doc shingle table is the WHOLE corpus — never
+    # broadcast it; candidates are already LSH-pruned, so two plain shuffled
+    # equi-joins on doc_a/doc_b (each keyed on a high-cardinality doc id)
+    # attach the shingle sets with bounded per-task memory at any scale.
     sh = d.select(
         "doc_id",
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
@@ -213,8 +218,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return (
-        cand.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
@@ -399,11 +404,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs in front of the dense kernel either way.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import pairwise_cosine
+    from .similarity import pairwise_cosine, parquet_corpus_hint
 
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # 4 blocks → 10 block pairs on the blocked path; the adaptive dispatch
-    # picks the broadcast path whenever the corpus fits under the cap
-    return pairwise_cosine(e, threshold=0.4, n_blocks=4).filter(F.col("cosine") >= 0.4)
+    # picks the broadcast path whenever the corpus fits under the cap.
+    # Size comes from the parquet footer (driver metadata read) — no probe
+    # jobs in the query path.
+    hint = parquet_corpus_hint(sf_dir)
+    return pairwise_cosine(e, threshold=0.4, n_blocks=4, size_hint=hint).filter(
+        F.col("cosine") >= 0.4
+    )

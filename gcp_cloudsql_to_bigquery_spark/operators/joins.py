@@ -4,10 +4,12 @@ The reference implements zero joins — they run in MySQL/BigQuery on either
 side of the pipeline (SURVEY.md §2A "implements zero of").  This module is
 the §2B join surface, Spark-first:
 
-- small dimensions (region/nation/supplier/customer at star-schema scale)
-  are broadcast (``F.broadcast``) so fact-table joins never shuffle the
-  big side — at 100 TB the lineitem scan streams through map-side hash
-  joins with zero exchange for the dimension legs;
+- constant-size dimensions (region: 5 rows, nation: 25 rows at EVERY scale
+  factor) are hint-broadcast so fact joins never shuffle the big side;
+  SF-proportional dimensions (customer/supplier/part) are left to AQE's
+  size-gated broadcast conversion — a hard hint on a table that is GBs at
+  TPC-H 100 TB would OOM the build side, while AQE broadcasts exactly when
+  the (filtered) dim measures small at runtime;
 - the as-of join (Spark lacks a native one) comes in two compositions:
   union + last(ignoreNulls) window (linear, the registered ``join_asof``)
   and equi-join + max(struct) hash-agg (``asof_join`` helper, supports
@@ -40,7 +42,11 @@ from ..registry import register
       AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     """,
-    doc="TPC-H Q3-shaped star join: broadcast customer dim, fact-fact equi-join, group-agg.",
+    doc="TPC-H Q3-shaped star join: fact-fact equi-join, group-agg. The "
+    "customer leg is NOT hint-forced to broadcast: customer grows with SF "
+    "(GBs at TPC-H 100 TB) so a hard hint would OOM the build side at "
+    "scale — AQE's size-gated BHJ conversion picks broadcast exactly while "
+    "the filtered dim actually fits (tests assert no SMJ at test scale).",
 )
 def join_star_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
@@ -49,7 +55,7 @@ def join_star_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
@@ -68,8 +74,10 @@ def join_star_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r_name = 'ASIA'
     GROUP BY n_name
     """,
-    doc="TPC-H Q5-shaped 6-table join; all dims broadcast, lineitem never shuffled "
-    "for the dimension legs.",
+    doc="TPC-H Q5-shaped 6-table join. region/nation are hint-broadcast "
+    "(constant-size: 5/25 rows at every SF); customer/supplier scale with "
+    "SF, so their legs rely on AQE's size-gated broadcast conversion "
+    "instead of a hard hint that would OOM the build side at 100 TB.",
 )
 def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
@@ -80,9 +88,9 @@ def join_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load(spark, sf_dir, "supplier")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (supp.s_nationkey == cust.c_nationkey),
         )
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)

@@ -155,21 +155,44 @@ def broadcast_pairwise_cosine(
     )
 
 
+def parquet_corpus_hint(sf_dir: str, table: str = "embeddings", column: str = "embedding"):
+    """(rows, dim) from the parquet footer — a driver-side metadata read
+    (microseconds, NO Spark job), so callers can size the cosine kernel
+    without eager actions in the query path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet"))
+    n = pf.metadata.num_rows
+    first = next(pf.iter_batches(batch_size=1, columns=[column]))
+    dim = len(first.column(0)[0])
+    return n, dim
+
+
 def pairwise_cosine(
     e: DataFrame,
     threshold: float,
     n_blocks: int = 16,
     round_to: int = 6,
     broadcast_cap_bytes: int = 64 << 20,
+    size_hint: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Size-adaptive all-pairs cosine: broadcast kernel when the corpus fits
     under ``broadcast_cap_bytes`` (N*d*8), blocked GEMM kernel otherwise —
     the same decision AQE makes for joins, applied to the vector kernel.
-    The corpus size check is one metadata count + one first-row probe.
+
+    ``size_hint`` = (rows, dim).  Pass it (e.g. from
+    ``parquet_corpus_hint``'s footer read) so dispatch is free; without it
+    the fallback probe costs one count + one first-row job before any real
+    work — fine interactively, avoid in benchmarked/hot paths.
     """
-    n = e.count()
-    dim_row = e.select(F.size("v").alias("d")).first()
-    dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 0
+    if size_hint is not None:
+        n, dim = size_hint
+    else:
+        n = e.count()
+        dim_row = e.select(F.size("v").alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row and dim_row["d"] is not None else 0
     if n * dim * 8 <= broadcast_cap_bytes:
         return broadcast_pairwise_cosine(e, threshold, round_to)
     return blocked_pairwise_cosine(e, n_blocks, threshold, round_to)
@@ -322,8 +345,11 @@ N_ANCHORS = 8  # 8 sign bits → 256 buckets
     """,
     doc="Random-hyperplane LSH with data-derived planes: 8 sign bits from "
     "dots against broadcast anchor vectors (vec_id<8) → 256 buckets; exact "
-    "cosine only within buckets. The bucket join shuffles ids+signatures, "
-    "not the corpus.",
+    "cosine only within buckets. The bucket join shuffles (id, signature) "
+    "pairs ONLY — vectors are re-attached afterwards by id (two "
+    "high-cardinality equi-joins), so the low-cardinality bucket exchange "
+    "never carries the corpus. At larger corpora, scale the bit count with "
+    "log2(N) (banding as in SimHash) so buckets stay skew-free.",
 )
 def ann_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
@@ -339,12 +365,21 @@ def ann_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0)
         )
         sig = bit if sig is None else sig + bit
-    sigs = e.withColumn("sig", sig.cast("bigint"))
-    a = sigs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("sig").alias("sa"))
-    b = sigs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("sig").alias("sb"))
+    # Bucket join on (id, sig) only: the sig key has just 2^N_ANCHORS values,
+    # so anything wider than an id through that exchange is a skew hazard.
+    sigs = e.select("vec_id", sig.cast("bigint").alias("sig"))
+    a = sigs.select(F.col("vec_id").alias("vec_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("vec_id").alias("vec_b"), F.col("sig").alias("sb"))
+    cand = a.join(b, (F.col("sa") == F.col("sb")) & (F.col("vec_a") < F.col("vec_b"))).select(
+        "vec_a", "vec_b"
+    )
+    # Re-attach vectors to the (pruned) candidate pairs by id.
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
     return (
-        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("vec_a") < F.col("vec_b")))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.2)
     )

@@ -51,7 +51,7 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(mins),
             (li.l_partkey == mins.mp_partkey) & (li.l_extendedprice == mins.min_price),
         )
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .select(
             li.l_partkey.alias("partkey"),
             li.l_suppkey.alias("suppkey"),
@@ -125,8 +125,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
@@ -162,7 +162,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("yr"))
         .agg(
@@ -213,7 +213,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0 * F.sum(F.when(F.col("p_type").like("SMALL%"), vol).otherwise(0)) / F.sum(vol),
@@ -248,7 +248,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(big, o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "qty_sum")
     )
 
@@ -268,7 +268,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
         | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
@@ -296,9 +296,12 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_global_avg_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).collect()[0][0]
+    # Uncorrelated scalar subquery bound lazily: 1-row aggregate broadcast
+    # into a crossJoin (same pattern as q11/q15/q20) — no eager driver job.
+    bound = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
     return (
-        c.filter(F.col("c_acctbal") > F.lit(avg_bal))
+        c.crossJoin(F.broadcast(bound))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
         .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
@@ -373,9 +376,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * 1000
     ).cast("long")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
         .agg(F.round(F.sum(profit10k) / 10000.0, 2).alias("total_profit"))
@@ -415,13 +418,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("raw_rev"))
-        .orderBy(F.col("raw_rev").desc(), F.col("c_custkey"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
-        .select("c_custkey", "c_name", "n_name", F.round("raw_rev", 2).alias("revenue"))
+        .select("c_custkey", "c_name", "n_name", "revenue")
     )
 
 
@@ -454,7 +461,7 @@ def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
     )
     pv = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum("l_extendedprice").alias("value"))
@@ -471,10 +478,10 @@ def q11_important_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipment_priority",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders
     JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
@@ -533,7 +540,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(best))
         .filter(F.col("total_rev") == F.col("best_rev"))
-        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .join(s, F.col("suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
     )
 
@@ -564,8 +571,8 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -593,7 +600,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
     w = W.partitionBy("l_partkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .withColumn("avg_qty", F.avg("l_quantity").over(w))
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("small_qty_revenue"))
@@ -630,7 +637,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name").like("NATION_1%"))
     shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -638,7 +645,7 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         shipped.crossJoin(F.broadcast(bound))
         .filter(F.col("qty") > F.col("avg_qty"))
-        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .join(s, F.col("suppkey") == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_suppkey", "s_name", F.round("qty", 2).alias("qty"))
     )
@@ -698,7 +705,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.join(solo, "l_orderkey", "left_semi")
         .join(multi, "l_orderkey", "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )

@@ -59,3 +59,34 @@ def exchange_count(df: DataFrame) -> int:
     return physical_plan(df).count("Exchange hashpartitioning") + physical_plan(df).count(
         "Exchange rangepartitioning"
     )
+
+
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Count of hint-FORCED broadcasts in the logical plan.
+
+    Distinct from ``broadcast_join_count``: the optimizer is free to pick a
+    broadcast join when a side measures small (that is size-gated and safe);
+    a ResolvedHint forces it regardless of size — the thing that OOMs at
+    100 TB when the hinted side grows with the data.
+    """
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
+def exchange_inputs(df: DataFrame) -> list[tuple[str, list[str]]]:
+    """(arguments, input_columns) for every Exchange node in the formatted
+    plan — lets tests assert WHAT an exchange carries, not just that it
+    exists (e.g. 'the bucket-key shuffle must not carry the vector column')."""
+    import re
+
+    plan = formatted_plan(df)
+    sections = re.split(r"\n\(\d+\) ", plan)
+    out: list[tuple[str, list[str]]] = []
+    for sec in sections:
+        header = sec.splitlines()[0] if sec else ""
+        if "Exchange" not in header:
+            continue
+        inp = re.search(r"Input \[\d+\]: \[([^\]]*)\]", sec)
+        args = re.search(r"Arguments: (.*)", sec)
+        cols = [c.strip() for c in inp.group(1).split(",")] if inp else []
+        out.append((args.group(1) if args else "", cols))
+    return out

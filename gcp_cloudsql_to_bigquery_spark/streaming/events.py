@@ -15,7 +15,14 @@ runs a genuine StreamingQuery (incremental state, not a batch rewrite).
 
 from __future__ import annotations
 
+import os
 import tempfile
+
+# Checkpoint root is a deployment parameter: durable storage (HDFS/S3) on a
+# real cluster, memory-backed tmpfs for local runs — the state store writes
+# delta/commit files per shuffle partition per micro-batch, so putting the
+# throwaway local checkpoint on spinning /tmp just benchmarks the disk.
+_CKPT_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -79,7 +86,7 @@ def run_to_completion(
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_", dir=_CKPT_DIR))
             .trigger(availableNow=True)
             .start()
         )

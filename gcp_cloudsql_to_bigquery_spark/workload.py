@@ -44,6 +44,80 @@ def _load_optional() -> None:
 
 _load_optional()
 
+# The driver's correctness gate samples a prefix of the registry (round 1 it
+# covered the first 50 of 124).  Order the registry so the queries WITHOUT a
+# driver-green row from round 1 come first — streaming, dedup/ANN, windows,
+# scalar/complex functions, ELT — plus q12 (round 1's one red row, now fixed,
+# which needs a fresh green row).  Queries the round-1 gate already verified
+# sort last; within a bucket the original registration order is kept.
+_GATE_PRIORITY: tuple[str, ...] = (
+    "q12_late_shipment_priority",  # r01 hash-fail (oracle typing) — re-check first
+    "stream_",
+    "dedup_",
+    "ann_",
+    "window_",
+    "ts_gapfill_",
+    "fn_",
+    "sql_cte_window",
+    "elt_",
+    "text_",
+    "multimodal_",
+    "sessionize",
+    "sample_",
+    "profile_",
+    "curation_",
+    "src_",
+    "join_salted_skew",
+    "agg_pivot",
+    "agg_hll",
+    "agg_incremental",
+)
+
+
+# Names with a green row in CORRECTNESS_r01.json — already driver-verified,
+# so they yield their gate slot to the still-unchecked queries.
+_R01_GREEN: frozenset[str] = frozenset(
+    {
+        "agg_approx_count_distinct", "agg_count_distinct", "agg_cube",
+        "agg_grouping_sets", "agg_having", "agg_multi_stats",
+        "agg_percentile_approx", "agg_percentiles", "agg_rollup",
+        "catalog_scan_like_in", "dedup_dropduplicates", "distinct_values",
+        "filter_null_safe_eq", "filter_null_semantics", "join_anti", "join_asof",
+        "join_asof_tolerance", "join_cross", "join_full_outer",
+        "join_interval_bucketed", "join_left_outer", "join_q5_region_revenue",
+        "join_semi", "join_star_q3", "join_theta_range", "projection_cast",
+        "q10_returned_items", "q11_important_inventory", "q13_custdist",
+        "q14_promo_share", "q15_top_supplier", "q16_supplier_part_count",
+        "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive",
+        "q1_pricing_summary", "q20_excess_shippers", "q21_waiting_suppliers",
+        "q22_global_avg_anti", "q2_min_price_supplier", "q4_exists_predicate",
+        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+        "q9_profit_by_nation_year", "set_ops", "set_ops_multiset",
+        "sort_limit_topn", "topk_per_group",
+    }
+)
+
+
+def _gate_rank(name: str) -> int:
+    if name == _GATE_PRIORITY[0]:
+        return 0
+    if name in _R01_GREEN:
+        return len(_GATE_PRIORITY) + 1
+    for i, pat in enumerate(_GATE_PRIORITY):
+        if name == pat or name.startswith(pat):
+            return i
+    return len(_GATE_PRIORITY)
+
+
+def _reorder_registry() -> None:
+    ordered = sorted(registry.REGISTRY.items(), key=lambda kv: _gate_rank(kv[0]))
+    snapshot = dict(ordered)
+    registry.REGISTRY.clear()
+    registry.REGISTRY.update(snapshot)
+
+
+_reorder_registry()
+
 queries = registry.queries
 oracle_sql = registry.oracle_sql
 REGISTRY = registry.REGISTRY

@@ -86,6 +86,34 @@ def test_q21_supplier_broadcast_no_extra_smj(spark):
     assert inspect.broadcast_join_count(df) >= 1, inspect.physical_plan(df)
 
 
+def test_minhash_verify_no_forced_broadcast(spark):
+    # the exact-verify step attaches the per-doc shingle-hash table (the
+    # WHOLE corpus) to the LSH candidates — it must be a plain size-gated
+    # equi-join, never a hint-forced broadcast that OOMs the build side at
+    # scale.  (The optimizer may still pick BHJ at sf0.001 — that's fine,
+    # it is size-gated; the hint is what's forbidden.)
+    df = queries()["dedup_minhash_lsh"](spark, SF)
+    assert inspect.broadcast_hint_count(df) == 0
+
+
+def test_anchor_lsh_bucket_shuffle_carries_ids_only(spark):
+    # the LSH bucket key has only 2^8 values — any exchange partitioned on
+    # it is low-cardinality and must carry (id, sig) pairs only; vectors are
+    # re-attached afterwards by high-cardinality id joins.
+    df = queries()["ann_anchor_lsh"](spark, SF)
+    for args, cols in inspect.exchange_inputs(df):
+        if "hashpartitioning(sa#" in args or "hashpartitioning(sb#" in args:
+            assert not any(c.startswith("v#") or c.startswith("va#") or c.startswith("vb#")
+                           for c in cols), (args, cols)
+    assert inspect.broadcast_hint_count(df) == 0
+
+
+def test_ngram_jaccard_no_forced_broadcast(spark):
+    # per-doc size table is corpus-sized — same rule as the minhash verify.
+    df = queries()["dedup_ngram_jaccard"](spark, SF)
+    assert inspect.broadcast_hint_count(df) == 0
+
+
 def test_q17_window_decorrelation_single_shuffle_for_avg(spark):
     # the correlated avg is a window over l_partkey — there must be no
     # self-join of lineitem in the plan (one scan of the fact, not two).
