@@ -31,6 +31,15 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (spark application id, sf_dir, table) -> resolved scan DataFrame.
+# Resolving a table costs a file listing + footer schema read through py4j
+# (~50-100 ms); a real engine resolves each catalog table ONCE (metastore),
+# not once per query.  DataFrames are immutable plan fragments, so reuse is
+# safe; the application id changes when a context is stopped/recreated, so
+# stale sessions never serve cached entries.
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one named table.  Catalyst pushes filters and prunes
     columns into this parquet scan — the engine-side analog of the reference
@@ -42,13 +51,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so oracles stay value-identical)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(table_path(sf_dir, name))
+        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(table_path(sf_dir, name))
+    _SCAN_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

@@ -244,6 +244,60 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_processing_time_trigger",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="The reference's cron cadence (main.tf:46-56 schedules the pipeline "
+    "every 24 h) mapped to Spark's in-engine analog: a long-running "
+    "StreamingQuery with trigger(processingTime=...) re-polling the source "
+    "on a wall-clock cadence.  Bounded for test determinism: poll progress "
+    "until a micro-batch reports zero new input (source drained), then "
+    "stop — at that point the complete-mode aggregate equals the batch "
+    "GROUP BY, which is the oracle.",
+)
+def stream_processing_time_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    global _MEMSINK_SEQ
+    _MEMSINK_SEQ += 1
+    name = f"stream_out_{_MEMSINK_SEQ}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_", dir=_CKPT_DIR))
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            # drain: the file source lists on every trigger tick; once a
+            # completed batch reports zero new rows the aggregate is final
+            deadline = time.time() + 60
+            drained = False
+            while time.time() < deadline and not drained:
+                time.sleep(0.25)
+                drained = any(
+                    p["numInputRows"] == 0 for p in (q.recentProgress or [])
+                ) and any(p["numInputRows"] > 0 for p in (q.recentProgress or []))
+        finally:
+            q.stop()
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+@register(
     "stream_dedup_watermark",
     oracle="""
     SELECT event_type, count(*) AS n_unique_users

@@ -28,6 +28,7 @@ _OPTIONAL_MODULES = (
     "gcp_cloudsql_to_bigquery_spark.ingest.routing",
     "gcp_cloudsql_to_bigquery_spark.ingest.queries",
     "gcp_cloudsql_to_bigquery_spark.sources.files",
+    "gcp_cloudsql_to_bigquery_spark.sources.jdbc",
     "gcp_cloudsql_to_bigquery_spark.operators.scale",
 )
 
@@ -52,6 +53,7 @@ _load_optional()
 # sort last; within a bucket the original registration order is kept.
 _GATE_PRIORITY: tuple[str, ...] = (
     "q12_late_shipment_priority",  # r01 hash-fail (oracle typing) — re-check first
+    "src_jdbc_roundtrip",  # new in r2: the reference's core JDBC path, now live
     "stream_",
     "dedup_",
     "ann_",

@@ -69,3 +69,19 @@ def test_watermark_drops_late_rows_across_runs(spark, tmp_path):
     # only the closed 08:00 window is emitted; the late row's value (99.0)
     # appears nowhere
     assert results == {8: (1, 1.0)}, results
+
+
+def test_processing_time_trigger_drains_and_stops(spark):
+    # the cron-cadence analog: a processingTime-trigger query must drain the
+    # bounded source, stop cleanly, and equal the batch aggregate
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+    from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+    out = queries()["stream_processing_time_trigger"](spark, "/root/testdata/sf0.001")
+    batch = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+    assert not any(q.isActive for q in spark.streams.active)
