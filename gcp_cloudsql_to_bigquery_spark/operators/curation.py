@@ -178,3 +178,149 @@ def curation_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.isin("0", "1", "2", "3")
     )
     return d.filter(keep).select("doc_id", "source")
+
+
+@register(
+    "curation_pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tok
+               AS tok_before
+      FROM t
+    )
+    SELECT doc_id, n_tok,
+           CAST(floor(tok_before / 2048.0) AS BIGINT) AS pack_id,
+           tok_before % 2048 AS pack_offset
+    FROM c
+    """,
+    doc="Sequence packing: concatenate documents in doc_id order and cut "
+    "2048-token training sequences (documents may straddle a boundary — "
+    "GPT-style concat-and-chunk).  A naive global running sum is a "
+    "single-partition window; implemented instead as the scalable two-level "
+    "prefix sum: (1) per-range token totals (hash agg, ~N/G rows), (2) "
+    "global prefix over the tiny range table, (3) per-range local cumsum + "
+    "range base — every fact-sized window is partitioned, identical result "
+    "by associativity of the prefix sum (the oracle is the naive form).",
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import tokens
+
+    BUDGET = 2048
+    GROUP = 64  # docs per range; at scale pick ~rows/partition
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    )
+    d = d.withColumn("grp", (F.col("doc_id") / GROUP).cast("bigint"))
+    # (1) per-range totals: small aggregate, one shuffle of partials
+    totals = d.groupBy("grp").agg(F.sum("n_tok").alias("grp_tok"))
+    # (2) exclusive prefix over the range table (tiny: N/GROUP rows)
+    wg = W.orderBy("grp").rowsBetween(W.unboundedPreceding, 0)
+    bases = totals.withColumn("grp_base", F.sum("grp_tok").over(wg) - F.col("grp_tok")).select(
+        "grp", "grp_base"
+    )
+    # (3) local exclusive cumsum within each range + broadcast range base
+    wl = W.partitionBy("grp").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    packed = (
+        d.join(F.broadcast(bases), "grp")
+        .withColumn("tok_before", F.col("grp_base") + F.sum("n_tok").over(wl) - F.col("n_tok"))
+    )
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        F.floor(F.col("tok_before") / BUDGET).alias("pack_id"),
+        (F.col("tok_before") % BUDGET).alias("pack_offset"),
+    )
+
+
+@register(
+    "curation_quality_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CASE WHEN n_chars >= 400 THEN 3 WHEN n_chars >= 200 THEN 2 ELSE 1 END AS tier
+    FROM documents
+    WHERE CASE WHEN n_chars >= 400 THEN TRUE
+               WHEN n_chars >= 200 THEN substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7')
+               ELSE substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1')
+          END
+    """,
+    doc="Quality-weighted downsampling: keep rate rises with a quality tier "
+    "(here length-based: 100% / 50% / 12.5%) via a keyed digest bucket — "
+    "deterministic, engine-independent, reproducible across reruns and "
+    "data growth (the curriculum/quality-mixing step of a training "
+    "pipeline).  Narrow filter, zero shuffle.",
+)
+def curation_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tier = (
+        F.when(F.col("n_chars") >= 400, 3).when(F.col("n_chars") >= 200, 2).otherwise(1)
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("q:"), F.col("doc_id").cast("string")).cast("binary")), 1, 1
+    )
+    keep = (
+        F.when(tier == 3, F.lit(True))
+        .when(tier == 2, bucket.isin(*"01234567"))
+        .otherwise(bucket.isin("0", "1"))
+    )
+    return d.filter(keep).select("doc_id", "n_chars", tier.alias("tier"))
+
+
+@register(
+    "curation_source_overlap",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             list_distinct(flatten(list(list_transform(
+               range(1, greatest(length(text)-1, 2)), i -> substr(text, i, 3))))) AS sh
+      FROM documents GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.source < b.source
+    """,
+    doc="Cross-source overlap matrix: exact char-3-gram-shingle Jaccard "
+    "between every pair of sources — the corpus-contamination / source-"
+    "redundancy audit of a data-mixing pipeline.  Spark side is an "
+    "inverted-index shape: distinct (source, shingle) pairs (one shuffle), "
+    "self-join on shingle to count intersections, per-source sizes joined "
+    "back; no per-pair list materialization, so it distributes over "
+    "arbitrary corpus size (sources ≪ shingles).",
+)
+def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import with_shingles
+
+    d = with_shingles(load(spark, sf_dir, "documents"))
+    ss = (
+        d.select("source", F.explode("shingles").alias("sh"))
+        .distinct()  # (source, shingle) membership
+    )
+    sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = ss.select(F.col("source").alias("source_a"), "sh")
+    b = ss.select(F.col("source").alias("source_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -383,3 +383,106 @@ def ann_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.2)
     )
+
+
+def kmeans_train(e: DataFrame, k: int = 16, iters: int = 3):
+    """Distributed Lloyd's k-means over an embedding column (the offline
+    centroid-training step the IVF docstring defers to).
+
+    Deterministic init (first k vectors by vec_id).  Per iteration:
+
+    - **assign**: broadcast the k×d centroid matrix, one ``pandas_udf``
+      argmin pass over the corpus (numpy GEMM — no shuffle);
+    - **recompute**: ``posexplode`` the vectors to (cell, dim, val), one
+      partial-aggregated shuffle of k·d running means, collect k·d doubles
+      to the driver (centroids, never data rows).
+
+    Driver holds only centroids — the classic scalable k-means shape
+    (Spark MLlib's KMeans does the same rounds with the same broadcast).
+    Returns (unit-normalized centroid ndarray, assigned DataFrame).
+    """
+    import numpy as np
+
+    init = sorted(
+        (r["vec_id"], np.asarray(r["v"]))
+        for r in e.orderBy("vec_id").limit(k).collect()
+    )
+    cent = np.stack([v for _, v in init])
+    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    sc = e.sparkSession.sparkContext
+
+    def assign(centroids):
+        bc = sc.broadcast(centroids)
+
+        @F.pandas_udf("int")
+        def nearest(vs: pd.Series) -> pd.Series:
+            m = np.stack(vs.to_numpy())
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+
+        return e.withColumn("cell", nearest("v"))
+
+    for _ in range(iters):
+        means = (
+            assign(cent)
+            .select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cent.copy()  # empty cells keep their centroid
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
+        for c, dims in by_cell.items():
+            vec = np.array([dims[i] for i in range(len(dims))])
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[c] = vec / n
+        cent = new
+    # assignment under the FINAL centroids (one extra narrow pass)
+    return cent, assign(cent)
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=None,  # probe-limited search over trained cells is approximate by
+    # design; recall vs brute force asserted in tests/test_similarity.py
+    doc="IVF with TRAINED centroids: 3 distributed Lloyd's iterations "
+    "(kmeans_train — broadcast-centroid argmin assignment + partial-agg "
+    "mean recompute, driver sees only k*d doubles per round), then the "
+    "probe search of ann_ivf_topk over the learned cells (4 of 16 probed). "
+    "Balanced trained cells beat the arbitrary-anchor cells: fewer empty "
+    "cells, tighter candidate sets at equal recall.",
+)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    N_CELLS, N_PROBE, K = 16, 4, 5
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent_unit, assigned = kmeans_train(e, k=N_CELLS, iters=3)
+    queries_df = assigned.filter(F.col("vec_id") < 10).collect()
+    q_ids = np.array([r["vec_id"] for r in queries_df])
+    q_mat = np.stack([np.asarray(r["v"]) for r in queries_df])
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probe_cells = np.argsort(-(q_unit @ cent_unit.T), axis=1)[:, :N_PROBE]
+    probes = spark.createDataFrame(
+        [
+            (int(q_ids[i]), [float(x) for x in q_mat[i]], int(c))
+            for i in range(len(q_ids))
+            for c in probe_cells[i]
+        ],
+        "query_id long, qv array<double>, cell int",
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= K)

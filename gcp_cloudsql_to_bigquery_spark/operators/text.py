@@ -360,3 +360,55 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter((F.col("rk") <= 3) & (F.col("doc_id") < 100)).select(
         "doc_id", "term", F.round("score", 6).alias("tfidf")
     )
+
+
+@register(
+    "text_contamination_ngram",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(lower(text), ' ')) - 3),
+               i -> list_aggregate(string_split(lower(text), ' ')[i:i+4],
+                                   'string_agg', ' '))) AS sh
+      FROM documents
+    )
+    SELECT b.doc_id AS train_doc, a.doc_id AS eval_doc,
+           len(list_intersect(a.sh, b.sh)) AS n_shared
+    FROM s a JOIN s b ON a.doc_id < 50 AND b.doc_id >= 50
+    WHERE len(list_intersect(a.sh, b.sh)) >= 5
+    """,
+    doc="Benchmark-contamination scan: flag training documents (doc_id>=50) "
+    "sharing >=5 distinct word-5-grams with any eval document (doc_id<50) — "
+    "the train/test leakage audit every pretraining pipeline needs.  "
+    "Inverted-index shape: explode distinct 5-grams, equi-join eval x train "
+    "on the n-gram key (shuffles (ngram, id) pairs, never documents), count "
+    "per pair.  The 5-gram key is high-cardinality, so the join distributes; "
+    "at 100 TB the eval side is small => broadcast it and the scan is one "
+    "narrow pass over training shingles.",
+)
+def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    EVAL_MAX = 50
+    THRESHOLD = 5
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 5),
+            lambda i: F.array_join(F.slice(toks, i + 1, 5), " "),
+        )
+    )
+    exploded = d.select("doc_id", F.explode(grams).alias("g"))
+    ev = exploded.filter(F.col("doc_id") < EVAL_MAX).select(
+        F.col("doc_id").alias("eval_doc"), "g"
+    )
+    tr = exploded.filter(F.col("doc_id") >= EVAL_MAX).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    # eval set is small by construction -> broadcast the eval n-gram index
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= THRESHOLD)
+    )

@@ -107,3 +107,55 @@ def test_broadcast_cosine_matches_blocked(spark):
         for r in pairwise_cosine(e, threshold=0.1, n_blocks=3, broadcast_cap_bytes=1).collect()
     }
     assert forced == blocked
+
+
+def test_kmeans_assignment_is_nearest_centroid(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+    from gcp_cloudsql_to_bigquery_spark.operators.similarity import kmeans_train
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent, assigned = kmeans_train(e, k=8, iters=2)
+    rows = assigned.collect()
+    m = np.stack([np.asarray(r["v"]) for r in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    want = np.argmax(m @ cent.T, axis=1)
+    got = np.array([r["cell"] for r in rows])
+    assert (want == got).all()
+
+
+def test_kmeans_objective_improves_over_init(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+    from gcp_cloudsql_to_bigquery_spark.operators.similarity import kmeans_train
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = e.collect()
+    m = np.stack([np.asarray(r["v"]) for r in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+
+    def objective(c):
+        return float(np.max(m @ c.T, axis=1).mean())  # mean best-cosine
+
+    # iters=1 vs iters=3: more Lloyd rounds must not degrade the objective
+    c1, _ = kmeans_train(e, k=8, iters=1)
+    c3, _ = kmeans_train(e, k=8, iters=3)
+    assert objective(c3) >= objective(c1) - 1e-9
+
+
+def test_kmeans_ivf_recall_vs_bruteforce(spark):
+    brute = _topk_sets(queries()["ann_bruteforce_topk"](spark, SF).collect())
+    ivf = _topk_sets(queries()["ann_ivf_kmeans_topk"](spark, SF).collect())
+    assert set(ivf) == set(brute)
+    recalls = []
+    for q, bt in brute.items():
+        b_ids = {n for n, _ in bt}
+        i_ids = {n for n, _ in ivf[q]}
+        recalls.append(len(b_ids & i_ids) / len(b_ids))
+    assert sum(recalls) / len(recalls) >= 0.5
