@@ -417,3 +417,76 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_cosine(e, threshold=0.4, n_blocks=4, size_hint=hint).filter(
         F.col("cosine") >= 0.4
     )
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    edges AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.65
+    ),
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges
+      UNION SELECT doc_b, doc_a FROM edges
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM und
+      UNION
+      SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+    ),
+    labels AS (
+      SELECT src AS doc_id, least(min(dst), src) AS component
+      FROM reach GROUP BY src
+    ),
+    members AS (
+      SELECT d.doc_id, d.n_chars, coalesce(l.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT component, doc_id, n_chars,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY component) AS n_members
+      FROM members
+    )
+    SELECT component, doc_id AS keeper, n_chars AS keeper_chars, n_members
+    FROM ranked WHERE rn = 1
+    """,
+    doc="End-to-end dedup composition: near-dup clusters (connected "
+    "components over Jaccard>=0.65 edges) -> keep ONE representative per "
+    "cluster, chosen by quality (longest doc, doc_id tie-break); isolated "
+    "documents are their own singleton cluster via the left join.  This is "
+    "the 'which copy survives' step every dedup pipeline ends with — one "
+    "window over components after the CC rounds, everything keyed on "
+    "high-cardinality ids.  (The recursive-CTE oracle's transitive closure "
+    "blows up on sf0.1's large components — oracle-verified at sf<=0.01, "
+    "same policy as dedup_connected_components; the Spark side is the "
+    "O(diameter)-rounds CC that scales.)",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    edges = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.65).select(
+        "doc_a", "doc_b"
+    )
+    labels = connected_components(edges).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = d.join(labels, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", "doc_id")
+    )
+    w = W.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    ranked = members.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(W.partitionBy("component"))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("keeper"),
+        F.col("n_chars").alias("keeper_chars"),
+        "n_members",
+    )

@@ -486,3 +486,53 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= K)
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM v
+    )
+    SELECT vec_id,
+           CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_micro,
+           list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT)) AS q,
+           CAST(floor(list_max(list_transform(v,
+                 x -> abs(x - floor(x / scale * 127 + 0.5) * scale / 127)))
+                 * 1e6 + 0.5) AS BIGINT) AS err_micro
+    FROM s
+    """,
+    doc="Int8 embedding quantization (max-abs per-vector scaling): q_i = "
+    "round(x_i/scale*127), plus the reconstruction-error audit column — the "
+    "4x storage/bandwidth compression step before an ANN index is shipped.  "
+    "All rounding is floor(y+0.5) and the float outputs are reported as "
+    "integer microunits on BOTH sides (identical doubles -> identical "
+    "floor), avoiding the Spark-HALF_UP vs DuckDB-exact-binary round() "
+    "divergence on .5 boundaries.  Narrow per-row transform, zero shuffle.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scale = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    s = e.withColumn("scale", scale)
+    quant = F.transform("v", lambda x: F.floor(x / F.col("scale") * 127 + 0.5).cast("int"))
+    err = F.array_max(
+        F.transform(
+            "v",
+            lambda x: F.abs(
+                x - F.floor(x / F.col("scale") * 127 + 0.5) * F.col("scale") / 127
+            ),
+        )
+    )
+    return s.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e6 + 0.5).alias("scale_micro"),
+        quant.alias("q"),
+        F.floor(err * 1e6 + 0.5).alias("err_micro"),
+    )

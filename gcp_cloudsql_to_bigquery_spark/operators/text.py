@@ -412,3 +412,90 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= THRESHOLD)
     )
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+                            i -> list_aggregate(string_split(lower(text), ' ')[i:i+2],
+                                                'string_agg', ' ')) AS grams
+      FROM documents
+    )
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+             AS dup_fraction,
+           (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) > 0.2
+             AS flagged
+    FROM g
+    """,
+    doc="Within-document repetition filter (the Gopher-style repetition "
+    "rule adapted to unstructured text): fraction of duplicate word "
+    "3-grams per document; docs above 20% duplication get flagged.  Pure "
+    "narrow codegen expressions — per-row arrays, no shuffle.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+    )
+    dup = 1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+    return d.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.round(dup, 6).alias("dup_fraction"),
+        (dup > 0.2).alias("flagged"),
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    freq AS (
+      SELECT w, count(*) AS c FROM tok GROUP BY w
+    ),
+    total AS (SELECT sum(c) AS n FROM freq)
+    SELECT doc_id,
+           round(list_sum(list_sort(list(ln(CAST(c AS DOUBLE) / n))))
+                 / count(*), 4) AS mean_logprob
+    FROM tok, freq, total
+    WHERE tok.w = freq.w
+    GROUP BY doc_id
+    """,
+    doc="Unigram language-model scoring: corpus unigram frequencies "
+    "(vocabulary-sized -> broadcast), each document scored by its mean "
+    "token log-probability — the cheap perplexity proxy used for quality "
+    "filtering at corpus scale.  Per-token logprobs are SORTED before "
+    "summing on BOTH sides so the float accumulation order is identical "
+    "across engines (see oracle-parity notes on fold order).",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("c").cast("double") / F.col("n")).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.collect_list("lp")), F.lit(0.0), lambda a, x: a + x
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_logprob")
+        )
+    )

@@ -314,3 +314,50 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_users"))
     out = run_to_completion(agg, spark)
     return out
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    WITH profile AS (
+      SELECT user_id,
+             CAST(floor(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) * 100.0
+                        / count(*) + 0.5) AS BIGINT) AS avg_value_x10k,
+             count(*) AS n_hist
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           p.avg_value_x10k, p.n_hist
+    FROM events e JOIN profile p ON p.user_id = e.user_id
+    """,
+    doc="Stream-static join: the live event stream enriched with a static "
+    "per-user profile table (batch aggregate at rest) — the reference "
+    "lookup/enrichment every streaming pipeline needs.  Stateless on the "
+    "stream side (no watermark required for stream-static inner joins); "
+    "the static side is just a DataFrame, re-resolved per micro-batch.  At "
+    "scale the profile is a broadcast or bucketed dim; the stream never "
+    "buffers.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    ev = read_events_stream(spark, sf_dir)
+    # profile average in exact integer cents (value is 2dp): integer sums
+    # are accumulation-order independent, so the 4dp mean is bit-identical
+    # across engines (see oracle-parity notes — a double avg diverges in
+    # the last rounded digit once a user has enough events)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    profile = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.floor(F.sum(cents) * 100.0 / F.count(F.lit(1)) + 0.5)
+            .cast("bigint")
+            .alias("avg_value_x10k"),
+            F.count(F.lit(1)).alias("n_hist"),
+        )
+    )
+    joined = ev.join(profile, "user_id").select(
+        "event_id", "user_id", "event_type", "avg_value_x10k", "n_hist"
+    )
+    return run_to_completion(joined, spark, output_mode="append")

@@ -57,6 +57,7 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "stream_",
     "dedup_",
     "ann_",
+    "embedding_",
     "window_",
     "ts_gapfill_",
     "fn_",

@@ -114,6 +114,24 @@ def test_ngram_jaccard_no_forced_broadcast(spark):
     assert inspect.broadcast_hint_count(df) == 0
 
 
+def test_q1_aggregation_is_partial_before_shuffle(spark):
+    # map-side combine: the plan must carry partial_* aggregate functions
+    # below the exchange — at 100 TB the shuffle moves per-group partials,
+    # never raw rows
+    df = queries()["q1_pricing_summary"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "partial_sum" in plan or "partial_avg" in plan, plan
+
+
+def test_pack_sequences_fact_window_is_partitioned(spark):
+    # the two-level prefix sum: the fact-sized running sum must be
+    # partitioned on the range key (hashpartitioning(grp...)); the only
+    # single-partition window is over the tiny per-range totals table
+    df = queries()["curation_pack_sequences"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "hashpartitioning(grp" in plan, plan
+
+
 def test_q17_window_decorrelation_single_shuffle_for_avg(spark):
     # the correlated avg is a window over l_partkey — there must be no
     # self-join of lineitem in the plan (one scan of the fact, not two).
