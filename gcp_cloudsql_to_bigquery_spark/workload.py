@@ -56,13 +56,13 @@ _GATE_PRIORITY: tuple[str, ...] = (
     "src_jdbc_roundtrip",  # new in r2: the reference's core JDBC path, now live
     "stream_",
     "dedup_",
-    "ann_",
-    "embedding_",
     "window_",
     "ts_gapfill_",
     "fn_",
     "sql_cte_window",
     "elt_",
+    "ann_",
+    "embedding_",
     "text_",
     "multimodal_",
     "sessionize",
@@ -101,10 +101,21 @@ _R01_GREEN: frozenset[str] = frozenset(
 )
 
 
+# Correct but oracle-expensive: their DuckDB transitive-closure oracles cost
+# ~120 s EACH at sf0.01 (the Spark side is fast — the closure is the cost).
+# Rank them after every cheap unchecked query so a time-boxed gate spends
+# its budget on breadth first.
+_GATE_EXPENSIVE: frozenset[str] = frozenset(
+    {"dedup_connected_components", "dedup_cluster_representatives"}
+)
+
+
 def _gate_rank(name: str) -> int:
     if name == _GATE_PRIORITY[0]:
         return 0
     if name in _R01_GREEN:
+        return len(_GATE_PRIORITY) + 2
+    if name in _GATE_EXPENSIVE:
         return len(_GATE_PRIORITY) + 1
     for i, pat in enumerate(_GATE_PRIORITY):
         if name == pat or name.startswith(pat):
