@@ -1,0 +1,135 @@
+"""Event/behavioral analytics operators: histograms, funnels, retention.
+
+§2B widening (the reference delegates all analytics to BigQuery — SURVEY.md
+§2A "implements zero of"): the three query shapes every event warehouse
+runs daily, each expressed so the plan scales:
+
+- histogram: one pass of partial counts over bucket ids (no sort);
+- funnel: per-user conditional minima in ONE shuffle (no self-joins —
+  the n-step funnel is n conditional aggregates over the same grouping);
+- retention: week-bucketed distinct activity self-joined on (user, week+1)
+  — keyed on high-cardinality (user, week), partial-agged before shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "analytics_value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 2) AS lo,
+           round(max(value), 2) AS hi
+    FROM events
+    GROUP BY bucket
+    """,
+    doc="Equi-width histogram of event values (width 25): bucket-id "
+    "grouping is a single partial-agged shuffle of ~n_buckets rows — the "
+    "scalable histogram shape (no sort, no percentile state). Data-QA "
+    "companion to profile_table.",
+)
+def analytics_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.floor(F.col("value") / 25.0).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+@register(
+    "analytics_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      count(*) AS n_users,
+      CAST(sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+      CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+      CAST(sum(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                         AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+    FROM per_user
+    """,
+    doc="Ordered 3-step funnel (view -> click -> purchase, strictly "
+    "increasing first-touch times): n conditional minima in ONE per-user "
+    "aggregate, then one global rollup — no event self-joins, so the cost "
+    "is a single user-keyed shuffle regardless of funnel depth.",
+)
+def analytics_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+
+    def first(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first("view").alias("first_view"),
+        first("click").alias("first_click"),
+        first("purchase").alias("first_purchase"),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    purchased = clicked & (F.col("first_purchase") > F.col("first_click"))
+    as_cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        as_cnt(viewed).alias("viewed"),
+        as_cnt(clicked).alias("clicked_after_view"),
+        as_cnt(purchased).alias("purchased_after_click"),
+    )
+
+
+@register(
+    "analytics_weekly_retention",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800.0) AS BIGINT) AS wk
+      FROM events
+    )
+    SELECT a.wk,
+           count(*) AS active,
+           CAST(sum(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS retained_next_week
+    FROM act a LEFT JOIN act b ON b.user_id = a.user_id AND b.wk = a.wk + 1
+    GROUP BY a.wk
+    """,
+    doc="Week-over-week retention: distinct (user, epoch-week) activity, "
+    "left-joined to itself on (user, week+1), counted per cohort week.  "
+    "Both join sides share the (user_id, wk) key — partial-agged distinct "
+    "before the shuffle, equi-join on a high-cardinality composite key; at "
+    "100 TB this is two shuffles of the DISTINCT table, never of raw "
+    "events.",
+)
+def analytics_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    act = e.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 604800.0).cast("bigint").alias("wk"),
+    ).distinct()
+    nxt = act.select(F.col("user_id").alias("u2"), (F.col("wk") - 1).alias("wk_prev"))
+    joined = act.join(
+        nxt, (act.user_id == nxt.u2) & (act.wk == nxt.wk_prev), "left"
+    )
+    return joined.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum(F.when(F.col("u2").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("retained_next_week"),
+    )

@@ -23,6 +23,7 @@ _OPTIONAL_MODULES = (
     "gcp_cloudsql_to_bigquery_spark.operators.text",
     "gcp_cloudsql_to_bigquery_spark.operators.multimodal",
     "gcp_cloudsql_to_bigquery_spark.operators.curation",
+    "gcp_cloudsql_to_bigquery_spark.operators.analytics",
     "gcp_cloudsql_to_bigquery_spark.streaming.events",
     "gcp_cloudsql_to_bigquery_spark.streaming.stateful",
     "gcp_cloudsql_to_bigquery_spark.ingest.routing",
