@@ -343,12 +343,51 @@ def simhash64(token_lists: pd.Series) -> pd.Series:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # Pandas-UDF hash; verified structurally in tests/test_dedup.py
+    # Full oracle (upgraded from rows-only in r2): DuckDB rebuilds the exact
+    # md5-bit SimHash — CAST('0x'||substr(md5(t),1,16) AS UBIGINT) equals
+    # int.from_bytes(hashlib.md5(t).digest()[:8], 'big') bit-for-bit, bit j
+    # of the signature is unpackbits position j = (u >> (63-j)) & 1, and the
+    # signed 64-bit packing is the two's-complement sum (bit 63 enters as
+    # -2^63).  Exact-integer arithmetic throughout (HUGEINT sums; ** returns
+    # DOUBLE in DuckDB and silently drops low bits — never use it here).
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+    ),
+    h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(t), 1, 16) AS UBIGINT) AS u FROM tok
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             sum(CASE WHEN (u >> (63 - j)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM h CROSS JOIN unnest(range(0, 64)) AS r(j)
+      GROUP BY doc_id, j
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN acc > 0 THEN
+                   CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+                        ELSE CAST(CAST(1 AS BIGINT) << CAST(j AS INT) AS HUGEINT) END
+                 ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS sim
+      FROM bits GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, sim, j AS band, (sim >> CAST(16*j AS INT)) & 65535 AS val
+      FROM sig CROSS JOIN unnest(range(0, 4)) AS r(j)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sim, b.sim)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 12
+    """,
     doc="SimHash near-dup: 64-bit signature per doc (vectorized Pandas UDF), "
     "candidates via 16-bit band equality (4 bands ⇒ catches Hamming ≤ 3 "
     "always, most ≤ 12), verified with bit_count(a XOR b) ≤ 12. "
     "Signature step is narrow (no shuffle); candidate join shuffles only "
-    "(band, value) pairs.",
+    "(band, value) pairs.  Oracle rebuilds the md5-bit signature exactly "
+    "in SQL, so this checks hash values, banding, and Hamming verify "
+    "end-to-end.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
