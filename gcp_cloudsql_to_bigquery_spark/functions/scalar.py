@@ -103,7 +103,7 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(ln(l_extendedprice), 6)           AS lnp,
            round(log10(l_extendedprice), 6)        AS lgp,
            CAST(l_quantity AS BIGINT) % 7          AS qmod,
-           sign(l_discount - 0.05)                 AS sgn,
+           CAST(sign(l_discount - 0.05) AS INT)    AS sgn,
            round(exp(l_discount), 6)               AS ex
     FROM lineitem
     WHERE l_orderkey <= 200
@@ -124,7 +124,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(price), 6).alias("lnp"),
         F.round(F.log10(price), 6).alias("lgp"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qmod"),
-        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        # DuckDB sign() yields an integer, Spark signum() a DOUBLE; cast both
+        # sides to INT so the value-hash compares the same stringification.
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("sgn"),
         F.round(F.exp("l_discount"), 6).alias("ex"),
     )
 
