@@ -40,15 +40,49 @@ def table_path(sf_dir: str, name: str) -> str:
 _SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+def events_physical_schema(spark: SparkSession, sf_dir: str):
+    """Resolve the events table's PHYSICAL schema from the parquet footer.
+
+    The testdata generator has shipped ``ts`` as TIMESTAMP(NANOS) (readable
+    only as int64 under ``nanosAsLong``) and as plain ``timestamp[us]``
+    (read as TIMESTAMP_NTZ) in different rounds.  A real engine resolves
+    physical layout from file metadata, never from assumptions baked into
+    two call sites — this function is the single source of truth for both
+    the batch scan and the streaming reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(table_path(sf_dir, "events")).schema
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Convert ``ts`` to a session-TZ TimestampType regardless of the
+    physical parquet encoding:
+
+    - int64 (TIMESTAMP(NANOS) under ``nanosAsLong``): nanos -> micros
+      (truncation — matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast, so
+      oracles stay value-identical)
+    - TIMESTAMP_NTZ (``timestamp[us]`` with isAdjustedToUTC=false): cast
+      to TIMESTAMP; the session TZ is pinned to UTC (session.py) so the
+      instant is unchanged
+    - already TIMESTAMP: pass through
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, T.TimestampType):
+        return df
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one named table.  Catalyst pushes filters and prunes
     columns into this parquet scan — the engine-side analog of the reference
     pushing WHERE/column selection into MySQL (SURVEY.md §4).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long and convert to a microsecond
-    timestamp (truncation — matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast,
-    so oracles stay value-identical)."""
+    ``events.ts`` physical encoding varies by generator version; see
+    :func:`normalize_events_ts`."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
@@ -56,11 +90,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(table_path(sf_dir, name))
-        df = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     _SCAN_CACHE[key] = df

@@ -56,10 +56,30 @@ def elt_table_list_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "elt_file_router",
-    oracle=None,  # routes a freshly-written temp layout; path-dependent → rows-only
+    oracle="""
+    WITH listing(path) AS (
+      VALUES ('exports/2026-08-13/nation.csv'),
+             ('exports/2026-08-13/region.csv'),
+             ('schemas/2026-08-13/nation.schema.json'),
+             ('schemas/2026-08-13/region.schema.json')
+    )
+    SELECT path,
+           CASE WHEN path LIKE '%.csv' THEN 'data'
+                WHEN path LIKE '%.schema' OR path LIKE '%.schema.json'
+                  THEN 'schema'
+                ELSE 'ignore' END AS kind,
+           regexp_extract(path,
+             '([^/]+?)(?:\\.schema)?(?:\\.json|\\.csv|\\.schema)$', 1)
+             AS "table"
+    FROM listing ORDER BY path
+    """,
     doc="Ops #13/#19 live: export two tables through the pipeline layout, "
     "then route the resulting directory by suffix and recover table names "
-    "from paths — the csv-cleaner/bq-importer dispatch as one DataFrame.",
+    "from paths — the csv-cleaner/bq-importer dispatch as one DataFrame. "
+    "The Spark side walks the REAL exported tempdir and relativizes paths "
+    "to the export base, so the listing is deterministic; the oracle pins "
+    "the expected date-partitioned layout (pipeline.py export contract) "
+    "and re-implements the suffix/extract routing in SQL.",
 )
 def elt_file_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -75,7 +95,11 @@ def elt_file_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in files:
             if not f.startswith(("_", ".")):
                 paths.append(os.path.join(root, f))
-    # data exports are directories of part files; route at the logical level
-    logical = sorted({p if "/schemas/" in p else os.path.dirname(p) for p in paths})
-    listing = spark.createDataFrame([(p,) for p in logical], "path string")
+    # data exports are directories of part files; route at the logical level,
+    # relative to the export base so the result is layout- not tempdir-keyed
+    logical = sorted(
+        os.path.relpath(p if "/schemas/" in p else os.path.dirname(p), base)
+        for p in set(paths)
+    )
+    listing = spark.createDataFrame([(p,) for p in sorted(set(logical))], "path string")
     return route_files(listing).orderBy("path")

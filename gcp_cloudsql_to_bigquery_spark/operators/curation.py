@@ -85,17 +85,48 @@ def sample_hash_based(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_stratified",
-    oracle=None,  # seeded Bernoulli sampling is engine-specific → rows-only;
-    # per-stratum proportions asserted in tests/test_curation.py
-    doc="Stratified sampling via sampleBy(seeded): per-language fractions "
-    "(0.5 / 0.2) — the class-rebalancing primitive. Narrow op, no shuffle; "
-    "deterministic for a fixed seed within Spark.",
+    oracle="""
+    WITH strata AS (
+      SELECT lang, (row_number() OVER (ORDER BY lang) - 1) % 2 AS odd
+      FROM (SELECT DISTINCT lang FROM documents)
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN strata s ON s.lang = d.lang
+    WHERE substr(md5(d.lang || ':' || CAST(d.doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN s.odd = 0 THEN '80' ELSE '33' END
+    """,
+    doc="Stratified sampling with per-language fractions (even-ranked langs "
+    "128/256, odd 51/256 ≈ 0.5/0.2) — the class-rebalancing primitive, done "
+    "as a keyed-digest filter instead of seeded Bernoulli (sampleBy) so the "
+    "selection is deterministic, engine-independent, and stable under "
+    "reruns/data growth.  Two lowercase hex chars compare lexicographically "
+    "as their numeric value, so the digest threshold is a plain string "
+    "comparison on both engines.  The stratum table is a tiny distinct+rank "
+    "broadcast; the sample itself is a narrow filter, no shuffle on the "
+    "fact side.  (Spark's native sampleBy(seeded) is exercised in "
+    "tests/test_curation.py — it cannot be oracle'd because the RNG stream "
+    "is engine-specific.)",
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
-    fractions = {lang: (0.5 if i % 2 == 0 else 0.2) for i, lang in enumerate(sorted(langs))}
-    return d.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+    strata = (
+        d.select("lang")
+        .distinct()
+        .withColumn(
+            "odd",
+            (F.row_number().over(W.orderBy("lang")) - 1) % 2,
+        )
+    )
+    keyed = F.substring(
+        F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string")).cast("binary")),
+        1,
+        2,
+    )
+    return (
+        d.join(F.broadcast(strata), "lang")
+        .filter(keyed < F.when(F.col("odd") == 0, "80").otherwise("33"))
+        .select("doc_id", "lang")
+    )
 
 
 @register(

@@ -26,36 +26,29 @@ _CKPT_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from ..catalog import events_physical_schema, normalize_events_ts
 from ..registry import register
-
-# physical parquet schema of events.parquet (ts is TIMESTAMP(NANOS) → int64
-# under nanosAsLong; converted to a micro timestamp after read)
-_EVENTS_PHYS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
 
 _MEMSINK_SEQ = 0
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source readStream over the events parquet."""
+    """File-source readStream over the events parquet.
+
+    The reader schema comes from the batch-side footer resolver
+    (``catalog.events_physical_schema``) — NOT a hardcoded struct — so a
+    generator-side change to the physical ``ts`` encoding cannot silently
+    desynchronize batch and streaming reads (the round-3 failure mode:
+    micros read as nanos collapsed every event into ~10 windows)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(_EVENTS_PHYS)
+        spark.readStream.schema(events_physical_schema(spark, sf_dir))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def run_to_completion(
@@ -290,6 +283,11 @@ def stream_processing_time_trigger(spark: SparkSession, sf_dir: str) -> DataFram
                 drained = any(
                     p["numInputRows"] == 0 for p in (q.recentProgress or [])
                 ) and any(p["numInputRows"] > 0 for p in (q.recentProgress or []))
+            if not drained:
+                raise TimeoutError(
+                    "stream_processing_time_trigger: source not drained within "
+                    "60 s — refusing to return a partial aggregate"
+                )
         finally:
             q.stop()
             q.awaitTermination()

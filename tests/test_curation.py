@@ -21,6 +21,18 @@ def test_stratified_proportions_and_determinism(spark):
         assert 0.02 <= frac <= 0.95, (lang, frac)  # loose Bernoulli bounds
 
 
+def test_native_sampleby_seeded_is_stable(spark):
+    # Spark's seeded Bernoulli stratified sampler: stable for a fixed seed
+    # within Spark (but engine-specific, hence not oracle-able — the
+    # registry's sample_stratified uses keyed digests instead)
+    d = load(spark, SF, "documents")
+    fracs = {r.lang: 0.3 for r in d.select("lang").distinct().collect()}
+    s1 = {r.doc_id for r in d.sampleBy("lang", fracs, seed=42).collect()}
+    s2 = {r.doc_id for r in d.sampleBy("lang", fracs, seed=42).collect()}
+    assert s1 == s2
+    assert 0 < len(s1) < d.count()
+
+
 def test_hash_sample_is_stable_subset_across_sf(spark):
     # the same doc_id keeps/loses membership regardless of corpus size —
     # the property TABLESAMPLE lacks (sf0.001 has ids 0..499; sf0.1 0..4999)
