@@ -1,0 +1,126 @@
+"""Continuous streaming ELT: the reference's event-driven GCS chain as ONE
+Structured Streaming pipeline.
+
+The reference wires object-finalize notifications so each arriving export
+triggers clean + load (``/root/reference/csv-cleaner.tf:53-56`` →
+``app/csv-cleaner/main.py:21-27`` → ``bq-importer.tf:53-56`` →
+``app/bq-importer/main.py:27-39``).  Spark's file stream source IS that
+chain in-engine: the directory listing is the notification bus, each
+micro-batch is one finalize event, the sentinel rewrite + schema-applied
+parse run distributed inside the stream, and the parquet sink commit is the
+WRITE_TRUNCATE-style atomic load.
+
+At 100 TB: the watch dir is a bucket prefix, ``maxFilesPerTrigger`` (or
+``maxBytesPerTrigger``) paces ingestion, the checkpoint makes re-delivery
+exactly-once (the reference needs a 409-duplicate guard for this,
+SURVEY.md §2A #10), and the sink is a partitioned table — no component
+changes shape.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+from .events import _CKPT_DIR
+
+# Schema the arriving exports are loaded under (op #20, schema-applied load:
+# autodetect off, exactly these types — the reference's five-type system
+# maps ints to INT64/BIGNUMERIC-free BIGINT and floats to FLOAT64/DOUBLE).
+_ARRIVAL_SCHEMA = "c_custkey BIGINT, nation BIGINT, segment_or_null STRING, acctbal DOUBLE"
+
+
+def write_arrival_files(spark: SparkSession, sf_dir: str, watch_dir: str, n_files: int = 3) -> None:
+    """Simulate the upstream exporter: shard customer into ``n_files``
+    MySQL-style raw CSV files (NULL as the ``"N`` sentinel — the exact byte
+    form csv-cleaner receives, ``main.py:21-27``) under ``watch_dir``."""
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nation"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment_or_null"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    line = F.concat_ws(
+        ",",
+        F.col("c_custkey").cast("string"),
+        F.col("nation").cast("string"),
+        F.coalesce(F.col("segment_or_null"), F.lit('"N')),
+        F.col("acctbal").cast("string"),
+    ).alias("value")
+    for shard in range(n_files):
+        (
+            src.filter(F.col("c_custkey") % n_files == shard)
+            .select(line)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(os.path.join(watch_dir, f"arrival_{shard}"))
+        )
+
+
+def run_streaming_elt(
+    spark: SparkSession, watch_dir: str, sink_dir: str
+) -> int:
+    """The continuous chain: watch ``watch_dir`` for text files, sentinel-
+    clean + schema-parse each arrival, append to the parquet sink.  One
+    arriving file per micro-batch (``maxFilesPerTrigger=1``) — each file is
+    processed as its own 'finalize event', like the reference chain.
+    Returns the number of non-empty micro-batches (== files processed)."""
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .text(watch_dir + "/arrival_*")
+    )
+    # csv-cleaner stage, CSV-aware form (ingest/nulls.py): sentinel -> empty
+    # field only at field boundaries, then autodetect-off schema parse
+    cleaned = raw.select(
+        F.regexp_replace(F.col("value"), r'(?:(?<=^)|(?<=,))"N(?=,|$)', "").alias("value")
+    )
+    parsed = cleaned.select(
+        F.from_csv(F.col("value"), _ARRIVAL_SCHEMA, {"nullValue": "", "escape": '"'}).alias("r")
+    ).select("r.*")
+    q = (
+        parsed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_elt_", dir=_CKPT_DIR))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sum(1 for p in (q.recentProgress or []) if p["numInputRows"] > 0)
+
+
+@register(
+    "stream_elt_file_arrival",
+    oracle="""
+    SELECT c_nationkey AS nation,
+           count(*) AS n_cust,
+           count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_null_segment,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY nation
+    """,
+    doc="End-to-end continuous ELT (reference finalize-event chain as one "
+    "streaming pipeline): shard customer into 3 raw MySQL-sentinel CSV "
+    "'arrivals' → file-stream source processes one file per micro-batch → "
+    "distributed sentinel clean + schema-applied parse → parquet sink → "
+    "the loaded table answers a batch aggregate.  NULLs injected via the "
+    "sentinel (segment='BUILDING' exported as \\\"N) come back as real "
+    "NULLs, counted against the oracle's pre-export ground truth.",
+)
+def stream_elt_file_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = tempfile.mkdtemp(prefix="stream_elt_")
+    watch_dir = os.path.join(base, "watch")
+    sink_dir = os.path.join(base, "loaded")
+    write_arrival_files(spark, sf_dir, watch_dir, n_files=3)
+    run_streaming_elt(spark, watch_dir, sink_dir)
+    loaded = spark.read.schema(_ARRIVAL_SCHEMA).parquet(sink_dir)
+    return loaded.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.count(F.when(F.col("segment_or_null").isNull(), 1)).alias("n_null_segment"),
+        F.round(F.sum("acctbal"), 2).alias("total_bal"),
+    )

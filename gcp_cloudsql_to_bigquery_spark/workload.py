@@ -26,6 +26,7 @@ _OPTIONAL_MODULES = (
     "gcp_cloudsql_to_bigquery_spark.operators.analytics",
     "gcp_cloudsql_to_bigquery_spark.streaming.events",
     "gcp_cloudsql_to_bigquery_spark.streaming.stateful",
+    "gcp_cloudsql_to_bigquery_spark.streaming.elt",
     "gcp_cloudsql_to_bigquery_spark.ingest.routing",
     "gcp_cloudsql_to_bigquery_spark.ingest.queries",
     "gcp_cloudsql_to_bigquery_spark.sources.files",
@@ -96,6 +97,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_pivot",
     "agg_hll_sketch_rollup",
     "agg_incremental_maintenance",
+    "stream_elt_file_arrival",  # new this round: continuous ELT chain demo
     # --- red in r3 (events.ts drift), fixed this round: fresh rows needed ---
     "stream_tumbling_window",
     "stream_sliding_window",
@@ -106,10 +108,13 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_gapfill_interpolate",
     "fn_json",
     "fn_map_higher_order",
-    "fn_map_functions",
     # --- never sampled, oracle-expensive (~120 s DuckDB closure each) ---
     "dedup_connected_components",
     "dedup_cluster_representatives",
+    # fn_map_functions shares its (fixed) root cause with fn_json and
+    # fn_map_higher_order above; it yields its prefix slot to the
+    # never-sampled connected-components pair (52 candidates, 50 slots)
+    "fn_map_functions",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
