@@ -40,6 +40,12 @@ def table_path(sf_dir: str, name: str) -> str:
 _SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
+# (application id, sf_dir) -> resolved events StructType.  The footer read
+# costs a file listing + py4j round-trip; like _SCAN_CACHE, resolve once
+# per session (a metastore, not a per-query probe).
+_EVENTS_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def events_physical_schema(spark: SparkSession, sf_dir: str):
     """Resolve the events table's PHYSICAL schema from the parquet footer.
 
@@ -49,8 +55,13 @@ def events_physical_schema(spark: SparkSession, sf_dir: str):
     physical layout from file metadata, never from assumptions baked into
     two call sites — this function is the single source of truth for both
     the batch scan and the streaming reader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(table_path(sf_dir, "events")).schema
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    cached = _EVENTS_SCHEMA_CACHE.get(key)
+    if cached is None:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        cached = spark.read.parquet(table_path(sf_dir, "events")).schema
+        _EVENTS_SCHEMA_CACHE[key] = cached
+    return cached
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
