@@ -132,6 +132,58 @@ def test_pack_sequences_fact_window_is_partitioned(spark):
     assert "hashpartitioning(grp" in plan, plan
 
 
+def test_funnel_single_scan_no_self_join(spark):
+    # ordered funnel via conditional minima: ONE scan of events, zero joins
+    # — the naive 3-way self-join shape shuffles the fact table three times
+    # at 100 TB
+    df = queries()["analytics_funnel_conversion"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert inspect.exchange_count(df) == 1, plan  # one user-keyed shuffle
+
+
+def test_histogram_one_partial_agg_shuffle(spark):
+    # equi-width histogram: bucket-id group-agg with map-side partials,
+    # exactly one shuffle, never a sort
+    df = queries()["analytics_value_histogram"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "partial_" in plan, plan
+    assert inspect.exchange_count(df) == 1, plan
+
+
+def test_join_asof_is_linear_no_join_operator(spark):
+    # as-of = union + last(ignoreNulls) window: linear in |L|+|R|, the plan
+    # must contain NO join operator (a range join here explodes at scale)
+    df = queries()["join_asof"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_keyed_samples_are_zero_shuffle(spark):
+    # digest-keyed sampling/mixing are narrow filters — any exchange means
+    # the pattern regressed to something that moves 100 TB to sample it
+    for name in ("sample_hash_based", "curation_mix_weighted"):
+        df = queries()[name](spark, SF)
+        assert inspect.exchange_count(df) == 0, inspect.physical_plan(df)
+
+
+def test_stratified_sample_fact_never_shuffles(spark):
+    # the strata table (distinct langs + rank) may shuffle — it is tiny —
+    # but the documents fact side must attach via broadcast, never SMJ
+    df = queries()["sample_stratified"](spark, SF)
+    assert inspect.sort_merge_join_count(df) == 0, inspect.physical_plan(df)
+    assert inspect.broadcast_join_count(df) == 1
+
+
+def test_sessionize_windows_and_agg_share_one_exchange(spark):
+    # lag-window, cumsum-window, and the (user_id, sess_id) groupBy all
+    # cluster by user_id: hashpartitioning(user_id) satisfies every one of
+    # them, so the whole query runs on a single shuffle
+    df = queries()["sessionize_batch"](spark, SF)
+    assert inspect.exchange_count(df) == 1, inspect.physical_plan(df)
+
+
 def test_q17_window_decorrelation_single_shuffle_for_avg(spark):
     # the correlated avg is a window over l_partkey — there must be no
     # self-join of lineitem in the plan (one scan of the fact, not two).
