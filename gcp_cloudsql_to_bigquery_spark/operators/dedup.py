@@ -529,3 +529,56 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("n_chars").alias("keeper_chars"),
         "n_members",
     )
+
+
+@register(
+    "dedup_incremental_index",
+    oracle="""
+    WITH cut AS (
+      SELECT CAST(max(doc_id) * 7 / 10 AS BIGINT) AS c FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    idx AS (
+      SELECT DISTINCT f.fp FROM fp f, cut WHERE f.doc_id < cut.c
+    )
+    SELECT f.doc_id, f.fp
+    FROM fp f, cut
+    WHERE f.doc_id >= cut.c
+      AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.fp = f.fp)
+    """,
+    doc="Incremental dedup against a PERSISTED fingerprint index — the "
+    "production shape: a 100 TB corpus is fingerprinted once, and each new "
+    "batch is admitted by anti-joining its digests against the stored "
+    "index instead of re-scanning history.  Here the first 70% of doc_ids "
+    "play the indexed corpus (distinct digests written to parquet and read "
+    "back — real persistence, not a cached DataFrame), the rest are the "
+    "arriving batch.  The anti-join shuffles only (fp) pairs: the index "
+    "side is one narrow digest column, the batch side is the small new "
+    "delta.  The cutoff scalar binds via broadcast crossJoin (the repo's "
+    "decorrelation pattern), so no per-row driver logic.  Reference "
+    "parity: this is op #10's duplicate-delivery guard lifted from "
+    "file-level 409s to content-level digests.",
+)
+def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary")
+    )
+    fps = d.select("doc_id", fp.alias("fp"))
+    cut = d.agg((F.max("doc_id") * 7 / 10).cast("bigint").alias("c"))
+    bound = fps.crossJoin(F.broadcast(cut))
+
+    index_dir = tempfile.mkdtemp(prefix="fp_index_") + "/index"
+    bound.filter(F.col("doc_id") < F.col("c")).select("fp").distinct().write.mode(
+        "overwrite"
+    ).parquet(index_dir)
+
+    index = spark.read.parquet(index_dir)
+    batch = bound.filter(F.col("doc_id") >= F.col("c")).select("doc_id", "fp")
+    return batch.join(index, "fp", "left_anti").select("doc_id", "fp")

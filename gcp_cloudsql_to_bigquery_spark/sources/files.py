@@ -135,3 +135,46 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "lineitem_orc")
     li.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@register(
+    "src_schema_evolution",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           count(*)        AS n_docs,
+           count(n_chars)  AS n_with_chars,
+           sum(n_chars)    AS sum_chars
+    FROM merged GROUP BY lang
+    """,
+    doc="Schema evolution across ingestion batches: a v1 batch (doc_id, "
+    "lang) and a widened v2 batch (+ n_chars) land in the same dataset; "
+    "mergeSchema=true reads reconcile the union schema with NULL padding "
+    "for pre-evolution files — the long-lived-table reality at 100 TB "
+    "where footers disagree by design.  The merge cost is per-FOOTER at "
+    "planning time, not per-row; on a real deployment the reconciled "
+    "schema lives in the metastore and per-read mergeSchema stays off.",
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
+        os.path.join(base, "batch=1")
+    )
+    d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "lang", "n_chars").write.parquet(
+        os.path.join(base, "batch=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "batch=1"), os.path.join(base, "batch=2")
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count("n_chars").alias("n_with_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

@@ -115,6 +115,10 @@ _GATE_FRONT: tuple[str, ...] = (
     # fn_map_higher_order above; it yields its prefix slot to the
     # never-sampled connected-components pair (52 candidates, 50 slots)
     "fn_map_functions",
+    # new in r4, just outside the 50-slot prefix (selfcheck-green;
+    # rotate into the front next round)
+    "dedup_incremental_index",
+    "src_schema_evolution",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
