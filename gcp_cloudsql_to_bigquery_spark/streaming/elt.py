@@ -124,3 +124,91 @@ def stream_elt_file_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("segment_or_null").isNull(), 1)).alias("n_null_segment"),
         F.round(F.sum("acctbal"), 2).alias("total_bal"),
     )
+
+
+@register(
+    "stream_cdc_upsert",
+    oracle="""
+    SELECT user_id,
+           event_id              AS last_event_id,
+           event_type            AS last_event_type,
+           CAST(ts AS TIMESTAMP) AS last_ts,
+           value                 AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="CDC-style streaming upsert materialization: the event stream is a "
+    "change feed, and foreachBatch merges each micro-batch into a "
+    "latest-state-per-user table with last-writer-wins ordered by "
+    "(ts, event_id) — the MERGE WHEN MATCHED AND source.ts > target.ts "
+    "pattern, so the result is deterministic whatever order the source "
+    "delivers files in.  State versions are parquet snapshots (v{n} reads "
+    "v{n-1}); on a table format (Delta/Iceberg, jars not in this image) "
+    "the same foreachBatch body is a single MERGE INTO.  Three sharded "
+    "arrivals force three sequential merges — incremental materialization, "
+    "not one batch rewrite.  Scale: each merge shuffles only on user_id; "
+    "the upsert is union + max(struct), i.e. partial-aggregable.",
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    base = _tf.mkdtemp(prefix="cdc_")
+    feed_dir = os.path.join(base, "feed")
+    ev = load(spark, sf_dir, "events")
+    for shard in range(3):
+        ev.filter(F.col("event_id") % 3 == shard).write.parquet(
+            os.path.join(feed_dir, f"chg_{shard}")
+        )
+
+    state = {"version": 0}
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        latest = batch.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias("s")
+        )
+        prev_v, next_v = state["version"], state["version"] + 1
+        if prev_v > 0:
+            prev = sp.read.parquet(os.path.join(base, f"v{prev_v}"))
+            latest = (
+                prev.select("user_id", F.struct(
+                    F.col("last_ts").alias("ts"),
+                    F.col("last_event_id").alias("event_id"),
+                    F.col("last_event_type").alias("event_type"),
+                    F.col("last_value").alias("value"),
+                ).alias("s"))
+                .unionByName(latest)
+                .groupBy("user_id")
+                .agg(F.max("s").alias("s"))
+            )
+        latest.select(
+            "user_id",
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.event_type").alias("last_event_type"),
+            F.col("s.ts").alias("last_ts"),
+            F.col("s.value").alias("last_value"),
+        ).write.parquet(os.path.join(base, f"v{next_v}"))
+        state["version"] = next_v
+
+    # the feed was written by the (already ts-normalized) catalog scan, so
+    # its own schema is the reader schema — not the raw events footer
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir + "/chg_*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_cdc_", dir=_CKPT_DIR))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if state["version"] < 3:
+        raise RuntimeError(
+            f"expected >=3 incremental merges, got {state['version']}"
+        )
+    return spark.read.parquet(os.path.join(base, f"v{state['version']}"))

@@ -119,6 +119,7 @@ _GATE_FRONT: tuple[str, ...] = (
     # rotate into the front next round)
     "dedup_incremental_index",
     "src_schema_evolution",
+    "stream_cdc_upsert",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
