@@ -135,3 +135,37 @@ def warehouse_write(
         writer.option("table", table).save()
         return
     df.write.mode(mode).saveAsTable(table)
+
+
+def load_table_observed(
+    spark: SparkSession,
+    data_path: str,
+    schema_path: str,
+    table: str | None = None,
+    mode: str = "csv-aware",
+):
+    """Reference op #21 (post-load row-count check, ``bq-importer/main.py:
+    41-43``) upgraded for scale: the reference re-queries the loaded table
+    to count rows — a second full scan.  ``df.observe`` attaches the QA
+    aggregates (row count, per-column null counts) to the load job itself,
+    so they materialize as a side channel of whatever action performs the
+    load — ONE pass over 100 TB, not two.
+
+    Returns ``(df, observation)``; read ``observation.get`` after the first
+    action on ``df`` (it blocks until then)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, data_path, schema_path, table=None, mode=mode)
+    obs = Observation("load_qa")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.count(F.when(F.col(f.name).isNull(), 1)).alias(f"nulls_{f.name}")
+            for f in df.schema.fields
+        ],
+    )
+    if table:
+        observed.createOrReplaceTempView(table)
+    return observed, obs

@@ -114,3 +114,36 @@ def test_warehouse_write_bigquery_branch_reaches_datasource_loader(spark, sf_dir
     with pytest.raises(Exception, match="(?i)bigquery|DATA_SOURCE_NOT_FOUND|Failed to find"):
         warehouse_write(n, "proj.dataset.nation", fmt="bigquery",
                         options={"temporaryGcsBucket": "staging"})
+
+
+def test_load_table_observed_single_pass_qa(spark, sf_dir):
+    # op #21 upgrade: QA metrics ride the load action itself (no second
+    # scan); the observation must match a direct recount
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_to_bigquery_spark.catalog import load as cat_load
+    from gcp_cloudsql_to_bigquery_spark.ingest.pipeline import (
+        export_table,
+        load_table_observed,
+    )
+
+    src = (
+        cat_load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 500)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="obs_")
+    data_path, schema_path = export_table(src, base, "orders_obs")
+    observed, obs = load_table_observed(spark, data_path, schema_path)
+    n = observed.count()  # the "load" action — metrics ride along
+    got = obs.get
+    assert got["n_rows"] == n == src.count()
+    assert got["nulls_status_or_null"] == src.filter(
+        F.col("status_or_null").isNull()
+    ).count()
+    assert got["nulls_o_orderkey"] == 0
