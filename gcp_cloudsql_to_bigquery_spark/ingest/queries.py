@@ -144,3 +144,42 @@ def elt_schema_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, f in enumerate(load(spark, sf_dir, t).schema.fields, start=1):
             rows.append((t, f.name, i))
     return spark.createDataFrame(rows, "table_name string, column_name string, ordinal_position bigint")
+
+
+@register(
+    "elt_load_qa_metrics",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS nulls_status,
+           0 AS nulls_orderkey
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    doc="Op #21 (post-load row-count check) as a FIRST-CLASS observed "
+    "metric: the QA aggregates (row count, per-column null counts) ride "
+    "the load action via df.observe — one pass over the data, vs the "
+    "reference's second COUNT(*) scan of the loaded table "
+    "(bq-importer/main.py:41-43).  The query returns the observation "
+    "itself, so the oracle checks the metric channel end-to-end: NULLs "
+    "manufactured through the sentinel pipeline must be COUNTED correctly "
+    "by the in-flight observation.",
+)
+def elt_load_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import export_table, load_table_observed
+
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+        )
+    )
+    base = tempfile.mkdtemp(prefix="elt_qa_")
+    data_path, schema_path = export_table(src, base, "orders_qa")
+    observed, obs = load_table_observed(spark, data_path, schema_path)
+    observed.count()  # the load action; metrics ride along
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["nulls_status_or_null"], m["nulls_o_orderkey"])],
+        "n_rows bigint, nulls_status bigint, nulls_orderkey bigint",
+    )

@@ -120,6 +120,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "dedup_incremental_index",
     "src_schema_evolution",
     "stream_cdc_upsert",
+    "elt_load_qa_metrics",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
