@@ -291,3 +291,60 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.sum("pn").alias("n"), F.round(F.sum("psum"), 2).alias("total"))
     )
+
+
+# Misra-Gries summary size.  Deliberately SMALLER than the per-partition
+# distinct-key count (~2000 l_partkey values per 7.5k-row partition at
+# sf0.01) so the eviction path genuinely runs; the exact verify pass makes
+# the final answer partition-count-invariant anyway.
+_MG_K = 1500
+
+
+@register(
+    "agg_heavy_hitters_mg",
+    oracle=f"""
+    SELECT l_partkey, count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) > (SELECT count(*) FROM lineitem) / {_MG_K}.0
+    """,
+    doc="Frequent-items via a Misra-Gries sketch + exact verify pass, "
+    "oracle-proven equal to the brute-force GROUP BY ... HAVING cnt > n/k. "
+    "Pass 1 keeps at most k counters per partition (mergeable MG summaries: "
+    "fold each Arrow batch's value_counts into the summary, then subtract "
+    "the (k+1)-th largest count when over k — the standard merge that "
+    "preserves the deterministic superset guarantee: any key with global "
+    "frequency > n/k exceeds n_p/k in at least one partition by pigeonhole, "
+    "so it survives that partition's summary).  Pass 2 re-counts ONLY the "
+    "candidate keys (broadcast semi join — no shuffle of the fact) and "
+    "filters by the exact threshold.  At 100 TB: candidate set is <= "
+    "k x partitions rows (metadata-sized), the fact is scanned twice but "
+    "never shuffled on the raw key, and the final group-agg runs on the "
+    "candidate-filtered slice only.  The brute-force alternative shuffles "
+    "all N rows' partial counts for a result of ~60 keys.",
+)
+def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+
+    def mg_candidates(batches):
+        import pandas as pd
+
+        counters: dict[int, int] = {}
+        for pdf in batches:
+            for key, c in pdf["l_partkey"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > _MG_K:
+                cut = sorted(counters.values(), reverse=True)[_MG_K]
+                counters = {k: v - cut for k, v in counters.items() if v > cut}
+        yield pd.DataFrame({"l_partkey": list(counters.keys())})
+
+    cand = li.mapInPandas(mg_candidates, schema="l_partkey bigint").distinct()
+    tot = li.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        li.join(F.broadcast(cand), "l_partkey", "leftsemi")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") > F.col("n") / float(_MG_K))
+        .select("l_partkey", "cnt")
+    )

@@ -382,3 +382,87 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_type", "bucket", (interp_scaled / 10000.0).alias("value_interp")
     )
+
+
+@register(
+    "ts_hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, event_type,
+             count(*) AS n,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v_c,
+             min(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS vmin_c,
+             max(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS vmax_c
+      FROM events GROUP BY h, event_type
+    ),
+    grains AS (
+      SELECT 'day' AS grain, CAST(date_trunc('day', h) AS TIMESTAMP) AS bucket, event_type,
+             sum(n) AS n, sum(v_c) AS v_c,
+             min(vmin_c) AS vmin_c, max(vmax_c) AS vmax_c
+      FROM hourly GROUP BY bucket, event_type
+      UNION ALL
+      SELECT 'week' AS grain, CAST(date_trunc('week', h) AS TIMESTAMP) AS bucket, event_type,
+             sum(n) AS n, sum(v_c) AS v_c,
+             min(vmin_c) AS vmin_c, max(vmax_c) AS vmax_c
+      FROM hourly GROUP BY bucket, event_type
+    )
+    SELECT grain, bucket, event_type, n,
+           v_c / 100.0  AS total_value,
+           vmin_c / 100.0 AS min_value,
+           vmax_c / 100.0 AS max_value,
+           CAST(floor(v_c * 100.0 / n + 0.5) AS BIGINT) AS avg_value_x10k
+    FROM grains
+    """,
+    doc="Hypertable-style continuous-aggregate hierarchy (the TimescaleDB "
+    "rollup pattern): ONE scan of the fact builds the finest-grain (hourly) "
+    "rollup of mergeable partials (count, cent-scaled sum, min, max), and "
+    "every coarser grain (day, week) re-aggregates the HOURLY table — "
+    "N/3600-sized, persisted — never the raw events.  Finalizers (avg = "
+    "sum/count) run only at output grain, in exact integer arithmetic so "
+    "the result is accumulation-order-proof against the oracle.  At 100 TB "
+    "the hourly rollup is a materialized, incrementally-maintained table "
+    "(the agg_incremental_maintenance pattern); day/week/month queries then "
+    "cost minutes-of-metadata, not a fact scan.  Here `.persist()` stands "
+    "in for the materialization: the plan's two grain branches both read "
+    "the InMemoryRelation (pinned in tests/test_plans.py).",
+)
+def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    hourly = (
+        ev.groupBy("h", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("v_c"),
+            F.min("cents").alias("vmin_c"),
+            F.max("cents").alias("vmax_c"),
+        )
+        .persist()
+    )
+
+    def regrain(grain: str) -> DataFrame:
+        return (
+            hourly.groupBy(F.date_trunc(grain, F.col("h")).alias("bucket"), "event_type")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("v_c").alias("v_c"),
+                F.min("vmin_c").alias("vmin_c"),
+                F.max("vmax_c").alias("vmax_c"),
+            )
+            .select(F.lit(grain).alias("grain"), "bucket", "event_type", "n", "v_c", "vmin_c", "vmax_c")
+        )
+
+    out = regrain("day").unionByName(regrain("week"))
+    return out.select(
+        "grain",
+        "bucket",
+        "event_type",
+        "n",
+        (F.col("v_c") / 100.0).alias("total_value"),
+        (F.col("vmin_c") / 100.0).alias("min_value"),
+        (F.col("vmax_c") / 100.0).alias("max_value"),
+        F.floor(F.col("v_c") * 100.0 / F.col("n") + 0.5).cast("bigint").alias("avg_value_x10k"),
+    )

@@ -121,6 +121,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "src_schema_evolution",
     "stream_cdc_upsert",
     "elt_load_qa_metrics",
+    "ts_hypertable_rollup",
+    "agg_heavy_hitters_mg",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -190,3 +190,22 @@ def test_q17_window_decorrelation_single_shuffle_for_avg(spark):
     df = queries()["q17_small_quantity_revenue"](spark, SF)
     plan = inspect.physical_plan(df)
     assert plan.count("Scan parquet") <= 2, plan  # lineitem + part only
+
+
+def test_hypertable_rollup_regrains_from_cached_hourly(spark):
+    # the grain hierarchy must re-aggregate the persisted HOURLY rollup,
+    # never rescan the raw fact per grain: both union branches read the
+    # InMemoryRelation (the materialized-continuous-aggregate stand-in)
+    df = queries()["ts_hypertable_rollup"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_heavy_hitters_verify_is_broadcast_semi(spark):
+    # pass 2 must attach the metadata-sized candidate set by broadcast semi
+    # join — a sort-merge join here would shuffle the whole fact on the raw
+    # key, which is exactly what the sketch exists to avoid
+    df = queries()["agg_heavy_hitters_mg"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert inspect.sort_merge_join_count(df) == 0, plan
