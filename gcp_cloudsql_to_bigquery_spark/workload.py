@@ -123,6 +123,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "elt_load_qa_metrics",
     "ts_hypertable_rollup",
     "agg_heavy_hitters_mg",
+    "agg_bitmap_distinct_rollup",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -201,6 +201,16 @@ def test_hypertable_rollup_regrains_from_cached_hourly(spark):
     assert plan.count("InMemoryTableScan") == 2, plan
 
 
+def test_bitmap_rollup_shuffles_partial_bitmaps_not_keys(spark):
+    # the distinct-count shuffle must move map-side partial bitmaps
+    # (partial_bitmap_construct_agg below the exchange), never raw custkeys,
+    # and the nation dim must broadcast
+    df = queries()["agg_bitmap_distinct_rollup"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "partial_bitmap_construct_agg" in plan, plan
+    assert inspect.broadcast_join_count(df) == 1, plan
+
+
 def test_heavy_hitters_verify_is_broadcast_semi(spark):
     # pass 2 must attach the metadata-sized candidate set by broadcast semi
     # join — a sort-merge join here would shuffle the whole fact on the raw
