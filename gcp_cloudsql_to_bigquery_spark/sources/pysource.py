@@ -1,0 +1,167 @@
+"""Custom Python Data Source (Spark 4 API): the reference's raw MySQL
+sentinel-CSV export format as a first-class, partitioned, pushdown-capable
+Spark source.
+
+The reference needs three components and two bucket round-trips to make its
+exports queryable (``/root/reference/app/cloud-sql-exporter`` writes raw
+CSV with the MySQL ``\\N``-style ``"N`` NULL sentinel, ``app/csv-cleaner/
+main.py:21-27`` rewrites bytes, ``app/bq-importer/main.py:27-39`` loads).
+``ingest/nulls.py`` already collapses that to a read-side concern; this
+module goes one step further and makes the RAW export format itself a
+registered Spark source: ``spark.read.format("sentinel_csv")`` scans the
+staging layout directly — no rewrite pass, no intermediate copy.
+
+Scale shape: ``partitions()`` returns one ``InputPartition`` per export
+file, so the scan parallelizes like any file source; ``pushFilters``
+accepts numeric comparison filters and applies them inside the Python
+worker BEFORE rows cross into the JVM (the custom-source analog of parquet
+predicate pushdown — pinned in tests).  The honest 100 TB caveat: a Python
+data source pays one Python worker per partition (Arrow-batched), so for
+plain CSV at petabyte scale you'd use the JVM reader + ``ingest/nulls.py``;
+this API is the escape hatch the reference pattern actually needs —
+proprietary formats, internal services, paginated APIs — demonstrated on
+the format the reference ships.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from ..registry import register
+
+# Raw-export schema (the arrival fixture of streaming/elt.py): the
+# reference's five-type system — ints are BIGINT, floats DOUBLE, text
+# STRING (``app/csv-cleaner/datatype_to_bq.py``).
+_EXPORT_SCHEMA = "c_custkey bigint, nation bigint, segment_or_null string, acctbal double"
+_FIELDS = (
+    ("c_custkey", int),
+    ("nation", int),
+    ("segment_or_null", str),
+    ("acctbal", float),
+)
+
+# Sentinel handling matches ingest/nulls.py's CSV-aware mode: ``"N`` only
+# at field boundaries is NULL (the reference's byte-level replace corrupts
+# quoted payloads — SURVEY.md §7 "hard parts").
+_SENTINEL = '"N'
+
+_COMPARABLE = {
+    EqualTo: lambda v: (lambda x: x == v),
+    GreaterThan: lambda v: (lambda x: x is not None and x > v),
+    GreaterThanOrEqual: lambda v: (lambda x: x is not None and x >= v),
+    LessThan: lambda v: (lambda x: x is not None and x < v),
+    LessThanOrEqual: lambda v: (lambda x: x is not None and x <= v),
+}
+
+
+class SentinelCsvReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+        self.predicates: list[tuple[int, object]] = []  # (field idx, row-predicate)
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Accept numeric comparisons on top-level columns; everything else
+        stays with Spark.  Accepted filters run in the Python worker before
+        rows are handed to the JVM — scan-side pushdown for a custom source."""
+        names = [n for n, _ in _FIELDS]
+        for f in filters:
+            make = _COMPARABLE.get(type(f))
+            if make is not None and len(f.attribute) == 1 and f.attribute[0] in names:
+                self.predicates.append((names.index(f.attribute[0]), make(f.value)))
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
+
+    def partitions(self):
+        files = []
+        for root, _dirs, names in os.walk(self.path):
+            files.extend(
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".txt") or n.startswith("part-")
+            )
+        # one partition per export file — the scan parallelizes across
+        # executors exactly like the built-in file sources
+        return [InputPartition(f) for f in sorted(files)]
+
+    def read(self, partition):
+        casts = [c for _, c in _FIELDS]
+        with open(partition.value, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line:
+                    continue
+                cells = line.split(",")
+                row = tuple(
+                    None if c == _SENTINEL or c == "" else cast(c)
+                    for c, cast in zip(cells, casts)
+                )
+                if all(pred(row[i]) for i, pred in self.predicates):
+                    yield row
+
+
+class SentinelCsvDataSource(DataSource):
+    """``spark.read.format("sentinel_csv").option("path", dir)`` over the
+    reference's raw export staging layout."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sentinel_csv"
+
+    def schema(self) -> str:
+        return _EXPORT_SCHEMA
+
+    def reader(self, schema) -> SentinelCsvReader:
+        return SentinelCsvReader(dict(self.options))
+
+
+def read_sentinel_csv_source(spark: SparkSession, path: str) -> DataFrame:
+    """Register (idempotent) and read the custom source with filter
+    pushdown enabled."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SentinelCsvDataSource)
+    return spark.read.format("sentinel_csv").option("path", path).load()
+
+
+@register(
+    "src_python_datasource",
+    oracle="""
+    SELECT c_nationkey AS nation,
+           count(*) AS n_cust,
+           count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_null_segment,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_nationkey < 10
+    GROUP BY nation
+    """,
+    doc="Custom Python Data Source end-to-end: shard customer into 4 raw "
+    "MySQL-sentinel CSV exports, scan them through the registered "
+    "sentinel_csv source (one InputPartition per file, nation<10 pushed "
+    "into the Python worker via pushFilters), aggregate the result.  "
+    "Sentinel-encoded NULLs (segment='BUILDING' exported as \"N) come "
+    "back as real NULLs, checked against the pre-export ground truth.",
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.elt import write_arrival_files
+
+    watch = os.path.join(tempfile.mkdtemp(prefix="pyds_"), "exports")
+    write_arrival_files(spark, sf_dir, watch, n_files=4)
+    df = read_sentinel_csv_source(spark, watch).filter(F.col("nation") < 10)
+    return df.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.count(F.when(F.col("segment_or_null").isNull(), 1)).alias("n_null_segment"),
+        F.round(F.sum("acctbal"), 2).alias("total_bal"),
+    )

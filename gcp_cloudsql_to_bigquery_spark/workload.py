@@ -31,6 +31,7 @@ _OPTIONAL_MODULES = (
     "gcp_cloudsql_to_bigquery_spark.ingest.queries",
     "gcp_cloudsql_to_bigquery_spark.sources.files",
     "gcp_cloudsql_to_bigquery_spark.sources.jdbc",
+    "gcp_cloudsql_to_bigquery_spark.sources.pysource",
     "gcp_cloudsql_to_bigquery_spark.operators.scale",
 )
 
@@ -124,6 +125,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_hypertable_rollup",
     "agg_heavy_hitters_mg",
     "agg_bitmap_distinct_rollup",
+    "src_python_datasource",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -133,3 +133,37 @@ def test_parquet_compression_codecs(spark, tmp_path):
         df.write.mode("overwrite").option("compression", codec).parquet(out)
         back = spark.read.parquet(out)
         assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_pysource_pushfilters_splits_supported_unsupported():
+    """Numeric comparisons are absorbed into the reader's predicate list;
+    anything else must be yielded back for Spark to evaluate post-scan."""
+    from pyspark.sql.datasource import LessThan, StringStartsWith
+
+    from gcp_cloudsql_to_bigquery_spark.sources.pysource import SentinelCsvReader
+
+    r = SentinelCsvReader({"path": "/nonexistent"})
+    unsupported = list(
+        r.pushFilters([LessThan(("nation",), 10), StringStartsWith(("segment_or_null",), "A")])
+    )
+    assert len(unsupported) == 1 and isinstance(unsupported[0], StringStartsWith)
+    assert len(r.predicates) == 1
+
+
+def test_pysource_partition_per_file_and_sentinel_nulls(tmp_path):
+    """One InputPartition per export file; '"N' fields surface as NULL and
+    pushed predicates drop rows inside read()."""
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from gcp_cloudsql_to_bigquery_spark.sources.pysource import SentinelCsvReader
+
+    d = tmp_path / "exports"
+    d.mkdir()
+    (d / "a.txt").write_text('1,7,"N,10.5\n2,3,BUILDING,2.0\n')
+    (d / "b.txt").write_text("3,9,AUTOMOBILE,0.25\n")
+    r = SentinelCsvReader({"path": str(d)})
+    parts = r.partitions()
+    assert len(parts) == 2
+    list(r.pushFilters([GreaterThanOrEqual(("nation",), 7)]))
+    rows = [row for p in parts for row in r.read(p)]
+    assert rows == [(1, 7, None, 10.5), (3, 9, "AUTOMOBILE", 0.25)]
