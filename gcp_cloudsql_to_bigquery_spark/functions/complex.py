@@ -327,3 +327,48 @@ def fn_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.groupBy("c_mktsegment").applyInPandas(
         zscore, schema="c_custkey long, c_mktsegment string, z double"
     )
+
+
+@register(
+    "fn_json_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           count(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                      THEN 1 END) AS n_missing
+    FROM events
+    WHERE event_id < 2000
+    GROUP BY event_type
+    """,
+    doc="VARIANT semi-structured JSON (Spark 4 native type): parse_json "
+    "shreds each props payload ONCE into the binary variant encoding; "
+    "variant_get then does typed path access with no re-parse, and "
+    "try_variant_get returns NULL (not an error) for absent paths.  The "
+    "extracted values feed a regular group-aggregate.  At 100 TB this is "
+    "the schema-on-read path for heterogeneous event payloads: one parse "
+    "per row instead of one string-parse per get_json_object call (fn_json "
+    "is the string-path comparison), binary-encoded fields skip-scan "
+    "cheaply, and the parse stays inside whole-stage codegen.",
+)
+def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .withColumn("v", F.parse_json("props"))
+    )
+    k = F.variant_get("v", "$.k", "bigint")
+    missing = F.try_variant_get("v", "$.missing", "string")
+    return (
+        e.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("m").isNull(), 1)).alias("n_missing"),
+        )
+    )

@@ -126,6 +126,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_heavy_hitters_mg",
     "agg_bitmap_distinct_rollup",
     "src_python_datasource",
+    "fn_json_variant",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
