@@ -372,3 +372,87 @@ def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("m").isNull(), 1)).alias("n_missing"),
         )
     )
+
+
+_RECURSIVE_BOM_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS part, p_partkey AS node, CAST(0 AS BIGINT) AS depth
+  FROM part
+  UNION ALL
+  SELECT part, CAST(floor(node / 10.0) AS BIGINT) AS node, depth + 1
+  FROM walk WHERE node > 0
+)
+SELECT depth, count(*) AS n_parts, min(part) AS min_part, max(part) AS max_part
+FROM walk
+GROUP BY depth
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    oracle=_RECURSIVE_BOM_SQL,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): walk a 10-ary ancestor "
+    "hierarchy derived from p_partkey (node -> floor(node/10) until the "
+    "root) and roll up the reachable set per depth — the bill-of-materials "
+    "/ org-chart / bounded-graph-reachability shape, IDENTICAL SQL text on "
+    "both engines.  Execution model at scale: each recursion level is one "
+    "distributed job over the previous level's output (the declarative "
+    "form of the iterative min-label loop in dedup_connected_components), "
+    "so total cost is depth x level-size, and level size here shrinks 10x "
+    "per step.  Depth is bounded by the key domain (~4 levels), far under "
+    "Spark's recursion guard.",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_BOM_SQL)
+
+
+@register(
+    "embedding_normalize_arrow",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))), 6) AS l2_norm,
+           round(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                x -> x * x))), 6) AS unit_first
+    FROM embeddings
+    """,
+    doc="mapInArrow vectorized kernel: L2-normalize the embedding column "
+    "working directly on Arrow record batches — the flat list-values "
+    "buffer reshapes zero-copy into an (n, 64) numpy view, one GEMM-free "
+    "vector op per batch, no pandas materialization.  This is the lowest-"
+    "overhead Python hot path (mapInPandas adds a pandas conversion per "
+    "batch; row-at-a-time UDFs are 10-100x worse) and the right shape for "
+    "numeric embedding kernels at 100 TB: per-partition streaming batches, "
+    "constant memory, no shuffle.  Oracle recomputes the norm with DuckDB "
+    "list folds; both sides round to 6 dp to absorb summation-order noise.",
+)
+def embedding_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            emb = b.column(1)
+            # .flatten() honors slice offsets; .values on a sliced
+            # ListArray would return the whole child buffer
+            flat = np.asarray(emb.flatten(), dtype=np.float64)
+            mat = flat.reshape(b.num_rows, -1)
+            norms = np.sqrt((mat * mat).sum(axis=1))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pa.array(np.round(norms, 6)),
+                    pa.array(np.round(mat[:, 0] / norms, 6)),
+                ],
+                names=["vec_id", "l2_norm", "unit_first"],
+            )
+
+    return e.mapInArrow(kernel, schema="vec_id long, l2_norm double, unit_first double")

@@ -127,6 +127,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_bitmap_distinct_rollup",
     "src_python_datasource",
     "fn_json_variant",
+    "sql_recursive_cte",
+    "embedding_normalize_arrow",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
