@@ -18,6 +18,10 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 from ..registry import register
 from .events import read_events_stream, run_to_completion
@@ -75,3 +79,86 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_completion(stateful, spark, output_mode="update")
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas moves state traffic over a protobuf
+    channel between the JVM and the Python state server; the ``protobuf``
+    package is NOT bundled with pyspark and is absent from this container,
+    so the operator is environment-gated (the brief's import-try rule)
+    rather than left as a guaranteed-red registry row."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _TypeTotalsProcessor(StatefulProcessor):
+    """Per-event-type running (count, cent-exact total) via typed ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", "n BIGINT, cents BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, cents = self._agg.get() if self._agg.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        self._agg.update((n, cents))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n": [n], "total_value": [cents / 100.0]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_tws_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4 successor to
+    applyInPandasWithState): a StatefulProcessor with a typed ValueState
+    folds each micro-batch into per-event-type (count, cent-exact total);
+    one availableNow drain makes the final state equal the batch GROUP BY
+    (the oracle).  The new API brings named/typed state slots (value, list,
+    map), timers, and TTL on a mandatory RocksDB state store — at scale
+    that means state lives off-heap per key-range instead of executor
+    heap, the difference between bounded and OOM for billions of keys.
+    Registered only when the protobuf dependency exists (_tws_available)."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents")
+    )
+    out_schema = "event_type string, n bigint, total_value double"
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stateful = ev.groupBy("event_type").transformWithStateInPandas(
+            _TypeTotalsProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_to_completion(stateful, spark, output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+if _tws_available():  # pragma: no cover — protobuf absent in this container
+    register(
+        "stream_tws_type_totals",
+        oracle="""
+        SELECT event_type, count(*) AS n,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+        FROM events
+        GROUP BY event_type
+        """,
+        doc=stream_tws_type_totals.__doc__,
+    )(stream_tws_type_totals)

@@ -85,3 +85,12 @@ def test_processing_time_trigger_drains_and_stops(spark):
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
     assert not any(q.isActive for q in spark.streams.active)
+
+
+def test_tws_gated_on_protobuf_dependency():
+    """transformWithStateInPandas needs the protobuf package (not bundled
+    with pyspark); the query must register iff the dependency imports."""
+    from gcp_cloudsql_to_bigquery_spark.streaming.stateful import _tws_available
+    from gcp_cloudsql_to_bigquery_spark.workload import REGISTRY
+
+    assert ("stream_tws_type_totals" in REGISTRY) == _tws_available()
