@@ -1,6 +1,8 @@
 """Scale-pattern tests: bucketed join eliminates exchanges; salted join is
 semantics-preserving."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -81,3 +83,56 @@ def test_salted_join_preserves_semantics(spark):
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_zorder_layout_tightens_file_stats_on_both_dims(spark, tmp_path):
+    """Z-order clustering must (a) preserve the data exactly and (b) leave
+    parquet footer min/max ranges per file that are tight on BOTH cluster
+    keys — the property min/max data skipping prunes on.  Compare against
+    the naive (source-ordered) layout: events arrive ordered by event_id,
+    so user_id stats span the whole domain in every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+    from gcp_cloudsql_to_bigquery_spark.sources.files import write_zordered
+
+    ev = load(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", (F.unix_timestamp("ts") % (1 << 31)).alias("tsec")
+    )
+    naive = str(tmp_path / "naive")
+    zord = str(tmp_path / "zord")
+    # 16 z-range files → 4 significant curve bits → ~2 bits (4x shrink)
+    # of clustering per dimension; 8 files would give user_id only 1 bit
+    ev.repartition(16).write.mode("overwrite").parquet(naive)
+    write_zordered(ev, zord, "user_id", "tsec", n_files=16)
+
+    def avg_span(path: str, col: str) -> float:
+        spans = []
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return sum(spans) / len(spans)
+
+    # same rows back
+    back = spark.read.parquet(zord)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, ev.collect()))
+    # user_id spans must shrink by a lot vs the arrival-ordered layout
+    # (150 users: naive files each cover ~the whole domain)
+    assert avg_span(zord, "user_id") < avg_span(naive, "user_id") * 0.5, (
+        avg_span(zord, "user_id"),
+        avg_span(naive, "user_id"),
+    )
+    # and the time dimension must ALSO stay clustered (the single-column
+    # sort alternative would give up one of the two)
+    assert avg_span(zord, "tsec") < avg_span(naive, "tsec") * 0.8, (
+        avg_span(zord, "tsec"),
+        avg_span(naive, "tsec"),
+    )
