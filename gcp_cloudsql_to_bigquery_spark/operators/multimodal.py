@@ -147,3 +147,97 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "frame_no", "payload_bytes")
     )
+
+
+PPM_DECODED_SCHEMA = (
+    "doc_id bigint, width int, height int, n_bytes bigint, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def synthesize_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fixture-side encoder: build a REAL binary P6 PPM image per row,
+    deterministic from (doc_id, n_chars) — r plane constant doc_id%256,
+    g plane a vertical gradient (y), b plane constant (doc_id*31)%256.
+    Runs distributed (mapInPandas) so the binary column is produced the
+    way a real ingest would: bytes born on executors, never the driver."""
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            w = int(n_chars) % 64 + 8
+            h = int(doc_id) % 48 + 8
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[:, :, 0] = int(doc_id) % 256
+            px[:, :, 1] = (np.arange(h, dtype=np.uint8) % 256)[:, None]
+            px[:, :, 2] = (int(doc_id) * 31) % 256
+            payloads.append(f"P6\n{w} {h}\n255\n".encode() + px.tobytes())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def decode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode kernel: parse the P6 header, validate the pixel-buffer
+    length, reshape to (h, w, 3), reduce to per-channel means.  Unlike
+    ``fake_decode_batch`` (the placeholder for external codecs), nothing
+    here is stubbed — a wrong header parse, byte offset, or memory layout
+    produces wrong means and fails the closed-form oracle."""
+    import re
+
+    import numpy as np
+
+    hdr = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+255\s")
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "n_bytes", "mean_r", "mean_g", "mean_b")}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = hdr.match(payload)
+            if not m:
+                raise ValueError(f"doc {doc_id}: not a P6 PPM header")
+            w, h = int(m.group(1)), int(m.group(2))
+            px = np.frombuffer(payload, dtype=np.uint8, offset=m.end())
+            if px.size != w * h * 3:
+                raise ValueError(f"doc {doc_id}: pixel buffer {px.size} != {w}x{h}x3")
+            px = px.reshape(h, w, 3)
+            # integer sums < 2^53 are exact in float64 → means are exact,
+            # so the oracle can state them in closed form with no rounding
+            means = px.reshape(-1, 3).mean(axis=0, dtype=np.float64)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["n_bytes"].append(len(payload))
+            out["mean_r"].append(float(means[0]))
+            out["mean_g"].append(float(means[1]))
+            out["mean_b"].append(float(means[2]))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_decode_ppm",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars % 64 + 8 AS INT)  AS width,
+           CAST(doc_id % 48 + 8 AS INT)   AS height,
+           CAST(3 + length(CAST(n_chars % 64 + 8 AS VARCHAR)) + 1
+                  + length(CAST(doc_id % 48 + 8 AS VARCHAR)) + 1 + 4
+                  + 3 * (n_chars % 64 + 8) * (doc_id % 48 + 8) AS BIGINT) AS n_bytes,
+           CAST(doc_id % 256 AS DOUBLE)        AS mean_r,
+           (doc_id % 48 + 7) / 2.0             AS mean_g,
+           CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_b
+    FROM documents
+    """,
+    doc="REAL binary image decode, fully oracle-verified: synthesize a "
+    "deterministic P6 PPM per document (constant r/b planes, vertical "
+    "gradient g plane) in one distributed mapInPandas stage, decode it in "
+    "a second (header parse, buffer-length validation, (h,w,3) reshape, "
+    "per-channel means), and check dims/sizes/means against the DuckDB "
+    "closed forms.  This is the production multimodal pipeline shape with "
+    "nothing faked — fake_decode_batch remains only where a codec library "
+    "would be required.  Channel means are exact (integer sums < 2^53 in "
+    "float64), so the comparison needs no rounding slack.  At 100 TB the "
+    "two stages fuse into one narrow pass: bytes never shuffle, and the "
+    "payload is projected away right after decode.",
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = docs.mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(decode_ppm_batch, schema=PPM_DECODED_SCHEMA)

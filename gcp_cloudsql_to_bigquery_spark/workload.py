@@ -129,6 +129,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_json_variant",
     "sql_recursive_cte",
     "embedding_normalize_arrow",
+    "multimodal_decode_ppm",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -42,3 +42,20 @@ def test_metadata_query_prunes_payload(spark):
 def test_decode_projects_payload_away(spark):
     out = queries()["multimodal_decode_features"](spark, SF)
     assert "payload" not in out.columns
+
+
+def test_ppm_decode_rejects_corrupt_payloads():
+    """The real decoder must fail loudly on malformed headers and on
+    truncated pixel buffers — silent garbage means silent wrong features."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from gcp_cloudsql_to_bigquery_spark.operators.multimodal import decode_ppm_batch
+
+    bad_header = pd.DataFrame({"doc_id": [1], "payload": [b"JFIF\x00\x01garbage"]})
+    with _pytest.raises(ValueError, match="not a P6"):
+        list(decode_ppm_batch(iter([bad_header])))
+
+    truncated = pd.DataFrame({"doc_id": [2], "payload": [b"P6\n4 4\n255\n" + b"\x00" * 10]})
+    with _pytest.raises(ValueError, match="pixel buffer"):
+        list(decode_ppm_batch(iter([truncated])))
