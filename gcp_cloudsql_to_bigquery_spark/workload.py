@@ -130,6 +130,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "sql_recursive_cte",
     "embedding_normalize_arrow",
     "multimodal_decode_ppm",
+    "multimodal_decode_wav",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

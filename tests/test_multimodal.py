@@ -59,3 +59,25 @@ def test_ppm_decode_rejects_corrupt_payloads():
     truncated = pd.DataFrame({"doc_id": [2], "payload": [b"P6\n4 4\n255\n" + b"\x00" * 10]})
     with _pytest.raises(ValueError, match="pixel buffer"):
         list(decode_ppm_batch(iter([truncated])))
+
+
+def test_wav_decode_rejects_corrupt_payloads():
+    import struct
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from gcp_cloudsql_to_bigquery_spark.operators.multimodal import decode_wav_batch
+
+    not_riff = pd.DataFrame({"doc_id": [1], "payload": [b"OggS" + b"\x00" * 40]})
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        list(decode_wav_batch(iter([not_riff])))
+
+    # valid container, no data chunk
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    headless = pd.DataFrame(
+        {"doc_id": [2], "payload": [b"RIFF" + struct.pack("<I", len(body)) + body]}
+    )
+    with _pytest.raises(ValueError, match="missing fmt/data"):
+        list(decode_wav_batch(iter([headless])))
