@@ -136,3 +136,60 @@ def test_zorder_layout_tightens_file_stats_on_both_dims(spark, tmp_path):
         avg_span(zord, "tsec"),
         avg_span(naive, "tsec"),
     )
+
+
+def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
+    """AQE skew-join is the no-code-change complement to the manual salted
+    join (operators/scale.py): with one key carrying ~90% of the rows, the
+    runtime must detect the oversized shuffle partition and split it
+    (final adaptive plan marks the SMJ with skew=true).  Thresholds are
+    scaled down so sf-fixture partitions are 'skewed' by the same ratios
+    that trigger at TB scale.
+
+    Three shapes the rule requires, learned the hard way: (1) both join
+    children must be plain Sort+ShuffleStage — an aggregate (e.g.
+    .distinct()) between the shuffle and the join blocks the rewrite;
+    (2) a skewed reduce partition is split along MAP-output boundaries,
+    so the skewed side must come from multiple map tasks (a single-file
+    table cannot be split at all — at real scale thousands of map tasks
+    make this a non-issue, locally we write with 8); (3) the inspected
+    DataFrame must be the one executed (count() plans a different tree
+    and leaves this one's adaptive plan un-finalized).  Incompressible
+    padding matters too: partition sizes are compressed shuffle bytes."""
+    import pyspark.sql.functions as SF
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, "/root/testdata/sf0.01", "lineitem").select(
+            SF.when(SF.col("l_orderkey") % 10 < 9, 0)
+            .otherwise(SF.col("l_orderkey"))
+            .alias("k"),
+            SF.sha2(
+                SF.concat_ws("-", "l_orderkey", "l_linenumber", "l_extendedprice"), 512
+            ).alias("pad"),
+        )
+        li.repartition(8).write.mode("overwrite").parquet(str(tmp_path / "skewed"))
+        li.select("k").distinct().withColumnRenamed("k", "k2").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "keys"))
+        big = spark.read.parquet(str(tmp_path / "skewed"))
+        keys = spark.read.parquet(str(tmp_path / "keys"))
+        j = big.join(keys, SF.col("k") == SF.col("k2"))
+        assert len(j.collect()) == 60000
+        final_plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan, final_plan[:500]
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
