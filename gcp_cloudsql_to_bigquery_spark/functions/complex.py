@@ -456,3 +456,34 @@ def embedding_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInArrow(kernel, schema="vec_id long, l2_norm double, unit_first double")
+
+
+_LISTAGG_SQL = """
+SELECT s_nationkey,
+       count(*) AS n_supp,
+       listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name) AS supplier_roster
+FROM supplier
+GROUP BY s_nationkey
+"""
+
+
+@register(
+    "fn_listagg",
+    oracle="""
+    SELECT s_nationkey,
+           count(*) AS n_supp,
+           string_agg(s_name, '|' ORDER BY s_name) AS supplier_roster
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+    doc="SQL-standard ordered string aggregation (Spark 4.0 listagg WITHIN "
+    "GROUP): per-nation supplier roster in deterministic name order — the "
+    "ordering clause is what makes a string aggregate reproducible across "
+    "partitionings (an unordered listagg/collect_list concat is "
+    "run-dependent at any scale).  Complements elt_table_list_fold, which "
+    "builds the same shape from primitives (concat_ws . sort . "
+    "collect_list).",
+)
+def fn_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_LISTAGG_SQL)

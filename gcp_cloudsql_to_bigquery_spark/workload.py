@@ -131,6 +131,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "embedding_normalize_arrow",
     "multimodal_decode_ppm",
     "multimodal_decode_wav",
+    "fn_listagg",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
