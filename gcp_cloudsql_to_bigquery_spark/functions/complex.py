@@ -334,7 +334,7 @@ def fn_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
            count(CASE WHEN json_extract_string(props, '$.missing') IS NULL

@@ -151,7 +151,7 @@ def elt_schema_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT count(*) AS n_rows,
            count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS nulls_status,
-           0 AS nulls_orderkey
+           CAST(0 AS BIGINT) AS nulls_orderkey
     FROM orders WHERE o_orderkey <= 1000
     """,
     doc="Op #21 (post-load row-count check) as a FIRST-CLASS observed "

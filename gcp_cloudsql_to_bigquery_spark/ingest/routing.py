@@ -98,8 +98,10 @@ def elt_file_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data exports are directories of part files; route at the logical level,
     # relative to the export base so the result is layout- not tempdir-keyed
     logical = sorted(
-        os.path.relpath(p if "/schemas/" in p else os.path.dirname(p), base)
-        for p in set(paths)
+        {
+            os.path.relpath(p if "/schemas/" in p else os.path.dirname(p), base)
+            for p in paths
+        }
     )
-    listing = spark.createDataFrame([(p,) for p in sorted(set(logical))], "path string")
+    listing = spark.createDataFrame([(p,) for p in logical], "path string")
     return route_files(listing).orderBy("path")

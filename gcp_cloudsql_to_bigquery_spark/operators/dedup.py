@@ -535,7 +535,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     "dedup_incremental_index",
     oracle="""
     WITH cut AS (
-      SELECT CAST(max(doc_id) * 7 / 10 AS BIGINT) AS c FROM documents
+      SELECT CAST(floor(max(doc_id) * 7 / 10) AS BIGINT) AS c FROM documents
     ),
     fp AS (
       SELECT doc_id,
@@ -571,7 +571,9 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary")
     )
     fps = d.select("doc_id", fp.alias("fp"))
-    cut = d.agg((F.max("doc_id") * 7 / 10).cast("bigint").alias("c"))
+    # floor() explicitly on BOTH sides: Spark's cast truncates but DuckDB's
+    # CAST rounds-to-nearest, so a bare cast diverges when the fraction >= .5
+    cut = d.agg(F.floor(F.max("doc_id") * 7 / 10).cast("bigint").alias("c"))
     bound = fps.crossJoin(F.broadcast(cut))
 
     index_dir = tempfile.mkdtemp(prefix="fp_index_") + "/index"

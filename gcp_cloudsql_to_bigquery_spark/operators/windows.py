@@ -384,6 +384,9 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOURLY_CACHE: list[DataFrame] = []
+
+
 @register(
     "ts_hypertable_rollup",
     oracle="""
@@ -397,12 +400,12 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grains AS (
       SELECT 'day' AS grain, CAST(date_trunc('day', h) AS TIMESTAMP) AS bucket, event_type,
-             sum(n) AS n, sum(v_c) AS v_c,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(v_c) AS BIGINT) AS v_c,
              min(vmin_c) AS vmin_c, max(vmax_c) AS vmax_c
       FROM hourly GROUP BY bucket, event_type
       UNION ALL
       SELECT 'week' AS grain, CAST(date_trunc('week', h) AS TIMESTAMP) AS bucket, event_type,
-             sum(n) AS n, sum(v_c) AS v_c,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(v_c) AS BIGINT) AS v_c,
              min(vmin_c) AS vmin_c, max(vmax_c) AS vmax_c
       FROM hourly GROUP BY bucket, event_type
     )
@@ -442,6 +445,12 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    # bound the cache across invocations: the result plan needs THIS
+    # hourly InMemoryRelation, but a long-lived session re-running the
+    # registry would otherwise accumulate one pinned copy per call
+    while _HOURLY_CACHE:
+        _HOURLY_CACHE.pop().unpersist()
+    _HOURLY_CACHE.append(hourly)
 
     def regrain(grain: str) -> DataFrame:
         return (

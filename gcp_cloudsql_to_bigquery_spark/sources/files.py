@@ -150,7 +150,7 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            count(*)        AS n_docs,
            count(n_chars)  AS n_with_chars,
-           sum(n_chars)    AS sum_chars
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
     FROM merged GROUP BY lang
     """,
     doc="Schema evolution across ingestion batches: a v1 batch (doc_id, "

@@ -139,7 +139,7 @@ def read_sentinel_csv_source(spark: SparkSession, path: str) -> DataFrame:
 @register(
     "src_python_datasource",
     oracle="""
-    SELECT c_nationkey AS nation,
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
            count(*) AS n_cust,
            count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_null_segment,
            round(sum(c_acctbal), 2) AS total_bal

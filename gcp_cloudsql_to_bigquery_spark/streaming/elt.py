@@ -97,7 +97,7 @@ def run_streaming_elt(
 @register(
     "stream_elt_file_arrival",
     oracle="""
-    SELECT c_nationkey AS nation,
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
            count(*) AS n_cust,
            count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_null_segment,
            round(sum(c_acctbal), 2) AS total_bal

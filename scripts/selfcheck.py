@@ -50,6 +50,45 @@ def rowset(cols, rows):
     )
 
 
+# DuckDB result type -> Spark simpleString types the driver's TYPE-SENSITIVE
+# value hash treats as equal.  Anything outside this table (HUGEINT above
+# all — DuckDB's sum(BIGINT) widens to it silently) flips the hash on
+# value-identical results; that exact mismatch made q12 red in round 1.
+_TYPE_PARITY: dict[str, set[str]] = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "SMALLINT": {"smallint"},
+    "TINYINT": {"tinyint"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "BOOLEAN": {"boolean"},
+    "DATE": {"date"},
+    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
+    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
+    "BLOB": {"binary"},
+}
+
+
+def type_mismatches(con, sql: str, spark_schema) -> list[str]:
+    """Compare oracle result types (free: DESCRIBE doesn't execute) against
+    the Spark result schema, column-name-matched."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    duck = {row[0]: row[1] for row in desc}
+    spark_types = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    problems = []
+    for name, dtype in duck.items():
+        stype = spark_types.get(name)
+        if stype is None:
+            continue  # column-name diffs are reported separately
+        allowed = _TYPE_PARITY.get(dtype)
+        if dtype.startswith("DECIMAL"):
+            allowed = {dtype.lower().replace(" ", "")}
+        if allowed is None or stype not in allowed:
+            problems.append(f"{name}: duckdb {dtype} vs spark {stype}")
+    return problems
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
@@ -98,6 +137,9 @@ def main() -> int:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        tmis = type_mismatches(con, oracles[name], sdf.schema)
+        if tmis:
+            problems.append("TYPE " + "; ".join(tmis))
         if not problems:
             s, o = rowset(scols, srows), rowset(ocols, orows)
             if s != o:
