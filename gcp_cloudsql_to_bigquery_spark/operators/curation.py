@@ -30,8 +30,9 @@ from ..registry import register
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (
-      SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                    ROWS UNBOUNDED PRECEDING) AS sess_id
+      SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS sess_id
       FROM marked
     )
     SELECT user_id, sess_id, min(ts) AS sess_start, max(ts) AS sess_end,
@@ -225,7 +226,7 @@ def curation_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, n_tok,
            CAST(floor(tok_before / 2048.0) AS BIGINT) AS pack_id,
-           tok_before % 2048 AS pack_offset
+           CAST(tok_before % 2048 AS BIGINT) AS pack_offset
     FROM c
     """,
     doc="Sequence packing: concatenate documents in doc_id order and cut "

@@ -50,29 +50,45 @@ def rowset(cols, rows):
     )
 
 
-# DuckDB result type -> Spark simpleString types the driver's TYPE-SENSITIVE
-# value hash treats as equal.  Anything outside this table (HUGEINT above
-# all — DuckDB's sum(BIGINT) widens to it silently) flips the hash on
-# value-identical results; that exact mismatch made q12 red in round 1.
-_TYPE_PARITY: dict[str, set[str]] = {
-    "BIGINT": {"bigint"},
-    "INTEGER": {"int"},
-    "SMALLINT": {"smallint"},
-    "TINYINT": {"tinyint"},
-    "DOUBLE": {"double"},
-    "FLOAT": {"float"},
-    "VARCHAR": {"string"},
-    "BOOLEAN": {"boolean"},
-    "DATE": {"date"},
-    "TIMESTAMP": {"timestamp", "timestamp_ntz"},
-    "TIMESTAMP WITH TIME ZONE": {"timestamp"},
-    "BLOB": {"binary"},
+# Oracle-vs-Spark result-type parity, calibrated against actual driver
+# verdicts: the gate's value compare canonicalizes fetched cells to Python
+# objects, so INT WIDTH does not matter (window_ranking's BIGINT rnk vs
+# Spark int has a driver-green r1 row; dedup_simhash's TINYINT hamming is
+# green r3).  What DOES flip it is DuckDB's silent widening to HUGEINT
+# (sum/cumulative-sum over BIGINT) and DECIMAL results — those fetch as
+# decimal.Decimal, not int, and that exact divergence made q12 red in
+# round 1 (fixed by CAST ... AS BIGINT).  So: compare by KIND CLASS, and
+# treat decimal-kinds as mismatching any non-decimal Spark type.
+_KIND: dict[str, str] = {
+    # duckdb
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "HUGEINT": "decimal", "UHUGEINT": "decimal",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date", "BLOB": "bytes",
+    "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    # spark simpleStrings
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "date": "date", "binary": "bytes",
+    "timestamp": "ts", "timestamp_ntz": "ts",
 }
+
+
+def _kind(t: str) -> str:
+    t = t.strip()
+    if t.endswith("[]"):
+        return "array<" + _kind(t[:-2]) + ">"
+    if t.startswith("array<") and t.endswith(">"):
+        return "array<" + _kind(t[6:-1]) + ">"
+    if t.upper().startswith("DECIMAL") or t.lower().startswith("decimal"):
+        return "decimal"
+    return _KIND.get(t, _KIND.get(t.upper(), t))
 
 
 def type_mismatches(con, sql: str, spark_schema) -> list[str]:
     """Compare oracle result types (free: DESCRIBE doesn't execute) against
-    the Spark result schema, column-name-matched."""
+    the Spark result schema, column-name-matched, by kind class."""
     desc = con.execute(f"DESCRIBE {sql}").fetchall()
     duck = {row[0]: row[1] for row in desc}
     spark_types = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
@@ -81,10 +97,7 @@ def type_mismatches(con, sql: str, spark_schema) -> list[str]:
         stype = spark_types.get(name)
         if stype is None:
             continue  # column-name diffs are reported separately
-        allowed = _TYPE_PARITY.get(dtype)
-        if dtype.startswith("DECIMAL"):
-            allowed = {dtype.lower().replace(" ", "")}
-        if allowed is None or stype not in allowed:
+        if _kind(dtype) != _kind(stype):
             problems.append(f"{name}: duckdb {dtype} vs spark {stype}")
     return problems
 
