@@ -487,3 +487,43 @@ GROUP BY s_nationkey
 def fn_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(_LISTAGG_SQL)
+
+
+@register(
+    "fn_array_higher_order",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(e2, x -> x > 0))                         AS n_pos,
+           list_aggregate(list_transform(e2, x -> CAST(x > 1.5 AS BOOLEAN)),
+                          'bool_or')                                AS any_big,
+           list_aggregate(list_transform(e2, x -> CAST(abs(x) < 10 AS BOOLEAN)),
+                          'bool_and')                               AS all_small,
+           round(CAST(list_sum(list_sort(e2, 'DESC')[1:3]) AS DOUBLE), 4)
+                                                                    AS top3_sum
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e2 FROM embeddings)
+    """,
+    doc="Higher-order array functions over the embedding column: filter "
+    "(positive-component count), exists / forall (predicate folds), and "
+    "sort_array + slice + aggregate (top-3 component sum) — the lambda "
+    "family that keeps vector predicates JVM-side in whole-stage codegen "
+    "instead of falling back to Python.  Completes the higher-order "
+    "surface next to fn_map_higher_order (maps) and fn_array_advanced "
+    "(transform/fold).",
+)
+def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.exists(emb, lambda x: x > 1.5).alias("any_big"),
+        F.forall(emb, lambda x: F.abs(x) < 10).alias("all_small"),
+        F.round(
+            F.aggregate(
+                F.slice(F.sort_array(emb, asc=False), 1, 3),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("top3_sum"),
+    )
