@@ -475,3 +475,43 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vmax_c") / 100.0).alias("max_value"),
         F.floor(F.col("v_c") * 100.0 / F.col("n") + 0.5).cast("bigint").alias("avg_value_x10k"),
     )
+
+
+@register(
+    "window_session_batch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) ts,
+             CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                       OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                          > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+    doc="session_window() in BATCH aggregation — the third sessionization "
+    "surface next to the streaming form (stream_session_window, same "
+    "semantics incrementally) and the manual gaps-and-islands rewrite "
+    "(sessionize_batch, two window passes).  The built-in compiles to a "
+    "single user-keyed shuffle with the session merge inside the "
+    "aggregate — no lag/cumsum window chain — which is the plan you want "
+    "when only per-session aggregates (not per-event session ids) are "
+    "needed at 100 TB.  Oracle is the gaps-and-islands rewrite.",
+)
+def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return agg.select(
+        "user_id", F.col("session_window.start").alias("sess_start"), "n_events"
+    )

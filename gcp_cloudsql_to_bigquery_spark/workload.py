@@ -133,6 +133,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "multimodal_decode_wav",
     "fn_listagg",
     "fn_array_higher_order",
+    "window_session_batch",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
