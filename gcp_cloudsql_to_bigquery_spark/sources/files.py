@@ -252,3 +252,35 @@ def write_zordered(df: DataFrame, path: str, a: str, b: str, n_files: int = 8) -
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+@register(
+    "src_xml_roundtrip",
+    oracle="""
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+           CAST(s_nationkey AS BIGINT) AS s_nationkey,
+           round(s_acctbal, 2) AS bal
+    FROM supplier
+    """,
+    doc="XML sink → schema-applied XML source round-trip (XML is a "
+    "BUILT-IN data source since Spark 4.0 — no spark-xml jar).  Explicit "
+    "rowTag + schema: XML inference is a full extra pass at 100 TB, and "
+    "tag-per-row layouts split cleanly across tasks like any text "
+    "format.  Oracle states the expected rows from the base table, "
+    "proving the trip is lossless.",
+)
+def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+        F.round("s_acctbal", 2).alias("bal"),
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="src_xml_"), "supplier_xml")
+    s.write.mode("overwrite").option("rowTag", "supplier").format("xml").save(out)
+    return (
+        spark.read.option("rowTag", "supplier")
+        .schema("s_suppkey bigint, s_name string, s_nationkey bigint, bal double")
+        .format("xml")
+        .load(out)
+    )

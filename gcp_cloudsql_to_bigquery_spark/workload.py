@@ -134,6 +134,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_listagg",
     "fn_array_higher_order",
     "window_session_batch",
+    "src_xml_roundtrip",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
