@@ -453,3 +453,37 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.day_spend").alias("day_spend"),
         )
     )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT n.n_nationkey, n.n_name, c.c_custkey, round(c.c_acctbal, 2) AS bal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal
+      FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 2
+    ) c
+    """,
+    doc="DataFrame lateral join (Spark 4 lateralJoin + .outer() correlated "
+    "references): top-2 customers per nation via a per-row correlated "
+    "subquery — the SQL-standard LATERAL shape.  Catalyst decorrelates "
+    "the correlated limit into a rank-window plan, so execution is a "
+    "single per-key top-n pass (the topk_per_group shape), NOT a "
+    "re-executed subquery per outer row — which is what makes LATERAL "
+    "usable against a 100 TB inner table.",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    inner = (
+        c.where(F.col("c_nationkey") == F.col("n_nationkey").outer())
+        .orderBy(F.col("c_acctbal").desc(), "c_custkey")
+        .limit(2)
+        .select("c_custkey", "c_acctbal")
+    )
+    return n.lateralJoin(inner).select(
+        "n_nationkey", "n_name", "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )

@@ -135,6 +135,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_array_higher_order",
     "window_session_batch",
     "src_xml_roundtrip",
+    "join_lateral_topn",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
