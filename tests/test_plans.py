@@ -219,3 +219,20 @@ def test_heavy_hitters_verify_is_broadcast_semi(spark):
     plan = inspect.physical_plan(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert inspect.sort_merge_join_count(df) == 0, plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    # the correlated LIMIT inside lateralJoin must decorrelate to a
+    # per-key rank plan (WindowGroupLimit) joined hash-wise — a nested
+    # loop here re-executes the inner query per outer row
+    df = queries()["join_lateral_topn"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_session_window_batch_single_exchange(spark):
+    # built-in session_window in batch mode: session merge runs inside
+    # the aggregate on one user-keyed shuffle — no lag/cumsum window chain
+    df = queries()["window_session_batch"](spark, SF)
+    assert inspect.exchange_count(df) == 1, inspect.physical_plan(df)
