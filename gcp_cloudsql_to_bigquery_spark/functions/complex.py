@@ -527,3 +527,42 @@ def fn_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("top3_sum"),
     )
+
+
+@register(
+    "fn_udtf_table_argument",
+    oracle="""
+    SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    doc="Polymorphic table function: a Python UDTF taking a TABLE argument "
+    "with PARTITION BY (Spark 3.5+) — the engine shuffles documents by "
+    "lang, streams each partition's rows through eval(), and terminate() "
+    "emits one summary row per partition.  This is the escape hatch for "
+    "per-group algorithms that aren't expressible as aggregates (state "
+    "machines, sequence models) while keeping the partitioning contract "
+    "declarative; here the kernel is a simple count/sum so the batch "
+    "GROUP BY is an exact oracle.  Same shuffle shape as applyInPandas, "
+    "but addressable from pure SQL.",
+)
+def fn_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n bigint, total_chars bigint")
+    class LangStats:
+        def __init__(self) -> None:
+            self.lang, self.n, self.chars = None, 0, 0
+
+        def eval(self, row) -> None:
+            self.lang = row["lang"]
+            self.n += 1
+            self.chars += int(row["n_chars"])
+
+        def terminate(self):
+            if self.lang is not None:
+                yield self.lang, self.n, self.chars
+
+    spark.udtf.register("lang_stats", LangStats)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql("SELECT * FROM lang_stats(TABLE(documents) PARTITION BY lang)")

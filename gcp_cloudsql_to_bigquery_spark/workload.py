@@ -136,6 +136,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "window_session_batch",
     "src_xml_roundtrip",
     "join_lateral_topn",
+    "fn_udtf_table_argument",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
