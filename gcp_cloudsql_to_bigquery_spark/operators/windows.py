@@ -435,6 +435,12 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
+    # bound the cache across invocations — and evict BEFORE persisting:
+    # a re-invocation builds the SAME logical plan, so persist-then-evict
+    # would first no-op ("already cached") and then uncache that shared
+    # plan, leaving every call after the first running without the cache
+    while _HOURLY_CACHE:
+        _HOURLY_CACHE.pop().unpersist()
     hourly = (
         ev.groupBy("h", "event_type")
         .agg(
@@ -445,11 +451,6 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    # bound the cache across invocations: the result plan needs THIS
-    # hourly InMemoryRelation, but a long-lived session re-running the
-    # registry would otherwise accumulate one pinned copy per call
-    while _HOURLY_CACHE:
-        _HOURLY_CACHE.pop().unpersist()
     _HOURLY_CACHE.append(hourly)
 
     def regrain(grain: str) -> DataFrame:
@@ -484,7 +485,7 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(ts AS TIMESTAMP) ts,
              CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                        OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
-                          > INTERVAL '30 minutes'
+                          >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -498,7 +499,10 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, min(ts) AS sess_start, count(*) AS n_events
     FROM sess GROUP BY user_id, sess_id
     """,
-    doc="session_window() in BATCH aggregation — the third sessionization "
+    doc="session_window() in BATCH aggregation (oracle shares the "
+    "gaps-and-islands shape with sessionize_batch in curation.py, but "
+    "with >= at the gap: the built-in starts a NEW session when an event "
+    "arrives exactly gap after the previous one) — the third sessionization "
     "surface next to the streaming form (stream_session_window, same "
     "semantics incrementally) and the manual gaps-and-islands rewrite "
     "(sessionize_batch, two window passes).  The built-in compiles to a "

@@ -149,10 +149,13 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_window",
     oracle="""
     WITH marked AS (
+      -- >= not >: session_window treats an event arriving EXACTLY gap
+      -- after the previous one as a NEW session (merge requires next
+      -- start strictly before current end)
       SELECT user_id, CAST(ts AS TIMESTAMP) ts,
              CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                        OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
-                          > INTERVAL '30 minutes'
+                          >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)

@@ -195,7 +195,11 @@ def test_q17_window_decorrelation_single_shuffle_for_avg(spark):
 def test_hypertable_rollup_regrains_from_cached_hourly(spark):
     # the grain hierarchy must re-aggregate the persisted HOURLY rollup,
     # never rescan the raw fact per grain: both union branches read the
-    # InMemoryRelation (the materialized-continuous-aggregate stand-in)
+    # InMemoryRelation (the materialized-continuous-aggregate stand-in).
+    # Invoke TWICE: re-invocation rebuilds the same logical plan, and a
+    # wrong cache-eviction order (persist new, then unpersist old) would
+    # silently uncache it from the second call onward.
+    queries()["ts_hypertable_rollup"](spark, SF)
     df = queries()["ts_hypertable_rollup"](spark, SF)
     plan = inspect.physical_plan(df)
     assert plan.count("InMemoryTableScan") == 2, plan
