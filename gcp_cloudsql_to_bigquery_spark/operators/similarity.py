@@ -258,13 +258,58 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= K)
 
 
+_IVF_ORACLE = """
+    WITH anchors AS (
+      SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av
+      FROM embeddings WHERE vec_id < 16
+    ),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    scored AS (  -- micro-quantized cosine of every vector vs every anchor
+      SELECT v.vec_id, a.aid,
+             CAST(floor(list_cosine_similarity(v.v, a.av) * 1e6 + 0.5) AS BIGINT) AS cm
+      FROM v CROSS JOIN anchors a
+    ),
+    assign AS (  -- nearest cell, ties to the lowest anchor id
+      SELECT vec_id, aid AS cell FROM (
+        SELECT vec_id, aid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cm DESC, aid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    qprobe AS (  -- each query probes its 4 nearest cells
+      SELECT vec_id AS query_id, aid AS cell FROM (
+        SELECT vec_id, aid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cm DESC, aid) AS rn
+        FROM scored WHERE vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a2.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+      FROM qprobe p
+      JOIN assign a2 ON a2.cell = p.cell
+      JOIN v q ON q.vec_id = p.query_id
+      JOIN v c ON c.vec_id = a2.vec_id
+      WHERE a2.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM cand
+    ) WHERE rnk <= 5
+    """
+
+
 @register(
     "ann_ivf_topk",
-    oracle=None,  # probe-limited search is approximate by design; recall vs
-    # brute force asserted in tests/test_similarity.py
+    oracle=_IVF_ORACLE,
     doc="IVF-style ANN: corpus vectors assigned to their nearest of 16 "
     "anchor 'centroids' (broadcast); each query probes its 4 nearest cells "
     "and exact-scores only those candidates (numpy GEMM per cell group). "
+    "Cell assignment and probe ordering are micro-quantized "
+    "(floor(cos*1e6+0.5), ties to lowest anchor id) so the probe set is "
+    "bit-deterministic and replicated exactly by the SQL oracle. "
     "At 100 TB: centroids come from offline k-means, cells are partitions, "
     "a query touches nprobe/ncells of the corpus instead of all of it.",
 )
@@ -287,14 +332,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def nearest_cell(vs: pd.Series) -> pd.Series:
         m = np.stack(vs.to_numpy())
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+        cm = np.floor(m @ bc.value.T * 1e6 + 0.5)
+        return pd.Series(np.argmax(cm, axis=1).astype("int32"))
 
     assigned = e.withColumn("cell", nearest_cell("v"))
     queries_df = assigned.filter(F.col("vec_id") < 10).collect()
     q_ids = np.array([r["vec_id"] for r in queries_df])
     q_mat = np.stack([np.asarray(r["v"]) for r in queries_df])
     q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    probe_cells = np.argsort(-(q_unit @ cent_unit.T), axis=1)[:, :N_PROBE]
+    q_cm = np.floor(q_unit @ cent_unit.T * 1e6 + 0.5)
+    # stable sort: equal-cm ties resolve to the lowest anchor id, matching
+    # the oracle's ORDER BY cm DESC, aid
+    probe_cells = np.argsort(-q_cm, axis=1, kind="stable")[:, :N_PROBE]
     # (query, cell) probe list — broadcast to the cell-partitioned corpus
     probes = e.sparkSession.createDataFrame(
         [
@@ -397,18 +446,29 @@ def kmeans_train(e: DataFrame, k: int = 16, iters: int = 3):
       partial-aggregated shuffle of k·d running means, collect k·d doubles
       to the driver (centroids, never data rows).
 
+    Every float that feeds a decision is MICRO-QUANTIZED
+    (``floor(x*1e6+0.5)/1e6``): centroid components after each
+    normalize/mean step, and the assignment cosine before the argmax
+    (ties to the lowest cell id).  That makes the whole training run
+    bit-replicable by an unrolled SQL oracle — distributed-summation
+    order no longer leaks into any comparison — at a centroid precision
+    loss (1e-6) far below any recall effect.
+
     Driver holds only centroids — the classic scalable k-means shape
     (Spark MLlib's KMeans does the same rounds with the same broadcast).
-    Returns (unit-normalized centroid ndarray, assigned DataFrame).
+    Returns (unit-normalized quantized centroid ndarray, assigned DataFrame).
     """
     import numpy as np
+
+    def unit_quant(m: "np.ndarray") -> "np.ndarray":
+        u = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return np.floor(u * 1e6 + 0.5) / 1e6
 
     init = sorted(
         (r["vec_id"], np.asarray(r["v"]))
         for r in e.orderBy("vec_id").limit(k).collect()
     )
-    cent = np.stack([v for _, v in init])
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    cent = unit_quant(np.stack([v for _, v in init]))
     sc = e.sparkSession.sparkContext
 
     def assign(centroids):
@@ -418,7 +478,9 @@ def kmeans_train(e: DataFrame, k: int = 16, iters: int = 3):
         def nearest(vs: pd.Series) -> pd.Series:
             m = np.stack(vs.to_numpy())
             m = m / np.linalg.norm(m, axis=1, keepdims=True)
-            return pd.Series(np.argmax(m @ bc.value.T, axis=1).astype("int32"))
+            cu = bc.value / np.linalg.norm(bc.value, axis=1, keepdims=True)
+            cm = np.floor(m @ cu.T * 1e6 + 0.5)
+            return pd.Series(np.argmax(cm, axis=1).astype("int32"))
 
         return e.withColumn("cell", nearest("v"))
 
@@ -435,25 +497,96 @@ def kmeans_train(e: DataFrame, k: int = 16, iters: int = 3):
         for r in means:
             by_cell.setdefault(r["cell"], {})[r["dim"]] = r["m"]
         for c, dims in by_cell.items():
-            vec = np.array([dims[i] for i in range(len(dims))])
+            vec = np.floor(np.array([dims[i] for i in range(len(dims))]) * 1e6 + 0.5) / 1e6
             n = np.linalg.norm(vec)
             if n > 0:
-                new[c] = vec / n
+                new[c] = unit_quant(vec[None, :])[0]
         cent = new
     # assignment under the FINAL centroids (one extra narrow pass)
     return cent, assign(cent)
 
 
+def _ivf_kmeans_oracle(k: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled-Lloyd DuckDB oracle for ``ann_ivf_kmeans_topk``: each
+    iteration is one assign-CTE (micro-quantized cosine argmax, ties to
+    lowest cell) + one recompute-CTE (per-dim mean → micro-quant →
+    normalize → micro-quant; empty cells keep the previous centroid),
+    replicating ``kmeans_train`` decision-for-decision."""
+    parts = [
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        f"dims AS (SELECT CAST(range AS INT) + 1 AS dim FROM range({dim})),",
+        # init: unit-normalize the first k vectors, micro-quantize
+        "c0 AS (SELECT vec_id AS cell,"
+        " list_transform(v, x -> floor(x / sqrt(list_dot_product(v, v)) * 1e6 + 0.5)/1e6) AS c"
+        f" FROM v WHERE vec_id < {k}),",
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i-1}"
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cell FROM ("
+            f" SELECT v.vec_id, c.cell,"
+            f" row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+            f" floor(list_cosine_similarity(v.v, c.c)*1e6+0.5) DESC, c.cell) AS rn"
+            f" FROM v CROSS JOIN {prev} c) WHERE rn = 1),"
+        )
+        parts.append(
+            f"m{i} AS (SELECT a.cell, d.dim, floor(avg(v.v[d.dim])*1e6+0.5)/1e6 AS mq"
+            f" FROM a{i} a JOIN v USING (vec_id) CROSS JOIN dims d"
+            f" GROUP BY a.cell, d.dim),"
+        )
+        parts.append(
+            f"n{i} AS (SELECT cell, list(mq ORDER BY dim) AS mv FROM m{i} GROUP BY cell),"
+        )
+        parts.append(
+            f"c{i} AS (SELECT p.cell, CASE WHEN n.mv IS NULL THEN p.c ELSE"
+            f" list_transform(n.mv, x -> floor(x / sqrt(list_dot_product(n.mv, n.mv)) * 1e6 + 0.5)/1e6)"
+            f" END AS c FROM {prev} p LEFT JOIN n{i} n USING (cell)),"
+        )
+    final = f"c{iters}"
+    parts.append(
+        f"af AS (SELECT vec_id, cell FROM ("
+        f" SELECT v.vec_id, c.cell,"
+        f" row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+        f" floor(list_cosine_similarity(v.v, c.c)*1e6+0.5) DESC, c.cell) AS rn"
+        f" FROM v CROSS JOIN {final} c) WHERE rn = 1),"
+    )
+    parts.append(
+        f"qprobe AS (SELECT vec_id AS query_id, cell FROM ("
+        f" SELECT v.vec_id, c.cell,"
+        f" row_number() OVER (PARTITION BY v.vec_id ORDER BY"
+        f" floor(list_cosine_similarity(v.v, c.c)*1e6+0.5) DESC, c.cell) AS rn"
+        f" FROM v CROSS JOIN {final} c WHERE v.vec_id < 10) WHERE rn <= 4),"
+    )
+    parts.append(
+        "cand AS (SELECT p.query_id, a2.vec_id AS neighbor_id,"
+        " round(list_cosine_similarity(q.v, c.v), 6) AS cosine"
+        " FROM qprobe p JOIN af a2 ON a2.cell = p.cell"
+        " JOIN v q ON q.vec_id = p.query_id"
+        " JOIN v c ON c.vec_id = a2.vec_id"
+        " WHERE a2.vec_id <> p.query_id)"
+    )
+    parts.append(
+        "SELECT query_id, neighbor_id, cosine, rnk FROM ("
+        " SELECT query_id, neighbor_id, cosine,"
+        " row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, neighbor_id) AS rnk"
+        " FROM cand) WHERE rnk <= 5"
+    )
+    return "\n".join(parts)
+
+
 @register(
     "ann_ivf_kmeans_topk",
-    oracle=None,  # probe-limited search over trained cells is approximate by
-    # design; recall vs brute force asserted in tests/test_similarity.py
+    oracle=_ivf_kmeans_oracle(),
     doc="IVF with TRAINED centroids: 3 distributed Lloyd's iterations "
     "(kmeans_train — broadcast-centroid argmin assignment + partial-agg "
     "mean recompute, driver sees only k*d doubles per round), then the "
     "probe search of ann_ivf_topk over the learned cells (4 of 16 probed). "
-    "Balanced trained cells beat the arbitrary-anchor cells: fewer empty "
-    "cells, tighter candidate sets at equal recall.",
+    "Training is micro-quantized at every decision point, so the EXACT "
+    "oracle replays all 3 Lloyd rounds as unrolled SQL CTEs "
+    "(_ivf_kmeans_oracle). Balanced trained cells beat the "
+    "arbitrary-anchor cells: fewer empty cells, tighter candidate sets at "
+    "equal recall.",
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -462,12 +595,14 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cent_unit, assigned = kmeans_train(e, k=N_CELLS, iters=3)
+    cent, assigned = kmeans_train(e, k=N_CELLS, iters=3)
+    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     queries_df = assigned.filter(F.col("vec_id") < 10).collect()
     q_ids = np.array([r["vec_id"] for r in queries_df])
     q_mat = np.stack([np.asarray(r["v"]) for r in queries_df])
     q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    probe_cells = np.argsort(-(q_unit @ cent_unit.T), axis=1)[:, :N_PROBE]
+    q_cm = np.floor(q_unit @ cent_unit.T * 1e6 + 0.5)
+    probe_cells = np.argsort(-q_cm, axis=1, kind="stable")[:, :N_PROBE]
     probes = spark.createDataFrame(
         [
             (int(q_ids[i]), [float(x) for x in q_mat[i]], int(c))
@@ -501,7 +636,8 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_micro,
-           list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT)) AS q,
+           array_to_string(list_transform(v,
+                 x -> CAST(CAST(floor(x / scale * 127 + 0.5) AS INT) AS VARCHAR)), ',') AS q,
            CAST(floor(list_max(list_transform(v,
                  x -> abs(x - floor(x / scale * 127 + 0.5) * scale / 127)))
                  * 1e6 + 0.5) AS BIGINT) AS err_micro
@@ -513,7 +649,11 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "All rounding is floor(y+0.5) and the float outputs are reported as "
     "integer microunits on BOTH sides (identical doubles -> identical "
     "floor), avoiding the Spark-HALF_UP vs DuckDB-exact-binary round() "
-    "divergence on .5 boundaries.  Narrow per-row transform, zero shuffle.",
+    "divergence on .5 boundaries.  The int8 vector is serialized as a "
+    "comma-joined string on both sides: the driver comparator canonicalizes "
+    "via pandas sort_values, which cannot hash ndarray cells — scalar "
+    "columns keep the query gate-compatible.  Narrow per-row transform, "
+    "zero shuffle.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
@@ -533,6 +673,6 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "vec_id",
         F.floor(F.col("scale") * 1e6 + 0.5).alias("scale_micro"),
-        quant.alias("q"),
+        F.array_join(quant.cast("array<string>"), ",").alias("q"),
         F.floor(err * 1e6 + 0.5).alias("err_micro"),
     )

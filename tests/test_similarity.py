@@ -122,7 +122,10 @@ def test_kmeans_assignment_is_nearest_centroid(spark):
     rows = assigned.collect()
     m = np.stack([np.asarray(r["v"]) for r in rows])
     m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    want = np.argmax(m @ cent.T, axis=1)
+    # mirror the quantized-cosine assignment rule: micro-rounded cosine
+    # against re-normalized centroids, ties to the lowest cell id
+    cu = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    want = np.argmax(np.floor(m @ cu.T * 1e6 + 0.5), axis=1)
     got = np.array([r["cell"] for r in rows])
     assert (want == got).all()
 
