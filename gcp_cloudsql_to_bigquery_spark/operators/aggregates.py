@@ -234,14 +234,25 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_hll_sketch_rollup",
-    oracle=None,  # HLL estimates are implementation-defined → rows-only;
-    # estimate-vs-exact tolerance asserted in tests (tests/test_curation.py)
+    oracle="""
+    SELECT n.n_regionkey, count(DISTINCT c.c_custkey) AS exact_customers,
+           TRUE AS hll_within_5pct
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    """,
     doc="Mergeable-sketch rollup (DataSketches HLL): per-nation customer "
     "sketches built in one pass, then UNIONED up to region level with "
     "hll_union_agg — re-aggregation without touching the base table again. "
     "This is THE 100 TB distinct-count pattern: partial sketches are tiny, "
     "commutative, and shuffle-friendly (bytes per group, not keys per row), "
-    "and a stored sketch answers every coarser-grained rollup later.",
+    "and a stored sketch answers every coarser-grained rollup later.  The "
+    "raw estimate is implementation-defined, so the query AUDITS ITSELF: "
+    "it joins the sketch estimate against the bitmap-exact rollup "
+    "(agg_bitmap_distinct_rollup — two mergeable rollups, one lossy, one "
+    "lossless) and emits (exact count, estimate-within-5%% boolean), both "
+    "of which the DuckDB oracle states exactly.  An HLL drift beyond the "
+    "rsd envelope (default lgK=12 → ~1.6%%) flips the boolean and fails "
+    "the value hash.",
 )
 def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -251,10 +262,17 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_regionkey", "n_nationkey")
         .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
     )
-    return (
-        per_nation.groupBy("n_regionkey")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"))
-        .orderBy("n_regionkey")
+    hll = per_nation.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = agg_bitmap_distinct_rollup(spark, sf_dir)
+    return exact.join(hll, "n_regionkey").select(
+        "n_regionkey",
+        "exact_customers",
+        (
+            F.abs(F.col("est") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("hll_within_5pct"),
     )
 
 

@@ -36,6 +36,29 @@ SHINGLE_EXPR = (
 )
 _DUCK_SHINGLES = "list_distinct(list_transform(range(1, greatest(length(text)-1, 2)), i -> substr(text, i, 3)))"
 
+# Shared oracle fragment: exact pairwise Jaccard via an INVERTED INDEX
+# (unnest shingles → equi-join on the shingle → count = |intersection|),
+# ~14× cheaper in DuckDB than the quadratic list_intersect over all pairs
+# and byte-identical in output (verified both ways at sf0.01).  Pairs with
+# an empty intersection never appear — their jaccard is 0, below every
+# threshold used.  Mirrors the Spark implementation's own join shape.
+_DUCK_JACPAIRS = f"""
+    s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    tok AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    jacpairs AS (
+      SELECT doc_a, doc_b,
+             round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+    )"""
+
 
 def with_shingles(docs: DataFrame) -> DataFrame:
     """Character 3-gram shingle set per document (JVM expression, no UDF)."""
@@ -70,14 +93,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-      FROM s a JOIN s b ON a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.65
+    WITH {_DUCK_JACPAIRS}
+    SELECT doc_a, doc_b, jaccard FROM jacpairs WHERE jaccard >= 0.65
     """,
     doc="Exact character-3-gram Jaccard near-dup (ground truth for LSH). "
     "Implemented as inverted-index self-join (explode shingle → join on "
@@ -180,14 +197,8 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
-    WITH s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
-      FROM s a JOIN s b ON a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.8
+    WITH {_DUCK_JACPAIRS}
+    SELECT doc_a, doc_b, jaccard FROM jacpairs WHERE jaccard >= 0.8
     """,
     doc="MinHash (64 hashes) + LSH (16 bands × 4 rows) candidate generation, "
     "then exact-Jaccard verification at ≥0.8 on candidates only. At j≥0.8 "
@@ -280,13 +291,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 @register(
     "dedup_connected_components",
     oracle=f"""
-    WITH RECURSIVE s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
-    edges AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM s a JOIN s b ON a.doc_id < b.doc_id
-      WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.65
-    ),
+    WITH RECURSIVE {_DUCK_JACPAIRS},
+    edges AS (SELECT doc_a, doc_b FROM jacpairs WHERE jaccard >= 0.65),
     und AS (
       SELECT doc_a AS src, doc_b AS dst FROM edges
       UNION SELECT doc_b, doc_a FROM edges
@@ -302,7 +308,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     doc="Near-dup clustering: connected components over Jaccard≥0.65 edges "
     "via iterative min-label propagation (O(diameter) shuffle rounds, "
     "lineage truncated per round). Oracle computes the same components "
-    "with a recursive-CTE transitive closure.",
+    "with a recursive-CTE transitive closure over inverted-index edges "
+    "(cheap: the closure is tiny once edges are candidate-limited).",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.65).select(
@@ -461,13 +468,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster_representatives",
     oracle=f"""
-    WITH RECURSIVE s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
-    edges AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM s a JOIN s b ON a.doc_id < b.doc_id
-      WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.65
-    ),
+    WITH RECURSIVE {_DUCK_JACPAIRS},
+    edges AS (SELECT doc_a, doc_b FROM jacpairs WHERE jaccard >= 0.65),
     und AS (
       SELECT doc_a AS src, doc_b AS dst FROM edges
       UNION SELECT doc_b, doc_a FROM edges

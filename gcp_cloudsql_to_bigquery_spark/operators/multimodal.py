@@ -1,10 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 decode / feature-extract as Arrow-batched ``mapInPandas`` stages.
 
-North-star extension surface (BASELINE.json).  The container has no
-image/audio codecs, so the decode kernel is a clearly-marked deterministic
-fake (STUB) — but everything Spark-side is real and load-bearing: the binary
-column representation, the metadata struct schema, the ``mapInPandas``
+North-star extension surface (BASELINE.json).  The decode kernels for PPM
+images and RIFF/WAV audio are REAL (header parse, buffer validation, numpy
+reduction) and oracle-verified against closed forms; only formats needing an
+external codec library (JPEG/MP4 — not installed in this container) remain
+out of scope.  Everything Spark-side is load-bearing: the binary column
+representation, the metadata struct schema, the ``mapInPandas``
 batch-iterator signature, partition-preserving narrow execution, and the
 projection contract (binary column dropped after feature extraction so the
 heavy bytes never travel further than necessary).
@@ -16,7 +18,6 @@ payload away, and carry only extracted features downstream.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,35 +26,6 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
-
-DECODED_SCHEMA = (
-    "doc_id bigint, media_type string, n_bytes bigint, "
-    "width int, height int, n_frames int, checksum string"
-)
-
-
-def fake_decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decode kernel (mapInPandas body).
-
-    A real deployment swaps the body for PIL/ffmpeg/soundfile decoding; the
-    signature, batch shape, and output schema are the production contract.
-    The fake derives deterministic "dimensions" from the payload digest, so
-    tests are stable and the oracle-free check is reproducible.
-    """
-    for pdf in batches:
-        digests = [hashlib.sha256(b).digest() if b is not None else b"" for b in pdf["payload"]]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": [len(b) if b is not None else 0 for b in pdf["payload"]],
-                # STUB: real decoder returns actual dims / frame counts
-                "width": [(d[0] << 8 | d[1]) % 1920 + 1 for d in digests],
-                "height": [(d[2] << 8 | d[3]) % 1080 + 1 for d in digests],
-                "n_frames": [d[4] % 32 + 1 for d in digests],
-                "checksum": [d.hex()[:16] for d in digests],
-            }
-        )
 
 
 def as_media_table(docs: DataFrame) -> DataFrame:
@@ -105,17 +77,62 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,  # decode kernel is a stub; structural checks in tests/test_multimodal.py
-    doc="Decode / feature-extract via mapInPandas (Arrow batches, narrow — "
-    "no shuffle): payload → (width, height, n_frames, checksum), payload "
-    "projected away afterwards. Decode body is a deterministic STUB standing "
-    "in for PIL/ffmpeg (not installed here).",
+    oracle="""
+    SELECT doc_id, 'image/ppm' AS media_type,
+           CAST(n_chars % 64 + 8 AS INT)  AS width,
+           CAST(doc_id % 48 + 8 AS INT)   AS height,
+           CAST(NULL AS BIGINT)           AS n_samples,
+           (doc_id % 48 + 7) / 2.0        AS feat
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT doc_id, 'audio/wav' AS media_type,
+           CAST(NULL AS INT)                    AS width,
+           CAST(NULL AS INT)                    AS height,
+           CAST(n_chars % 2000 + 100 AS BIGINT) AS n_samples,
+           CAST(doc_id % 1000 AS DOUBLE)        AS feat
+    FROM documents WHERE doc_id % 3 = 1
+    """,
+    doc="Media-type-routed REAL decode: image rows go through the P6 PPM "
+    "decoder, audio rows through the RIFF/WAV PCM16 decoder (both genuine "
+    "parse+validate+reduce kernels, see multimodal_decode_ppm / _wav), "
+    "unified into one feature table — width/height + mean-g for images, "
+    "sample count + RMS for audio.  Video rows are excluded: MP4 needs an "
+    "external codec, which is exactly the boundary this operator documents. "
+    "Each branch is a narrow synthesize→decode mapInPandas pipeline (no "
+    "shuffle; union is plan-level, not an exchange), payload projected away "
+    "inside the decode stage.  Replaces the former digest-based stub kernel "
+    "— every emitted number is now produced by real byte-level decoding and "
+    "checked against the DuckDB closed forms.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = as_media_table(load(spark, sf_dir, "documents"))
-    return media.select("doc_id", "payload", "media_type").mapInPandas(
-        fake_decode_batch, schema=DECODED_SCHEMA
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    img = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
+        .mapInPandas(decode_ppm_batch, schema=PPM_DECODED_SCHEMA)
+        .select(
+            "doc_id",
+            F.lit("image/ppm").alias("media_type"),
+            "width",
+            "height",
+            F.lit(None).cast("bigint").alias("n_samples"),
+            F.col("mean_g").alias("feat"),
+        )
     )
+    aud = (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .mapInPandas(synthesize_wav_batch, schema="doc_id bigint, payload binary")
+        .mapInPandas(decode_wav_batch, schema=WAV_DECODED_SCHEMA)
+        .select(
+            "doc_id",
+            F.lit("audio/wav").alias("media_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            "n_samples",
+            F.col("rms").alias("feat"),
+        )
+    )
+    return img.unionByName(aud)
 
 
 @register(
@@ -178,8 +195,7 @@ def synthesize_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 
 def decode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """REAL decode kernel: parse the P6 header, validate the pixel-buffer
-    length, reshape to (h, w, 3), reduce to per-channel means.  Unlike
-    ``fake_decode_batch`` (the placeholder for external codecs), nothing
+    length, reshape to (h, w, 3), reduce to per-channel means.  Nothing
     here is stubbed — a wrong header parse, byte offset, or memory layout
     produces wrong means and fails the closed-form oracle."""
     import re
@@ -231,8 +247,8 @@ def decode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "a second (header parse, buffer-length validation, (h,w,3) reshape, "
     "per-channel means), and check dims/sizes/means against the DuckDB "
     "closed forms.  This is the production multimodal pipeline shape with "
-    "nothing faked — fake_decode_batch remains only where a codec library "
-    "would be required.  Channel means are exact (integer sums < 2^53 in "
+    "nothing faked — only codec-library formats (JPEG/MP4) stay out of "
+    "scope.  Channel means are exact (integer sums < 2^53 in "
     "float64), so the comparison needs no rounding slack.  At 100 TB the "
     "two stages fuse into one narrow pass: bytes never shuffle, and the "
     "payload is projected away right after decode.",

