@@ -166,20 +166,44 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    oracle=None,  # HLL sketch values differ between engines by design → rows-only
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)  AS exact_parts,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_15pct, TRUE AS orders_within_15pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="approx_count_distinct (HyperLogLog++): the constant-memory 100 TB "
-    "cardinality path. Sketch estimates are engine-specific, so no value "
-    "oracle; accuracy is asserted in tests/test_aggregates.py against the "
-    "exact count (rsd 5%).",
+    "cardinality path.  Sketch estimates are engine-specific, so the query "
+    "AUDITS ITSELF: it emits the exact distinct counts (which DuckDB "
+    "states) plus booleans asserting each estimate is within 15%% of exact "
+    "— 3x the requested 5%% rsd, so a healthy sketch always passes and a "
+    "broken merge/estimator flips the hashed boolean.",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    g = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
             F.approx_count_distinct("l_orderkey", rsd=0.05).alias("approx_orders"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
         )
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.15 * F.col("exact_parts")
+        ).alias("parts_within_15pct"),
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.15 * F.col("exact_orders")
+        ).alias("orders_within_15pct"),
     )
 
 

@@ -239,17 +239,40 @@ def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentile_approx",
-    oracle=None,  # t-digest/KLL sketch values are engine-specific → rows-only;
-    # accuracy vs exact percentile asserted in tests/test_dedup.py-style check
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+           TRUE AS p50_in_bounds, TRUE AS p99_in_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     doc="percentile_approx (sketch): the constant-memory quantile path at "
-    "100 TB; accuracy vs the exact percentile asserted in "
-    "tests/test_curation.py.",
+    "100 TB.  Sketch outputs are engine-specific, so the query AUDITS "
+    "ITSELF: alongside the exact percentiles (which DuckDB states with "
+    "quantile_cont) it emits booleans asserting each approximate value "
+    "lies inside the exact [p-0.01, p+0.01] rank bracket — 10x looser "
+    "than the sketch's 1/1000 rank-error guarantee, so a correct sketch "
+    "always passes and a broken one flips the hashed boolean.",
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("p99_approx"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+        F.percentile("l_extendedprice", F.lit(0.49)).alias("p50_lo"),
+        F.percentile("l_extendedprice", F.lit(0.51)).alias("p50_hi"),
+        F.percentile("l_extendedprice", F.lit(0.98)).alias("p99_lo"),
+        F.percentile("l_extendedprice", F.lit(1.0)).alias("p99_hi"),
+    )
+    return g.select(
+        "l_returnflag",
+        F.round("p50", 4).alias("p50_exact"),
+        F.round("p99", 4).alias("p99_exact"),
+        F.col("p50_approx").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_in_bounds"),
+        F.col("p99_approx").between(F.col("p99_lo"), F.col("p99_hi")).alias("p99_in_bounds"),
     )
 
 

@@ -440,7 +440,13 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would first no-op ("already cached") and then uncache that shared
     # plan, leaving every call after the first running without the cache
     while _HOURLY_CACHE:
-        _HOURLY_CACHE.pop().unpersist()
+        try:
+            _HOURLY_CACHE.pop().unpersist()
+        except Exception:
+            # the owning SparkSession may have been stopped between
+            # invocations (multi-session test runs) — the cache died with
+            # it, so a failed unpersist is already-released state
+            pass
     hourly = (
         ev.groupBy("h", "event_type")
         .agg(

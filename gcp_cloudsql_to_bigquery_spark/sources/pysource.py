@@ -54,9 +54,11 @@ _FIELDS = (
     ("acctbal", float),
 )
 
-# Sentinel handling matches ingest/nulls.py's CSV-aware mode: ``"N`` only
-# at field boundaries is NULL (the reference's byte-level replace corrupts
-# quoted payloads — SURVEY.md §7 "hard parts").
+# Sentinel handling matches ingest/nulls.py's CSV-aware mode in the
+# NO-EMBEDDED-COMMA regime of the export fixture: a whole field equal to
+# ``"N`` is NULL (the reference's byte-level replace corrupts quoted
+# payloads — SURVEY.md §7 "hard parts").  Rows whose field count doesn't
+# match the schema are rejected, not zip-truncated (see read()).
 _SENTINEL = '"N'
 
 _COMPARABLE = {
@@ -98,13 +100,23 @@ class SentinelCsvReader(DataSourceReader):
         return [InputPartition(f) for f in sorted(files)]
 
     def read(self, partition):
+        # The export fixture (streaming/elt.write_arrival_files) never emits
+        # embedded commas, so a plain split is exact — but a short/long row
+        # would silently shift columns, so the width is VALIDATED and a
+        # malformed line fails the scan loudly instead of misparsing.
         casts = [c for _, c in _FIELDS]
         with open(partition.value, encoding="utf-8") as fh:
-            for line in fh:
+            for lineno, line in enumerate(fh, 1):
                 line = line.rstrip("\n")
                 if not line:
                     continue
                 cells = line.split(",")
+                if len(cells) != len(_FIELDS):
+                    raise ValueError(
+                        f"{partition.value}:{lineno}: expected {len(_FIELDS)} "
+                        f"fields, got {len(cells)} (embedded commas are not "
+                        "part of the export format)"
+                    )
                 row = tuple(
                     None if c == _SENTINEL or c == "" else cast(c)
                     for c, cast in zip(cells, casts)
@@ -130,7 +142,16 @@ class SentinelCsvDataSource(DataSource):
 
 def read_sentinel_csv_source(spark: SparkSession, path: str) -> DataFrame:
     """Register (idempotent) and read the custom source with filter
-    pushdown enabled."""
+    pushdown enabled.
+
+    ``spark.sql.python.filterPushdown.enabled`` is deliberately left set for
+    the session rather than restored in a try/finally: the conf is consulted
+    by the OPTIMIZER when the returned (lazy) DataFrame is eventually
+    executed, so restoring it here would silently disable the pushdown this
+    function promises.  Session-wide enablement is safe — Spark only routes
+    filters through a reader's own ``pushFilters``, and the API contract
+    lets every reader yield back what it doesn't support.
+    """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SentinelCsvDataSource)
     return spark.read.format("sentinel_csv").option("path", path).load()

@@ -66,8 +66,11 @@ def running_user_stats(
     GROUP BY user_id
     """,
     doc="applyInPandasWithState: per-user running (count, sum, distinct-type) "
-    "state machine over the event stream; one availableNow drain makes the "
-    "final state equal the batch aggregate (the oracle).",
+    "state machine over the event stream; the update-mode sink holds one row "
+    "per key PER MICRO-BATCH, so the final state is selected as the max-"
+    "running-count row per key (the count is strictly monotone across the "
+    "batches that touch a key) — correct for any batch split, not just a "
+    "single-drain plan.",
 )
 def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir).select("user_id", "event_type", "value")
@@ -78,7 +81,24 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_completion(stateful, spark, output_mode="update")
+    sunk = run_to_completion(stateful, spark, output_mode="update")
+    return _final_state_rows(sunk, key="user_id", running_count="n_events")
+
+
+def _final_state_rows(sunk: DataFrame, key: str, running_count: str) -> DataFrame:
+    """Update-mode memory sinks accumulate one emitted row per key per
+    micro-batch; the FINAL state row is the one with the largest running
+    count (strictly increasing: a processor is only invoked for keys with
+    rows in the batch).  row_number, not a max-join: one window pass."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy(key).orderBy(F.col(running_count).desc())
+    return (
+        sunk.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def _tws_available() -> bool:
@@ -119,8 +139,9 @@ def stream_tws_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transformWithStateInPandas (Spark 4 successor to
     applyInPandasWithState): a StatefulProcessor with a typed ValueState
     folds each micro-batch into per-event-type (count, cent-exact total);
-    one availableNow drain makes the final state equal the batch GROUP BY
-    (the oracle).  The new API brings named/typed state slots (value, list,
+    the max-count row per key (_final_state_rows) is the final state, equal
+    to the batch GROUP BY (the oracle) under ANY micro-batch split.
+    The new API brings named/typed state slots (value, list,
     map), timers, and TTL on a mandatory RocksDB state store — at scale
     that means state lives off-heap per key-range instead of executor
     heap, the difference between bounded and OOM for billions of keys.
@@ -143,7 +164,8 @@ def stream_tws_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        return run_to_completion(stateful, spark, output_mode="update")
+        sunk = run_to_completion(stateful, spark, output_mode="update")
+        return _final_state_rows(sunk, key="event_type", running_count="n")
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -83,7 +83,10 @@ def _kind(t: str) -> str:
         return "array<" + _kind(t[6:-1]) + ">"
     if t.upper().startswith("DECIMAL") or t.lower().startswith("decimal"):
         return "decimal"
-    return _KIND.get(t, _KIND.get(t.upper(), t))
+    # case-fold the fallback so an unmapped-but-identical kind (e.g. a
+    # STRUCT/INTERVAL DuckDB spells uppercase and Spark lowercase) compares
+    # equal instead of flagging a spurious TYPE mismatch
+    return _KIND.get(t, _KIND.get(t.upper(), t.lower()))
 
 
 def type_mismatches(con, sql: str, spark_schema) -> list[str]:

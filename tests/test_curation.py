@@ -56,9 +56,9 @@ def test_percentile_approx_accuracy(spark):
         )
         .collect()
     }
-    approx = {r.l_returnflag: (r.p50_approx, r.p99_approx)
-              for r in queries()["agg_percentile_approx"](spark, SF).collect()}
+    rows = {r.l_returnflag: r for r in queries()["agg_percentile_approx"](spark, SF).collect()}
+    assert set(rows) == set(exact)
     for k, (p50, p99) in exact.items():
-        a50, a99 = approx[k]
-        assert abs(a50 - p50) / p50 < 0.05
-        assert abs(a99 - p99) / p99 < 0.05
+        r = rows[k]
+        assert abs(r.p50_exact - p50) < 1e-3 and abs(r.p99_exact - p99) < 1e-3
+        assert r.p50_in_bounds and r.p99_in_bounds, (k, r)

@@ -54,12 +54,12 @@ def test_approx_count_distinct_within_rsd(spark):
         )
         .collect()
     }
-    approx = {r.l_returnflag: (r.approx_parts, r.approx_orders) for r in
-              queries()["agg_approx_count_distinct"](spark, SF).collect()}
+    rows = {r.l_returnflag: r for r in
+            queries()["agg_approx_count_distinct"](spark, SF).collect()}
     for k, (p, o) in exact.items():
-        ap, ao = approx[k]
-        assert abs(ap - p) / p < 0.15, (k, ap, p)
-        assert abs(ao - o) / o < 0.15, (k, ao, o)
+        r = rows[k]
+        assert r.exact_parts == p and r.exact_orders == o, (k, r, p, o)
+        assert r.parts_within_15pct and r.orders_within_15pct, (k, r)
 
 
 def test_anchor_lsh_candidates_subset_of_bruteforce_space(spark):
