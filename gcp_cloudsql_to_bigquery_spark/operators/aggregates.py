@@ -429,3 +429,41 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > F.col("n") / float(_MG_K))
         .select("l_partkey", "cnt")
     )
+
+
+@register(
+    "agg_stats_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(median(l_extendedprice), 4)                         AS med_price,
+           round(corr(l_extendedprice, l_quantity), 6)               AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 4)         AS covar_pq,
+           round(stddev_samp(l_extendedprice), 4)                    AS sd_price,
+           round(regr_slope(l_extendedprice, l_quantity), 6)         AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4)     AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)            AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)   AS n_pairs
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregate suite — median, Pearson correlation, sample "
+    "covariance/stddev, and the regr_* OLS family (slope/intercept/R²/count) "
+    "per group in ONE hash-aggregate pass.  Every one of these is "
+    "algebraically mergeable (sum/sum-of-squares/cross-moment partials), so "
+    "the shuffle carries O(groups) moment tuples, never rows — the same "
+    "100 TB shape as sum/count.  median is the exception (exact quantile "
+    "needs the values) — Spark runs it as a sort-based aggregate here; at "
+    "scale you swap in percentile_approx (see agg_percentile_approx).",
+)
+def agg_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_pq"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
+    )

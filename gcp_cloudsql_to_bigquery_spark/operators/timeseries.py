@@ -1,0 +1,157 @@
+"""Time-series smoothing / anomaly operators over the ``events`` stream:
+exponentially weighted moving average and rolling z-score anomaly flags.
+
+Complements windows.py's gapfill/hypertable/session suite (SURVEY.md §2B
+window-function surface).  Both operators follow the repo's exactness
+discipline: every float that crosses the oracle boundary is either an
+integer-derived double (exact) or micro-quantized with floor(x*K+0.5), so
+DuckDB states the identical value.
+
+Scale notes: both are single window passes partitioned by the series key
+over pre-aggregated (series, bucket) rows — the shuffle carries one row
+per bucket (already reduced from raw events by a partial-aggregated
+groupBy), and the window state per task is a bounded lag buffer.  That is
+the canonical 100 TB telemetry shape: reduce first, smooth second.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+_EWMA_K = 10  # lag horizon: alpha = 1/2, weights 2^0 .. 2^-(K-1)
+
+
+def _hourly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, h, cents): hourly value totals in exact integer cents —
+    the shared pre-reduction for both operators."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("h"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("c").alias("cents"))
+    )
+
+
+_DUCK_HOURLY = """
+    hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, h
+    )"""
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+    WITH {_DUCK_HOURLY},
+    lagged AS (
+      SELECT event_type, h, cents,
+             row_number() OVER w AS rn,
+             {" + ".join(
+                 f"coalesce(lag(cents, {i}) OVER w, 0) * pow(2.0, -{i})"
+                 for i in range(_EWMA_K)
+             )} AS num
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    )
+    SELECT event_type, h, cents,
+           CAST(least(rn, {_EWMA_K}) AS BIGINT) AS n_obs,
+           CAST(floor(num / (2.0 - pow(2.0, 1 - least(rn, {_EWMA_K}))) / 100.0
+                      * 1e4 + 0.5) AS BIGINT) AS ewma_x10k
+    FROM lagged
+    """,
+    doc="Observation-indexed EWMA (alpha=1/2) per event-type hourly series: "
+    "weights 2^-i over the last 10 observed buckets, normalized by the "
+    "present-weight sum 2 - 2^(1-n).  alpha=1/2 makes every weight and "
+    "partial denominator an exact power of two and the numerator an exact "
+    "integer-times-2^-i sum, so both engines compute bit-identical doubles "
+    "and the x10k fixed-point output needs no tolerance.  One window pass "
+    "over pre-reduced hourly rows (10 lags share a single window spec — "
+    "one exchange + one sort); gaps are handled by the observation index "
+    "(see ts_gapfill_* for clock-indexed filling).  At 100 TB the window "
+    "state is a 10-row lag buffer per series partition.",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_cents(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("h")
+    num = None
+    for i in range(_EWMA_K):
+        term = F.coalesce(F.lag("cents", i).over(w), F.lit(0)) * F.pow(F.lit(2.0), F.lit(-i))
+        num = term if num is None else num + term
+    rn = F.row_number().over(w)
+    n_obs = F.least(rn, F.lit(_EWMA_K))
+    den = F.lit(2.0) - F.pow(F.lit(2.0), F.lit(1) - n_obs)
+    return hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        n_obs.cast("bigint").alias("n_obs"),
+        F.floor(num / den / 100.0 * 1e4 + 0.5).cast("bigint").alias("ewma_x10k"),
+    )
+
+
+_Z_WIN = 24  # trailing buckets in the anomaly baseline
+
+
+@register(
+    "ts_anomaly_zscore",
+    oracle=f"""
+    WITH {_DUCK_HOURLY},
+    rolled AS (
+      SELECT event_type, h, cents,
+             count(*)              OVER w AS n,
+             sum(cents)            OVER w AS sumx,
+             sum(cents * cents)    OVER w AS sumx2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h, cents,
+           CAST(n AS BIGINT) AS n_baseline,
+           n >= 2 AND
+           CAST((n * cents - sumx) AS DOUBLE) * (n * cents - sumx) * (n - 1)
+             > 9.0 * n * (CAST(n * sumx2 AS DOUBLE) - CAST(sumx AS DOUBLE) * sumx)
+           AS is_anomaly
+    FROM rolled
+    """,
+    doc="Rolling z-score anomaly detection per event-type hourly series: "
+    "flag buckets where (x - mean)^2 > 9 * var_samp over the trailing "
+    "24-bucket baseline (|z| > 3, baseline excludes the current bucket).  "
+    "The test is evaluated in CROSS-MULTIPLIED integer form — "
+    "(n*x - sumx)^2 * (n-1) > 9 * n * (n*sumx2 - sumx^2) — over exact "
+    "integer-cent window sums, so the boolean is bit-deterministic on both "
+    "engines with no division, no sqrt, and no tolerance (products stay "
+    "within double's 2^53 exact-integer range at these magnitudes).  One "
+    "window spec computes count/sum/sum-of-squares together: one exchange, "
+    "one sort, O(1) incremental frame state — the streaming-friendly "
+    "anomaly shape at any scale.",
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_cents(spark, sf_dir)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_Z_WIN, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    sumx = F.sum("cents").over(w)
+    sumx2 = F.sum(F.col("cents") * F.col("cents")).over(w)
+    dev = (n * F.col("cents") - sumx).cast("double")
+    lhs = dev * (n * F.col("cents") - sumx) * (n - 1)
+    rhs = 9.0 * n * ((n * sumx2).cast("double") - sumx.cast("double") * sumx)
+    return hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        n.cast("bigint").alias("n_baseline"),
+        ((n >= 2) & (lhs > rhs)).alias("is_anomaly"),
+    )

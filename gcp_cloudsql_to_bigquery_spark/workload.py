@@ -24,6 +24,9 @@ _OPTIONAL_MODULES = (
     "gcp_cloudsql_to_bigquery_spark.operators.multimodal",
     "gcp_cloudsql_to_bigquery_spark.operators.curation",
     "gcp_cloudsql_to_bigquery_spark.operators.analytics",
+    "gcp_cloudsql_to_bigquery_spark.operators.quality",
+    "gcp_cloudsql_to_bigquery_spark.operators.graph",
+    "gcp_cloudsql_to_bigquery_spark.operators.timeseries",
     "gcp_cloudsql_to_bigquery_spark.streaming.events",
     "gcp_cloudsql_to_bigquery_spark.streaming.stateful",
     "gcp_cloudsql_to_bigquery_spark.streaming.elt",
@@ -59,10 +62,12 @@ _load_optional()
 #      multimodal_decode_features (real decoders + closed-form oracle),
 #      agg_hll_sketch_rollup / agg_percentile_approx /
 #      agg_approx_count_distinct (self-auditing exact+boolean outputs);
+#   2b. the 6 operators NEW in round 5 (constraint audit, SCD2, EWMA,
+#      z-score anomaly, PageRank, stats/regression) — all oracle-backed;
 #   3. 3 green queries whose implementation or oracle changed this round
 #      (inverted-index Jaccard oracles; stateful final-state dedupe) —
 #      fresh witnesses;
-#   4. 19 queries whose only green row is from round 1 — oldest witnesses
+#   4. 13 queries whose only green row is from round 1 — oldest witnesses
 #      re-validated on current testdata;
 #   5. the two connected-components queries LAST in the prefix: their
 #      oracles are now ~1.5 s (inverted-index edges) but the Spark-side
@@ -97,6 +102,14 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_hll_sketch_rollup",
     "agg_percentile_approx",
     "agg_approx_count_distinct",
+    # --- 2b: NEW this round (dq audit, SCD2, EWMA, z-score anomaly,
+    # PageRank, stats/regression suite) ---
+    "dq_constraint_audit",
+    "elt_scd2_dimension",
+    "ts_ewma",
+    "ts_anomaly_zscore",
+    "graph_pagerank",
+    "agg_stats_regression",
     # --- 3: green, but implementation/oracle changed this round ---
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -115,12 +128,6 @@ _GATE_FRONT: tuple[str, ...] = (
     "join_theta_range",
     "join_interval_bucketed",
     "q8_market_share",
-    "q13_custdist",
-    "q17_small_quantity_revenue",
-    "q20_excess_shippers",
-    "q22_global_avg_anti",
-    "set_ops_multiset",
-    "filter_null_semantics",
     # --- 5: CC pair, expensive Spark side → prefix tail (slots 49-50) ---
     "dedup_connected_components",
     "dedup_cluster_representatives",
