@@ -262,3 +262,80 @@ def fn_codec_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"),
         F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           round(o_totalprice / nullif(o_custkey % 5, 0), 4) AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER)              AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+    doc="Error-safe expression family: try_divide (NULL on zero divisor "
+    "instead of error/Inf), try_cast on non-numeric and on numeric-prefix "
+    "strings.  The load-pipeline idiom for dirty columns — the reference's "
+    "lossy type mapper (#15, datatype_to_bq.py) hard-fails or corrupts on "
+    "these; try_* turns each bad cell into NULL so one row cannot kill a "
+    "100 TB batch.  All JVM-side, whole-stage codegen.",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide("o_totalprice", F.col("o_custkey") % 5), 4).alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_cast"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_num"),
+    )
+
+
+@register(
+    "agg_arg_max_min",
+    oracle="""
+    SELECT n_regionkey,
+           arg_max(n_name, n_nationkey) AS last_nation,
+           arg_min(n_name, n_nationkey) AS first_nation,
+           CAST(count(*) AS BIGINT)     AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    doc="max_by / min_by (argmax aggregates): the 'row that holds the "
+    "extreme' without a self-join or window — one hash-aggregate pass "
+    "carrying (cmp, payload) partial state.  Keyed on the unique "
+    "n_nationkey so the winner is deterministic on both engines.  The "
+    "100 TB replacement for the top-1-per-group window when only the "
+    "extremum row is needed.",
+)
+def agg_arg_max_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.max_by("n_name", "n_nationkey").alias("last_nation"),
+        F.min_by("n_name", "n_nationkey").alias("first_nation"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+@register(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS all_bits,
+           CAST(bit_or(CAST(l_linenumber AS BIGINT))  AS BIGINT) AS any_bits,
+           CAST(bit_xor(CAST(l_orderkey  AS BIGINT))  AS BIGINT) AS key_parity
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Bitwise aggregate family (bit_and / bit_or / bit_xor): "
+    "commutative+associative single-word state — the cheapest mergeable "
+    "aggregates there are (flag intersection/union, xor checksums for "
+    "content reconciliation between replicas at 100 TB).",
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(F.col("l_linenumber").cast("bigint")).alias("all_bits"),
+        F.bit_or(F.col("l_linenumber").cast("bigint")).alias("any_bits"),
+        F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("key_parity"),
+    )

@@ -284,3 +284,66 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("xml")
         .load(out)
     )
+
+
+def dir_parquet_bytes(path: str) -> int:
+    """Total bytes of part files under a parquet directory — a driver-side
+    filesystem listing (metadata only, no Spark job)."""
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in names
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+    return total
+
+
+def compact_small_files(
+    spark: SparkSession, src: str, dst: str, target_file_bytes: int
+) -> int:
+    """Table-maintenance compaction: rewrite a fragmented parquet directory
+    into ceil(total_bytes / target) files.  Returns the target file count.
+
+    The small-file problem is THE silent 100 TB killer: a day of streaming
+    micro-batches leaves millions of KB-sized files, and every downstream
+    scan pays one task + one open + one footer parse per file.  Compaction
+    sizes output files from the SOURCE's actual bytes (driver-side listing,
+    no data read), then round-robin ``repartition(n)`` — a full shuffle,
+    deliberately: ``coalesce`` would be shuffle-free but can only merge
+    co-located files, inheriting any skew in the input layout, and at this
+    file-count ratio the shuffle is the cheap part.  Idempotent overwrite
+    (reference op #10's guard applies to maintenance jobs too)."""
+    n_files = max(1, -(-dir_parquet_bytes(src) // target_file_bytes))
+    spark.read.parquet(src).repartition(n_files).write.mode("overwrite").parquet(dst)
+    return n_files
+
+
+@register(
+    "elt_compact_small_files",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="End-to-end small-file compaction: fragment lineitem into 64 "
+    "micro-files (the streaming-sink arrival pattern), compact to "
+    "target-sized files via compact_small_files (source-bytes-driven file "
+    "count, round-robin repartition), then audit the compacted table "
+    "against the original — identical row counts and cent-exact content "
+    "hash per group prove the rewrite lost and duplicated nothing.  File "
+    "counts and sizes are pinned in tests/test_sources.py.",
+)
+def elt_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag, packed = os.path.join(base, "frag"), os.path.join(base, "packed")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_small_files(spark, frag, packed, target_file_bytes=4 << 20)
+    back = spark.read.parquet(packed)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")).alias("qty_cents"),
+    )

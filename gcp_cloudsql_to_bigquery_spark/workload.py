@@ -62,12 +62,13 @@ _load_optional()
 #      multimodal_decode_features (real decoders + closed-form oracle),
 #      agg_hll_sketch_rollup / agg_percentile_approx /
 #      agg_approx_count_distinct (self-auditing exact+boolean outputs);
-#   2b. the 6 operators NEW in round 5 (constraint audit, SCD2, EWMA,
-#      z-score anomaly, PageRank, stats/regression) — all oracle-backed;
+#   2b. the 10 operators NEW in round 5 (constraint audit, SCD2, EWMA,
+#      z-score anomaly, PageRank, stats/regression, try_*, arg_max/min,
+#      bitwise aggs, small-file compaction) — all oracle-backed;
 #   3. 3 green queries whose implementation or oracle changed this round
 #      (inverted-index Jaccard oracles; stateful final-state dedupe) —
 #      fresh witnesses;
-#   4. 13 queries whose only green row is from round 1 — oldest witnesses
+#   4. 9 queries whose only green row is from round 1 — oldest witnesses
 #      re-validated on current testdata;
 #   5. the two connected-components queries LAST in the prefix: their
 #      oracles are now ~1.5 s (inverted-index edges) but the Spark-side
@@ -110,6 +111,10 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_anomaly_zscore",
     "graph_pagerank",
     "agg_stats_regression",
+    "fn_try_arithmetic",
+    "agg_arg_max_min",
+    "agg_bitwise",
+    "elt_compact_small_files",
     # --- 3: green, but implementation/oracle changed this round ---
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -124,10 +129,6 @@ _GATE_FRONT: tuple[str, ...] = (
     "q18_large_orders",
     "q21_waiting_suppliers",
     "agg_cube",
-    "agg_grouping_sets",
-    "join_theta_range",
-    "join_interval_bucketed",
-    "q8_market_share",
     # --- 5: CC pair, expensive Spark side → prefix tail (slots 49-50) ---
     "dedup_connected_components",
     "dedup_cluster_representatives",

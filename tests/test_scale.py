@@ -193,3 +193,46 @@ def test_aqe_splits_skewed_join_at_runtime(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: when one join side carries a selective
+    filter, the optimizer builds a bloom filter from it at runtime and
+    injects might_contain() into the OTHER side's scan — rows that cannot
+    match die before the shuffle.  At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the ~1% that survives the
+    dimension predicate.  Size thresholds are scaled down so the sf-fixture
+    qualifies by the same ratios that trigger naturally at TB scale
+    (applicationSideScanSizeThreshold defaults to 10GB)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ: filter matters
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, "/root/testdata/sf0.01", "lineitem")
+        o = load(spark, "/root/testdata/sf0.01", "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "l_returnflag"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        # semantics unchanged vs the unfiltered-plan result
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "false"
+        )
+        plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).groupBy(
+            "l_returnflag"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
