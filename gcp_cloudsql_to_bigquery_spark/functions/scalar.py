@@ -339,3 +339,75 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(F.col("l_linenumber").cast("bigint")).alias("any_bits"),
         F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("key_parity"),
     )
+
+
+@register(
+    "fn_sql_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice * (1 - 0.04) * (CASE WHEN o_orderstatus = 'F'
+                                                  THEN 1.1 ELSE 1.0 END)), 2) AS adj_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="SQL scalar UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr, Spark "
+    "4): business logic named once in the catalog and reused across "
+    "queries — and because the body is a SQL EXPRESSION, Catalyst inlines "
+    "it at plan time: full codegen, pushdown through it, zero UDF-call "
+    "overhead.  The right tool whenever logic is expressible as SQL — "
+    "Python UDFs (even Arrow ones) are for when it is not.  The oracle "
+    "states the inlined expression directly, proving the UDF layer is "
+    "semantically transparent.",
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_rev(p DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1 - 0.04)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION status_adj(s STRING) RETURNS DOUBLE "
+        "RETURN CASE WHEN s = 'F' THEN 1.1 ELSE 1.0 END"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(net_rev(o_totalprice) * status_adj(o_orderstatus)), 2)
+                 AS adj_revenue
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "fn_arrow_python_udf",
+    oracle="""
+    SELECT doc_id,
+           reverse(lower(trim(substr(text, 1, 40)))) AS rkey,
+           length(trim(substr(text, 1, 40)))         AS klen
+    FROM documents
+    WHERE doc_id < 200
+    """,
+    doc="Arrow-optimized Python scalar UDF (useArrow=True, Spark 3.5+): "
+    "rows cross the JVM/Python boundary as Arrow record batches instead "
+    "of pickled cells — the ~2-5x cheaper serialization path when a "
+    "per-row Python function is genuinely unavoidable.  Still the slow "
+    "lane vs pandas_udf's vectorized batches (and vs built-ins, which "
+    "this repo uses everywhere else): the kernel here is deliberately "
+    "trivial so the ORACLE can state it in SQL, keeping the API surface "
+    "oracle-verified rather than rows-only.",
+)
+def fn_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf(returnType=T.StringType(), useArrow=True)
+    def rkey(s: str) -> str:
+        return s[:40].strip().lower()[::-1]
+
+    @F.udf(returnType=T.IntegerType(), useArrow=True)
+    def klen(s: str) -> int:
+        return len(s[:40].strip())
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select("doc_id", rkey("text").alias("rkey"), klen("text").alias("klen"))

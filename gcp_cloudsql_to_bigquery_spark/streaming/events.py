@@ -365,3 +365,75 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "avg_value_x10k", "n_hist"
     )
     return run_to_completion(joined, spark, output_mode="append")
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH c AS (SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) ts
+               FROM events WHERE event_type = 'click'),
+    v AS (SELECT event_id AS view_id, user_id AS v_user_id, CAST(ts AS TIMESTAMP) ts
+          FROM events WHERE event_type = 'view'),
+    wm AS (SELECT least((SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+                         WHERE event_type = 'click'),
+                        (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+                         WHERE event_type = 'view'))
+                  - INTERVAL '1 hour' AS w)
+    SELECT click_id, view_id, user_id, view_to_click_sec FROM (
+      SELECT c.click_id, v.view_id, c.user_id,
+             round(CAST(date_diff('microsecond', v.ts, c.ts) AS DOUBLE) / 1000000, 3)
+               AS view_to_click_sec,
+             c.ts AS cts, v.view_id AS m
+      FROM c LEFT JOIN v
+        ON c.user_id = v.v_user_id
+       AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL '10 minutes'
+    ) WHERE m IS NOT NULL OR cts < (SELECT w FROM wm)
+    """,
+    doc="Stream-stream LEFT OUTER join with watermark-driven NULL emission: "
+    "clicks with no view in the 10-minute attribution window surface with "
+    "NULL view columns — but only once the global watermark (min of both "
+    "streams' max event time, minus the 1 h delay) passes their state-"
+    "eviction point; later clicks stay in state and are NOT emitted when "
+    "the availableNow drain ends.  The oracle replicates exactly that "
+    "semantics: batch left join + 'matched OR evictable' filter on the "
+    "final watermark.  The no-data flush micro-batch "
+    "(spark.sql.streaming.noDataMicroBatches.enabled) is what advances "
+    "the watermark after the last file — without it no NULL row would "
+    "ever appear in a drain.  At 100 TB the outer-join state is bounded "
+    "by watermark × arrival rate per key, same as the inner variant.",
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        F.round(
+            F.col("click_ts").cast("double") - F.col("view_ts").cast("double"), 3
+        ).alias("view_to_click_sec"),
+    )
+    return run_to_completion(joined, spark, output_mode="append")
