@@ -99,12 +99,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation")
 
+    # materialize the reduced edge list ONCE: it is re-read every iteration
+    # (and again by the final out-weight join), and without truncation each
+    # round would re-run the 4-way fact join that produced it (same
+    # discipline as connected_components)
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     e = edges.join(outw, "src")

@@ -62,7 +62,7 @@ _load_optional()
 #      multimodal_decode_features (real decoders + closed-form oracle),
 #      agg_hll_sketch_rollup / agg_percentile_approx /
 #      agg_approx_count_distinct (self-auditing exact+boolean outputs);
-#   2b. the 15 operators NEW in round 5 (constraint audit, SCD2, EWMA,
+#   2b. the 16 operators NEW in round 5 (constraint audit, SCD2, EWMA,
 #      z-score anomaly, PageRank, stats/regression, try_*, arg_max/min,
 #      bitwise aggs, small-file compaction, streaming left-outer join,
 #      dynamic partition overwrite, _metadata column, SQL UDF, Arrow
@@ -70,7 +70,7 @@ _load_optional()
 #   3. 3 green queries whose implementation or oracle changed this round
 #      (inverted-index Jaccard oracles; stateful final-state dedupe) —
 #      fresh witnesses;
-#   4. 4 queries whose only green row is from round 1 — oldest witnesses
+#   4. 3 queries whose only green row is from round 1 — oldest witnesses
 #      re-validated on current testdata;
 #   5. the two connected-components queries LAST in the prefix: their
 #      oracles are now ~1.5 s (inverted-index edges) but the Spark-side
@@ -122,6 +122,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "src_files_metadata",
     "fn_sql_udf",
     "fn_arrow_python_udf",
+    "dedup_minhash_ml",
     # --- 3: green, but implementation/oracle changed this round ---
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -130,7 +131,6 @@ _GATE_FRONT: tuple[str, ...] = (
     "q1_pricing_summary",
     "join_asof",
     "topk_per_group",
-    "join_star_q3",
     # --- 5: CC pair, expensive Spark side → prefix tail (slots 49-50) ---
     "dedup_connected_components",
     "dedup_cluster_representatives",
