@@ -487,3 +487,46 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.lateralJoin(inner).select(
         "n_nationkey", "n_name", "c_custkey", F.round("c_acctbal", 2).alias("bal")
     )
+
+
+@register(
+    "join_null_aware_anti",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer WHERE c_custkey NOT IN (
+         SELECT o_custkey FROM orders WHERE o_totalprice > 400000))
+        AS n_not_in_clean,
+      (SELECT count(*) FROM customer WHERE c_custkey NOT IN (
+         SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+         FROM orders WHERE o_totalprice > 400000))
+        AS n_not_in_nullable
+    """,
+    doc="NOT IN with a nullable subquery — SQL's three-valued-logic trap "
+    "as a first-class operator: one NULL in the IN-list makes every "
+    "non-matching row UNKNOWN (filtered), so the correct plan is a "
+    "NULL-AWARE anti join, not a plain anti join (which would silently "
+    "return the wrong rows).  Catalyst plans this as a null-aware "
+    "BroadcastHashJoin (isNullAwareAntiJoin) — correct but requiring the "
+    "IN-subquery side to broadcast; at 100 TB you rewrite to NOT EXISTS "
+    "(a plain shuffled anti join) once you can PROVE the key non-null, "
+    "which is exactly why this query keeps both shapes testable.  The "
+    "fixture contrasts the two in one row: the null-free NOT IN counts "
+    "real non-buyers; the nullable NOT IN collapses to zero — the trap "
+    "made visible and hash-checked on both engines.",
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM customer WHERE c_custkey NOT IN (
+             SELECT o_custkey FROM orders WHERE o_totalprice > 400000))
+            AS n_not_in_clean,
+          (SELECT count(*) FROM customer WHERE c_custkey NOT IN (
+             SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+             FROM orders WHERE o_totalprice > 400000))
+            AS n_not_in_nullable
+        """
+    )

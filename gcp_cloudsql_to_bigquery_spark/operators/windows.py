@@ -525,3 +525,49 @@ def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "user_id", F.col("session_window.start").alias("sess_start"), "n_events"
     )
+
+
+@register(
+    "window_time_range_frame",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, event_type, ts,
+           CAST(sum(cents) OVER w AS BIGINT)  AS cents_1h,
+           CAST(count(*)  OVER w AS BIGINT)   AS n_1h
+    FROM ev
+    WHERE event_id < 3000
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    doc="TIME-range window frame (RANGE BETWEEN INTERVAL ... PRECEDING): "
+    "the trailing-hour running total per event — framed by the ORDER-BY "
+    "VALUE, not by row count, so co-timed bursts and sparse gaps are both "
+    "handled correctly where a ROWS frame would not be.  Identical SQL "
+    "text runs on both engines (integer-cent sums, no float drift).  "
+    "Same scale shape as any window: one exchange on the series key, "
+    "frame state is the trailing hour's rows.",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH ev AS (
+          SELECT event_id, event_type, ts,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_id, event_type, ts,
+               sum(cents) OVER w AS cents_1h,
+               count(*)  OVER w  AS n_1h
+        FROM ev
+        WHERE event_id < 3000
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
