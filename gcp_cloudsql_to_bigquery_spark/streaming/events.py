@@ -65,9 +65,10 @@ def run_to_completion(
     creates one HDFS-backed store + delta/commit files PER shuffle partition
     PER micro-batch, so an oversized setting turns into pure checkpoint-I/O
     overhead (measured at sf0.1: 32→8 partitions saved ~0.5 s/query, 8→4
-    another ~0.25 s, 4→2 ~0.1 s; per-batch profile is now addBatch 0.51 s +
-    queryPlanning 0.22 s + WAL/offsets 0.17 s — the irreducible
-    micro-batch floor).  (The number is baked into the checkpoint at first
+    another ~0.25 s, 4→2 ~0.1 s; 2→1 re-measured in round 5 with an
+    interleaved fresh-start A/B — no gain beyond noise, the remaining
+    floor is addBatch + queryPlanning + WAL/offsets, not store count).
+    (The number is baked into the checkpoint at first
     start and cannot change on resume, so it is a deliberate parameter, not
     the session-wide shuffle setting; on a real cluster size it to total
     state / executor-memory, not to CPU count.)
