@@ -566,3 +566,61 @@ def fn_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("lang_stats", LangStats)
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql("SELECT * FROM lang_stats(TABLE(documents) PARTITION BY lang)")
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag
+    HAVING count(*) > 100
+    """,
+    doc="SQL pipe syntax (Spark 4 / GoogleSQL style): FROM ... |> WHERE "
+    "... |> AGGREGATE ... |> WHERE — each operator applies top-to-bottom "
+    "in reading order instead of SQL's inside-out clause nesting.  "
+    "Purely surface syntax: Catalyst resolves it to the identical "
+    "logical plan as the classic form, which is exactly what the oracle "
+    "states (same scan pushdown, same partial-agg shuffle).",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |> AGGREGATE count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+           GROUP BY l_returnflag
+        |> WHERE n > 100
+        """
+    )
+
+
+@register(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(avg(l_discount), 6) AS avg_disc
+    FROM lineitem
+    GROUP BY ALL
+    """,
+    doc="GROUP BY ALL (every non-aggregate select item becomes a grouping "
+    "key — the modern-warehouse convenience DuckDB and Spark 4 share, so "
+    "the oracle is the LITERAL same text).  Resolution happens at analysis "
+    "time; the physical plan is the ordinary partial-agg hash aggregate.",
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(avg(l_discount), 6) AS avg_disc
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )
