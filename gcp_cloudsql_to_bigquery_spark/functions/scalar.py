@@ -401,13 +401,16 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "oracle-verified rather than rows-only.",
 )
 def fn_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # kernels mirror the oracle's SQL semantics EXACTLY: trim() strips
+    # spaces only (not \t/\n/unicode like Python's bare strip), and NULL
+    # passes through instead of raising on None
     @F.udf(returnType=T.StringType(), useArrow=True)
     def rkey(s: str) -> str:
-        return s[:40].strip().lower()[::-1]
+        return None if s is None else s[:40].strip(" ").lower()[::-1]
 
     @F.udf(returnType=T.IntegerType(), useArrow=True)
     def klen(s: str) -> int:
-        return len(s[:40].strip())
+        return None if s is None else len(s[:40].strip(" "))
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select("doc_id", rkey("text").alias("rkey"), klen("text").alias("klen"))

@@ -435,14 +435,14 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats_regression",
     oracle="""
     SELECT l_returnflag,
-           round(median(l_extendedprice), 4)                         AS med_price,
-           round(corr(l_extendedprice, l_quantity), 6)               AS corr_pq,
-           round(covar_samp(l_extendedprice, l_quantity), 4)         AS covar_pq,
-           round(stddev_samp(l_extendedprice), 4)                    AS sd_price,
-           round(regr_slope(l_extendedprice, l_quantity), 6)         AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 4)     AS intercept,
-           round(regr_r2(l_extendedprice, l_quantity), 6)            AS r2,
-           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)   AS n_pairs
+           CAST(floor(median(l_extendedprice) * 1e4 + 0.5) AS BIGINT)                     AS med_price_x1e4,
+           CAST(floor(corr(l_extendedprice, l_quantity) * 1e6 + 0.5) AS BIGINT)           AS corr_x1e6,
+           CAST(floor(covar_samp(l_extendedprice, l_quantity) * 1e4 + 0.5) AS BIGINT)     AS covar_x1e4,
+           CAST(floor(stddev_samp(l_extendedprice) * 1e4 + 0.5) AS BIGINT)                AS sd_x1e4,
+           CAST(floor(regr_slope(l_extendedprice, l_quantity) * 1e6 + 0.5) AS BIGINT)     AS slope_x1e6,
+           CAST(floor(regr_intercept(l_extendedprice, l_quantity) * 1e4 + 0.5) AS BIGINT) AS intercept_x1e4,
+           CAST(floor(regr_r2(l_extendedprice, l_quantity) * 1e6 + 0.5) AS BIGINT)        AS r2_x1e6,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)                        AS n_pairs
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -457,13 +457,20 @@ def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    def fx(col, k):
+        return F.floor(col * k + 0.5).cast("bigint")
+
+    # fixed-point outputs (floor(x*K+0.5)), NOT round(): these moments are
+    # summation-order-dependent across engines, and the repo's micro-quant
+    # discipline keeps ulp noise (~1e-12 relative) far from the 10^-K
+    # boundary where Spark-HALF_UP and DuckDB binary round() can split
     return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 4).alias("med_price"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
-        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_pq"),
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
-        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
-        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+        fx(F.median("l_extendedprice"), 1e4).alias("med_price_x1e4"),
+        fx(F.corr("l_extendedprice", "l_quantity"), 1e6).alias("corr_x1e6"),
+        fx(F.covar_samp("l_extendedprice", "l_quantity"), 1e4).alias("covar_x1e4"),
+        fx(F.stddev_samp("l_extendedprice"), 1e4).alias("sd_x1e4"),
+        fx(F.regr_slope("l_extendedprice", "l_quantity"), 1e6).alias("slope_x1e6"),
+        fx(F.regr_intercept("l_extendedprice", "l_quantity"), 1e4).alias("intercept_x1e4"),
+        fx(F.regr_r2("l_extendedprice", "l_quantity"), 1e6).alias("r2_x1e6"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
     )

@@ -113,21 +113,21 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "elt_scd2_dimension",
     oracle="""
     WITH ordered AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate,
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
              lag(o_orderpriority) OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey) AS prev_clerk
+                                ORDER BY o_orderdate, o_orderkey) AS prev_priority
       FROM orders
     ),
     changes AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from
+      SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from, o_orderkey
       FROM ordered
-      WHERE prev_clerk IS NULL OR o_orderpriority <> prev_clerk
+      WHERE prev_priority IS NULL OR o_orderpriority <> prev_priority
     )
     SELECT o_custkey, o_orderpriority AS priority, valid_from,
            lead(valid_from) OVER (PARTITION BY o_custkey
-                                  ORDER BY valid_from, o_orderpriority) AS valid_to,
+                                  ORDER BY valid_from, o_orderkey) AS valid_to,
            lead(valid_from) OVER (PARTITION BY o_custkey
-                                  ORDER BY valid_from, o_orderpriority) IS NULL AS is_current
+                                  ORDER BY valid_from, o_orderkey) IS NULL AS is_current
     FROM changes
     """,
     doc="SCD Type-2 dimension build: collapse a change stream (each "
@@ -146,13 +146,22 @@ def elt_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
     w_seq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     changes = (
-        o.withColumn("prev_clerk", F.lag("o_orderpriority").over(w_seq))
-        .filter(F.col("prev_clerk").isNull() | (F.col("o_orderpriority") != F.col("prev_clerk")))
-        .select("o_custkey", F.col("o_orderpriority"), F.col("o_orderdate").alias("valid_from"))
+        o.withColumn("prev_priority", F.lag("o_orderpriority").over(w_seq))
+        .filter(
+            F.col("prev_priority").isNull()
+            | (F.col("o_orderpriority") != F.col("prev_priority"))
+        )
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority"),
+            F.col("o_orderdate").alias("valid_from"),
+            "o_orderkey",
+        )
     )
-    # same-day double change: order by (valid_from, clerk) so the interval
-    # chain is deterministic on both sides
-    w_iv = W.partitionBy("o_custkey").orderBy("valid_from", "o_orderpriority")
+    # same-day double change: chain intervals in CHRONOLOGICAL order
+    # (valid_from, o_orderkey) — the same order change detection used — so
+    # is_current always lands on the latest change, not a string-sort winner
+    w_iv = W.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
     return changes.select(
         "o_custkey",
         F.col("o_orderpriority").alias("priority"),

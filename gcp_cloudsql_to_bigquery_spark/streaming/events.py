@@ -191,8 +191,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stream_join",
     oracle="""
     SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
-           round(CAST(date_diff('microsecond', v.ts, c.ts) AS DOUBLE) / 1000000, 3)
-             AS view_to_click_sec
+           CAST(date_diff('microsecond', v.ts, c.ts) AS BIGINT)
+             AS view_to_click_us
     FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
           WHERE event_type = 'click') c
     JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
@@ -235,9 +235,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "view_id",
         "user_id",
-        F.round(
-            F.col("click_ts").cast("double") - F.col("view_ts").cast("double"), 3
-        ).alias("view_to_click_sec"),
+        # exact integer microseconds on both sides — no float rounding, so
+        # no .5-boundary divergence class at any fixture or scale
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("view_to_click_us"),
     )
     out = run_to_completion(joined, spark, output_mode="append")
     return out
@@ -380,10 +380,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
                          WHERE event_type = 'view'))
                   - INTERVAL '1 hour' AS w)
-    SELECT click_id, view_id, user_id, view_to_click_sec FROM (
+    SELECT click_id, view_id, user_id, view_to_click_us FROM (
       SELECT c.click_id, v.view_id, c.user_id,
-             round(CAST(date_diff('microsecond', v.ts, c.ts) AS DOUBLE) / 1000000, 3)
-               AS view_to_click_sec,
+             CAST(date_diff('microsecond', v.ts, c.ts) AS BIGINT)
+               AS view_to_click_us,
              c.ts AS cts, v.view_id AS m
       FROM c LEFT JOIN v
         ON c.user_id = v.v_user_id
@@ -433,8 +433,6 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "view_id",
         "user_id",
-        F.round(
-            F.col("click_ts").cast("double") - F.col("view_ts").cast("double"), 3
-        ).alias("view_to_click_sec"),
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("view_to_click_us"),
     )
     return run_to_completion(joined, spark, output_mode="append")

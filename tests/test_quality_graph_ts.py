@@ -121,7 +121,12 @@ def test_zscore_baseline_semantics(spark):
             if len(base) >= 2:
                 mu = statistics.mean(base)
                 sd = statistics.stdev(base)
-                want = sd > 0 and abs(r.cents - mu) > 3 * sd
+                # zero-variance baseline: any deviation is infinite z — the
+                # integer form flags it, and so must the reference model
+                if sd == 0:
+                    want = r.cents != base[0]
+                else:
+                    want = abs(r.cents - mu) > 3 * sd
                 assert r.is_anomaly == want, (et, r, mu, sd)
 
 
@@ -153,6 +158,6 @@ def test_stats_regression_matches_numpy(spark):
         slope, intercept = np.polyfit(q, p, 1)
         got = rows[flag]
         assert got.n_pairs == len(pairs)
-        assert abs(got.slope - slope) < 1e-4
-        assert abs(got.intercept - intercept) < 1e-2
-        assert abs(got.corr_pq - np.corrcoef(p, q)[0, 1]) < 1e-5
+        assert abs(got.slope_x1e6 / 1e6 - slope) < 1e-4
+        assert abs(got.intercept_x1e4 / 1e4 - intercept) < 1e-2
+        assert abs(got.corr_x1e6 / 1e6 - np.corrcoef(p, q)[0, 1]) < 1e-5

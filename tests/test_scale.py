@@ -207,6 +207,7 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     confs = {
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
         "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ: filter matters
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     }
     saved = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
@@ -230,7 +231,6 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
         ).agg(F.count(F.lit(1)).alias("n"))
         assert sorted(map(tuple, j.collect())) == sorted(map(tuple, plain.collect()))
     finally:
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         for k, v in saved.items():
             if v is None:
                 spark.conf.unset(k)
