@@ -474,3 +474,36 @@ def agg_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx(F.regr_r2("l_extendedprice", "l_quantity"), 1e6).alias("r2_x1e6"),
         F.regr_count("l_extendedprice", "l_quantity").alias("n_pairs"),
     )
+
+
+@register(
+    "agg_boolean_filter_family",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)                       AS all_over_1k,
+           bool_or(o_totalprice > 400000)                      AS any_over_400k,
+           count(*) FILTER (o_orderstatus = 'F')               AS n_finished,
+           CAST(count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS BIGINT) AS n_big,
+           round(avg(o_totalprice) FILTER (o_orderstatus = 'O'), 4) AS avg_open
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Boolean/conditional aggregate family: bool_and / bool_or (SQL "
+    "every/any), FILTER-clause aggregates (per-aggregate predicates "
+    "without self-joins or CASE pyramids), and the count-CASE idiom they "
+    "replace, side by side.  All single-word mergeable states — one "
+    "partial-agg shuffle regardless of how many conditions ride along; "
+    "the FILTER form is how a 100 TB audit computes N conditional "
+    "metrics in ONE pass instead of N scans.",
+)
+def agg_boolean_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_big"),
+        F.round(
+            F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 4
+        ).alias("avg_open"),
+    )

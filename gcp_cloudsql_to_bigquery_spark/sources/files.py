@@ -437,3 +437,69 @@ def src_files_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_key"),
         )
     )
+
+
+@register(
+    "src_csv_quoted_edges",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CASE WHEN contains(p_name, ',') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_comma,
+           CAST(sum(CASE WHEN contains(p_name, '"') THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_quote,
+           CAST(sum(CASE WHEN contains(p_name, chr(10)) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_newline,
+           CAST(sum(octet_length(encode(p_name)) + octet_length(encode(p_type))) AS BIGINT)
+             AS payload_bytes
+    FROM (
+      SELECT p_partkey,
+             CASE
+               WHEN p_partkey % 4 = 0 THEN p_name || ', with, commas'
+               WHEN p_partkey % 4 = 1 THEN p_name || ' "quoted" middle'
+               WHEN p_partkey % 4 = 2 THEN p_name || chr(10) || 'second line'
+               ELSE p_name
+             END AS p_name,
+             p_type
+      FROM part
+    )
+    """,
+    doc="Quoted-CSV edge semantics, round-tripped: inject embedded commas, "
+    "double quotes, and NEWLINES into part names, write real CSV with "
+    "Spark's quoting, read it back with multiLine + escape handling, and "
+    "audit content byte-for-byte against the pre-export closed form.  "
+    "This is the exact failure class the reference's byte-level NULL "
+    "rewrite corrupts (SURVEY §7 hard parts: a literal pattern inside a "
+    "quoted field) — proving the engine's CSV path handles what the "
+    "reference cannot.  Note multiLine=true makes a CSV file unsplittable "
+    "(a quoted newline could straddle a split boundary): correct, and "
+    "the reason 100 TB pipelines move quoted text in parquet instead.",
+)
+def src_csv_quoted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 4 == 0, F.concat("p_name", F.lit(", with, commas")))
+        .when(F.col("p_partkey") % 4 == 1, F.concat("p_name", F.lit(' "quoted" middle')))
+        .when(F.col("p_partkey") % 4 == 2, F.concat("p_name", F.lit("\nsecond line")))
+        .otherwise(F.col("p_name"))
+        .alias("p_name"),
+        "p_type",
+    )
+    out = tempfile.mkdtemp(prefix="csv_edges_") + "/part_csv"
+    p.write.mode("overwrite").option("header", "true").option("escape", '"').csv(out)
+    back = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema("p_partkey bigint, p_name string, p_type string")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("p_name").contains(","), 1).otherwise(0)).alias("n_with_comma"),
+        F.sum(F.when(F.col("p_name").contains('"'), 1).otherwise(0)).alias("n_with_quote"),
+        F.sum(F.when(F.col("p_name").contains("\n"), 1).otherwise(0)).alias("n_with_newline"),
+        F.sum(
+            F.octet_length(F.col("p_name").cast("binary"))
+            + F.octet_length(F.col("p_type").cast("binary"))
+        ).alias("payload_bytes"),
+    )
