@@ -68,3 +68,68 @@ def test_line_compat_never_grows(line):
 @given(st.text(alphabet="abc123", max_size=20))
 def test_line_compat_noop_without_sentinel(line):
     assert clean_line_compat_str(line) == line
+
+
+# --- round-5 kernels: decode round-trips and sizing laws -------------------
+
+
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=50, deadline=None)
+def test_ppm_synth_decode_roundtrip(doc_id, n_chars):
+    """decode_ppm_batch must invert synthesize_ppm_batch for ANY ids: the
+    closed forms the oracle states (dims, byte size, channel means) hold
+    over the whole input domain, not just fixture values."""
+    import pandas as pd
+
+    from gcp_cloudsql_to_bigquery_spark.operators.multimodal import (
+        decode_ppm_batch,
+        synthesize_ppm_batch,
+    )
+
+    src = pd.DataFrame({"doc_id": [doc_id], "n_chars": [n_chars]})
+    media = next(synthesize_ppm_batch(iter([src])))
+    out = next(decode_ppm_batch(iter([media])))
+    w, h = n_chars % 64 + 8, doc_id % 48 + 8
+    assert out["width"][0] == w and out["height"][0] == h
+    assert out["mean_r"][0] == doc_id % 256
+    assert out["mean_g"][0] == (h - 1) / 2.0
+    assert out["mean_b"][0] == (doc_id * 31) % 256
+
+
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_synth_decode_roundtrip(doc_id, n_chars):
+    import pandas as pd
+
+    from gcp_cloudsql_to_bigquery_spark.operators.multimodal import (
+        decode_wav_batch,
+        synthesize_wav_batch,
+    )
+
+    src = pd.DataFrame({"doc_id": [doc_id], "n_chars": [n_chars]})
+    media = next(synthesize_wav_batch(iter([src])))
+    out = next(decode_wav_batch(iter([media])))
+    n = n_chars % 2000 + 100
+    assert out["n_samples"][0] == n
+    assert out["sample_rate"][0] == 8000 and out["n_channels"][0] == 1
+    # Nyquist square wave of amplitude A has RMS exactly A
+    assert out["rms"][0] == float(doc_id % 1000)
+
+
+@given(
+    st.integers(min_value=1, max_value=10**9),  # total bytes
+    st.integers(min_value=1, max_value=10**8),  # target size
+)
+@settings(max_examples=200, deadline=None)
+def test_compaction_file_count_law(total, target):
+    """ceil-division law the compactor uses: n is the unique integer with
+    (n-1)*target < total <= n*target."""
+    n = max(1, -(-total // target))
+    assert n * target >= total
+    assert (n - 1) * target < total or n == 1
