@@ -538,7 +538,11 @@ def _ivf_kmeans_oracle(k: int = 16, iters: int = 3, dim: int = 64) -> str:
             f"n{i} AS (SELECT cell, list(mq ORDER BY dim) AS mv FROM m{i} GROUP BY cell),"
         )
         parts.append(
-            f"c{i} AS (SELECT p.cell, CASE WHEN n.mv IS NULL THEN p.c ELSE"
+            # mv IS NULL = empty cell; zero dot = all-zero quantized mean —
+            # both keep the previous centroid, mirroring kmeans_train's
+            # 'if n > 0' norm guard
+            f"c{i} AS (SELECT p.cell, CASE WHEN n.mv IS NULL"
+            f" OR list_dot_product(n.mv, n.mv) = 0 THEN p.c ELSE"
             f" list_transform(n.mv, x -> floor(x / sqrt(list_dot_product(n.mv, n.mv)) * 1e6 + 0.5)/1e6)"
             f" END AS c FROM {prev} p LEFT JOIN n{i} n USING (cell)),"
         )

@@ -108,9 +108,9 @@ _Z_WIN = 24  # trailing buckets in the anomaly baseline
     WITH {_DUCK_HOURLY},
     rolled AS (
       SELECT event_type, h, cents,
-             count(*)              OVER w AS n,
-             sum(cents)            OVER w AS sumx,
-             sum(cents * cents)    OVER w AS sumx2
+             count(*)                                   OVER w AS n,
+             CAST(sum(CAST(cents AS DOUBLE))            OVER w AS DOUBLE) AS sumx,
+             CAST(sum(CAST(cents AS DOUBLE) * cents)    OVER w AS DOUBLE) AS sumx2
       FROM hourly
       WINDOW w AS (PARTITION BY event_type ORDER BY h
                    ROWS BETWEEN {_Z_WIN} PRECEDING AND 1 PRECEDING)
@@ -118,8 +118,8 @@ _Z_WIN = 24  # trailing buckets in the anomaly baseline
     SELECT event_type, h, cents,
            CAST(n AS BIGINT) AS n_baseline,
            n >= 2 AND
-           CAST((n * cents - sumx) AS DOUBLE) * (n * cents - sumx) * (n - 1)
-             > 9.0 * n * (CAST(n * sumx2 AS DOUBLE) - CAST(sumx AS DOUBLE) * sumx)
+           (n * cents - sumx) * (n * cents - sumx) * (n - 1)
+             > 9.0 * n * (n * sumx2 - sumx * sumx)
            AS is_anomaly
     FROM rolled
     """,
@@ -127,10 +127,12 @@ _Z_WIN = 24  # trailing buckets in the anomaly baseline
     "flag buckets where (x - mean)^2 > 9 * var_samp over the trailing "
     "24-bucket baseline (|z| > 3, baseline excludes the current bucket).  "
     "The test is evaluated in CROSS-MULTIPLIED integer form — "
-    "(n*x - sumx)^2 * (n-1) > 9 * n * (n*sumx2 - sumx^2) — over exact "
-    "integer-cent window sums, so the boolean is bit-deterministic on both "
-    "engines with no division, no sqrt, and no tolerance (products stay "
-    "within double's 2^53 exact-integer range at these magnitudes).  One "
+    "(n*x - sumx)^2 * (n-1) > 9 * n * (n*sumx2 - sumx^2) — with operands "
+    "carried as DOUBLES on both engines: no division, no sqrt, and every "
+    "operand integer-exact while windowed sums of cents^2 stay under 2^53 "
+    "(per-bucket totals <= ~1.9e7 cents; the fixture is 100x inside). "
+    "int64 would silently WRAP on Spark past 2^63 while DuckDB widens to "
+    "HUGEINT — doubles keep the two engines semantics-identical instead.  One "
     "window spec computes count/sum/sum-of-squares together: one exchange, "
     "one sort, O(1) incremental frame state — the streaming-friendly "
     "anomaly shape at any scale.",
@@ -142,12 +144,18 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(-_Z_WIN, -1)
     )
+    # operands are DOUBLES on both sides (sum of cents-as-double, sum of
+    # cents^2-as-double): int64 would WRAP silently past 2^63 on the Spark
+    # side while DuckDB widens to HUGEINT — a silent cross-engine split.
+    # Doubles degrade identically-in-kind instead, and every operand stays
+    # integer-EXACT while the windowed sum of cents^2 < 2^53 — i.e.
+    # per-bucket totals up to ~1.9e7 cents, 100x above the fixture.
     n = F.count(F.lit(1)).over(w)
-    sumx = F.sum("cents").over(w)
-    sumx2 = F.sum(F.col("cents") * F.col("cents")).over(w)
-    dev = (n * F.col("cents") - sumx).cast("double")
-    lhs = dev * (n * F.col("cents") - sumx) * (n - 1)
-    rhs = 9.0 * n * ((n * sumx2).cast("double") - sumx.cast("double") * sumx)
+    sumx = F.sum(F.col("cents").cast("double")).over(w)
+    sumx2 = F.sum(F.col("cents").cast("double") * F.col("cents")).over(w)
+    dev = n * F.col("cents") - sumx
+    lhs = dev * dev * (n - 1)
+    rhs = 9.0 * n * (n * sumx2 - sumx * sumx)
     return hourly.select(
         "event_type",
         "h",

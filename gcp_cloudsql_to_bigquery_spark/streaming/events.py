@@ -375,10 +375,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM events WHERE event_type = 'click'),
     v AS (SELECT event_id AS view_id, user_id AS v_user_id, CAST(ts AS TIMESTAMP) ts
           FROM events WHERE event_type = 'view'),
-    wm AS (SELECT least((SELECT max(CAST(ts AS TIMESTAMP)) FROM events
-                         WHERE event_type = 'click'),
-                        (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
-                         WHERE event_type = 'view'))
+    wm AS (SELECT least((SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+                         FROM events WHERE event_type = 'click'),
+                        (SELECT date_trunc('milliseconds', max(CAST(ts AS TIMESTAMP)))
+                         FROM events WHERE event_type = 'view'))
                   - INTERVAL '1 hour' AS w)
     SELECT click_id, view_id, user_id, view_to_click_us FROM (
       SELECT c.click_id, v.view_id, c.user_id,
@@ -397,7 +397,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "eviction point; later clicks stay in state and are NOT emitted when "
     "the availableNow drain ends.  The oracle replicates exactly that "
     "semantics: batch left join + 'matched OR evictable' filter on the "
-    "final watermark.  The no-data flush micro-batch "
+    "final watermark — including Spark's MILLISECOND truncation of max "
+    "event time (EventTimeStats carries ms, not the micros in the data), "
+    "which the oracle mirrors with date_trunc.  The no-data flush micro-batch "
     "(spark.sql.streaming.noDataMicroBatches.enabled) is what advances "
     "the watermark after the last file — without it no NULL row would "
     "ever appear in a drain.  At 100 TB the outer-join state is bounded "

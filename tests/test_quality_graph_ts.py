@@ -66,7 +66,10 @@ def test_scd2_interval_invariants(spark):
     for r in rows:
         by_cust.setdefault(r.o_custkey, []).append(r)
     for cust, ivs in by_cust.items():
-        ivs.sort(key=lambda r: (r.valid_from, r.priority))
+        # chain order: same-day double changes produce (d1, d1-zero-length)
+        # then (d1, d2...) — sort by (valid_from, valid_to) with the open
+        # interval (None) last, mirroring the query's chronological lead()
+        ivs.sort(key=lambda r: (r.valid_from, r.valid_to is None, r.valid_to))
         currents = [r for r in ivs if r.is_current]
         assert len(currents) == 1, (cust, ivs)
         assert currents[0].valid_to is None
