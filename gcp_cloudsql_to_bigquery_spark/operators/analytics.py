@@ -133,3 +133,72 @@ def analytics_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("retained_next_week"),
     )
+
+
+@register(
+    "analytics_cohort_ltv",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    cohorts AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+    joined AS (
+      SELECT c.cohort_wk,
+             CAST(date_diff('week', c.cohort_wk, e.wk) AS BIGINT) AS age_weeks,
+             e.user_id, e.cents
+      FROM ev e JOIN cohorts c ON c.user_id = e.user_id
+    ),
+    agg AS (
+      SELECT cohort_wk, age_weeks,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_active,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM joined GROUP BY cohort_wk, age_weeks
+    )
+    SELECT CAST(cohort_wk AS TIMESTAMP) AS cohort_wk, age_weeks, n_active, cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort_wk ORDER BY age_weeks
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+    FROM agg
+    """,
+    doc="Cohort lifetime-value analysis: users grouped by first-seen week "
+    "(the cohort), activity re-keyed to cohort age in weeks, per-"
+    "(cohort, age) active-user counts and revenue, and the running "
+    "cumulative LTV per cohort — the retention sibling that tracks VALUE "
+    "instead of presence (analytics_weekly_retention).  Shape: one "
+    "group-agg for cohort assignment, one user-keyed join to re-key "
+    "activity (at 100 TB the cohort table is one row per user — shuffle "
+    "join on user_id, the natural key), one partial-agg reduce to "
+    "(cohort, age) grain, then a window over the tiny cohort×age grid.  "
+    "All integer-cent arithmetic, no float drift.",
+)
+def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    joined = ev.join(cohorts, "user_id").select(
+        "cohort_wk",
+        (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7).cast("bigint").alias("age_weeks"),
+        "user_id",
+        "cents",
+    )
+    agg = joined.groupBy("cohort_wk", "age_weeks").agg(
+        F.countDistinct("user_id").alias("n_active"), F.sum("cents").alias("cents")
+    )
+    w = (
+        W.partitionBy("cohort_wk")
+        .orderBy("age_weeks")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return agg.select(
+        "cohort_wk",
+        "age_weeks",
+        "n_active",
+        "cents",
+        F.sum("cents").over(w).alias("cum_cents"),
+    )

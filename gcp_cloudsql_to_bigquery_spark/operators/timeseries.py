@@ -163,3 +163,60 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_baseline"),
         ((n >= 2) & (lhs > rhs)).alias("is_anomaly"),
     )
+
+
+@register(
+    "ts_seasonal_profile",
+    oracle=f"""
+    WITH {_DUCK_HOURLY},
+    prof AS (
+      SELECT event_type, CAST(hour(h) AS INT) AS hod,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(floor(avg(CAST(cents AS DOUBLE)) * 100 + 0.5) AS BIGINT) AS avg_cents_x100
+      FROM hourly GROUP BY event_type, hod
+    )
+    SELECT event_type, hod, n_obs, avg_cents_x100,
+           CAST(floor(CAST(avg_cents_x100 AS DOUBLE)
+                      / sum(avg_cents_x100) OVER (PARTITION BY event_type)
+                      * 1e6 + 0.5) AS BIGINT) AS share_x1e6,
+           avg_cents_x100 = max(avg_cents_x100)
+             OVER (PARTITION BY event_type) AS is_peak_hour
+    FROM prof
+    """,
+    doc="Seasonal (hour-of-day) profile decomposition: the additive-"
+    "seasonality building block — mean hourly level per (series, "
+    "hour-of-day), each hour's share of the daily total, and the peak-"
+    "hour flag.  Subtracting this profile deseasonalizes the series for "
+    "the z-score detector (ts_anomaly_zscore), the classic decompose-"
+    "then-detect telemetry pipeline.  Arithmetic: integer cents → "
+    "fixed-point x100 means → share over the PROFILE table (24 rows per "
+    "series), so the window runs on group-count-sized data, never raw "
+    "events.  Two shuffles total at any scale: the pre-reduction and the "
+    "24-row-per-series profile window.",
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_cents(spark, sf_dir)
+    prof = (
+        hourly.groupBy("event_type", F.hour("h").cast("int").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.floor(F.avg(F.col("cents").cast("double")) * 100 + 0.5)
+            .cast("bigint")
+            .alias("avg_cents_x100"),
+        )
+    )
+    w = W.partitionBy("event_type")
+    share = F.floor(
+        F.col("avg_cents_x100").cast("double")
+        / F.sum("avg_cents_x100").over(w)
+        * 1e6
+        + 0.5
+    ).cast("bigint")
+    return prof.select(
+        "event_type",
+        "hod",
+        "n_obs",
+        "avg_cents_x100",
+        share.alias("share_x1e6"),
+        (F.col("avg_cents_x100") == F.max("avg_cents_x100").over(w)).alias("is_peak_hour"),
+    )
