@@ -77,6 +77,11 @@ HEADLINE = (
 STREAMING = frozenset(n for n in HEADLINE if n.startswith("stream_"))
 
 RUNS = 3
+# streaming queries are timed END-TO-END fresh each run (checkpoint setup,
+# micro-batch scheduling, no-data flush), so their per-run variance is ~2-3x
+# a batch query's; more reps tighten the min toward the true floor without
+# changing the min-of-N methodology or the frozen query set
+STREAMING_RUNS = 5
 
 
 def main() -> None:
@@ -111,7 +116,7 @@ def main() -> None:
         if name in STREAMING:
             # end-to-end each run: start stream, drain, collect
             best = float("inf")
-            for i in range(RUNS):
+            for i in range(STREAMING_RUNS):
                 t0 = time.time()
                 qs[name](spark, sf_dir).toPandas()
                 dt = time.time() - t0
