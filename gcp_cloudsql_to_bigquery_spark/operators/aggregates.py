@@ -507,3 +507,38 @@ def agg_boolean_filter_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 4
         ).alias("avg_open"),
     )
+
+
+@register(
+    "agg_grouping_metadata",
+    oracle="""
+    SELECT n.n_regionkey, c.c_mktsegment,
+           CAST(grouping(n.n_regionkey) AS BIGINT)  AS g_region,
+           CAST(grouping(c.c_mktsegment) AS BIGINT) AS g_segment,
+           count(*) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_regionkey, c.c_mktsegment), (n.n_regionkey), ())
+    """,
+    doc="GROUPING() metadata with GROUPING SETS: the flag that "
+    "disambiguates 'NULL because the column is rolled up' from 'NULL in "
+    "the data' — without it a report cannot tell a subtotal row from a "
+    "null-key group.  Same single-pass expand+hash-aggregate plan as "
+    "agg_rollup/agg_cube; the flags are free plan metadata, not extra "
+    "computation.",
+)
+def agg_grouping_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_regionkey, c.c_mktsegment,
+               CAST(grouping(n.n_regionkey) AS BIGINT)  AS g_region,
+               CAST(grouping(c.c_mktsegment) AS BIGINT) AS g_segment,
+               count(*) AS n_cust,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY GROUPING SETS ((n.n_regionkey, c.c_mktsegment), (n.n_regionkey), ())
+        """
+    )

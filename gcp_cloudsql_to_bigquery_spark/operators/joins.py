@@ -530,3 +530,108 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_not_in_nullable
         """
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH od AS (
+      SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS d,
+             max(o_orderkey) AS order_key
+      FROM orders GROUP BY o_custkey, d
+    ),
+    u AS (
+      SELECT o_custkey AS k, d AS t, 0 AS tag, CAST(NULL AS BIGINT) AS event_id,
+             {'d': d, 'okey': order_key} AS p
+      FROM od
+      UNION ALL
+      SELECT user_id, CAST(ts AS TIMESTAMP), 1, event_id,
+             CAST(NULL AS STRUCT(d TIMESTAMP, okey BIGINT))
+      FROM events
+    ),
+    c AS (
+      SELECT k, t, tag, event_id,
+             last_value(p IGNORE NULLS) OVER
+               (PARTITION BY k ORDER BY t, tag
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+             first_value(p IGNORE NULLS) OVER
+               (PARTITION BY k ORDER BY t, tag
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pf
+      FROM u
+    )
+    SELECT event_id, k AS user_id,
+           CASE WHEN pf.d IS NULL THEN pb.d
+                WHEN pb.d IS NULL THEN pf.d
+                WHEN date_diff('microsecond', pb.d, t)
+                     <= date_diff('microsecond', t, pf.d) THEN pb.d
+                ELSE pf.d END AS asof_orderdate,
+           CASE WHEN pf.d IS NULL THEN pb.okey
+                WHEN pb.d IS NULL THEN pf.okey
+                WHEN date_diff('microsecond', pb.d, t)
+                     <= date_diff('microsecond', t, pf.d) THEN pb.okey
+                ELSE pf.okey END AS order_key,
+           CASE WHEN pf.d IS NULL THEN date_diff('microsecond', pb.d, t)
+                WHEN pb.d IS NULL THEN date_diff('microsecond', t, pf.d)
+                ELSE least(date_diff('microsecond', pb.d, t),
+                           date_diff('microsecond', t, pf.d)) END AS gap_us
+    FROM c WHERE tag = 1
+    """,
+    doc="NEAREST as-of join (the bidirectional sibling of join_asof's "
+    "backward pick): each event matches the order-day minimizing |gap|, "
+    "ties to the at-or-before side — pandas merge_asof(direction="
+    "'nearest') semantics, which Spark lacks natively.  Same LINEAR "
+    "union+window shape as join_asof: one sort per user carries the last "
+    "order payload forward (backward candidate) and the next order "
+    "payload backward (forward candidate), then a row-local CASE picks "
+    "the closer side — no join blow-up, gaps reported in exact integer "
+    "microseconds.  Events before a user's first order / after the last "
+    "fall back to the only available side; orderless users keep NULLs.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load as _load
+
+    events = _load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (
+        _load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", F.col("o_orderdate").cast("timestamp").alias("d"))
+        .agg(F.max("o_orderkey").alias("order_key"))
+    )
+    p_type = "struct<d:timestamp,okey:bigint>"
+    right_rows = od.select(
+        F.col("o_custkey").alias("k"),
+        F.col("d").alias("t"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.struct(F.col("d"), F.col("order_key").alias("okey")).alias("p"),
+    )
+    left_rows = events.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.col("event_id"),
+        F.lit(None).cast(p_type).alias("p"),
+    )
+    u = right_rows.unionByName(left_rows)
+    w_back = W.partitionBy("k").orderBy("t", "tag").rowsBetween(W.unboundedPreceding, 0)
+    w_fwd = W.partitionBy("k").orderBy("t", "tag").rowsBetween(0, W.unboundedFollowing)
+    c = u.select(
+        "k",
+        "t",
+        "tag",
+        "event_id",
+        F.last("p", ignorenulls=True).over(w_back).alias("pb"),
+        F.first("p", ignorenulls=True).over(w_fwd).alias("pf"),
+    ).filter(F.col("tag") == 1)
+    gb = F.unix_micros("t") - F.unix_micros("pb.d")
+    gf = F.unix_micros("pf.d") - F.unix_micros("t")
+    take_back = F.col("pf.d").isNull() | (F.col("pb.d").isNotNull() & (gb <= gf))
+    return c.select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.when(take_back, F.col("pb.d")).otherwise(F.col("pf.d")).alias("asof_orderdate"),
+        F.when(take_back, F.col("pb.okey")).otherwise(F.col("pf.okey")).alias("order_key"),
+        F.when(F.col("pf.d").isNull(), gb)
+        .when(F.col("pb.d").isNull(), gf)
+        .otherwise(F.least(gb, gf))
+        .alias("gap_us"),
+    )

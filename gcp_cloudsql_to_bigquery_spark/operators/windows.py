@@ -571,3 +571,46 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "window_distinct_running",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_types_so_far
+    FROM flagged
+    """,
+    doc="Running DISTINCT count over a window — count(DISTINCT) OVER is "
+    "unsupported in Spark (and most engines), so this is THE standard "
+    "rewrite: flag each (key, value)'s first occurrence with row_number, "
+    "then running-sum the flags.  Two window specs, but the second "
+    "reuses the same user_id partitioning (one exchange + two sorts).  "
+    "Deterministic via the (ts, event_id) unique tiebreak.  At scale "
+    "this replaces a per-prefix distinct aggregation — O(n log n) sort "
+    "instead of O(n^2) re-scans.",
+)
+def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    flagged = ev.withColumn(
+        "first_seen", F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
+    )
