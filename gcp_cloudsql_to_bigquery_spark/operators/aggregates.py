@@ -542,3 +542,44 @@ def agg_grouping_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((n.n_regionkey, c.c_mktsegment), (n.n_regionkey), ())
         """
     )
+
+
+@register(
+    "elt_incremental_join_maintenance",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS spend
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Incremental maintenance of a JOIN view under deltas on BOTH "
+    "sides — the delta algebra Delta(A join B) = dA*B_old + A_old*dB + "
+    "dA*dB, materialized as four unioned join terms (old*old is the "
+    "stored view; the three delta terms are the refresh) and "
+    "oracle-proven equal to recomputing the full join.  Orders and "
+    "customers are each split ~70/30 into 'stored' and 'newly arrived' "
+    "on key-derived predicates, so every term is non-trivially "
+    "populated.  This is how a 100 TB join view refreshes: the delta "
+    "terms scan only the new batches (dA joins the old B by key lookup, "
+    "dA*dB is batch-sized), and the stored term is never recomputed — "
+    "the generalization of agg_incremental_maintenance from aggregates "
+    "to joins.",
+)
+def elt_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o_old = o.filter(F.col("o_orderkey") % 10 < 7)
+    o_new = o.filter(F.col("o_orderkey") % 10 >= 7)
+    c_old = c.filter(F.col("c_custkey") % 10 < 7)
+    c_new = c.filter(F.col("c_custkey") % 10 >= 7)
+    join_on = F.col("o_custkey") == F.col("c_custkey")
+    stored = o_old.join(c_old, join_on)          # the materialized view
+    d1 = o_new.join(c_old, join_on)              # dA * B_old
+    d2 = o_old.join(c_new, join_on)              # A_old * dB
+    d3 = o_new.join(c_new, join_on)              # dA * dB
+    maintained = stored.unionByName(d1).unionByName(d2).unionByName(d3)
+    return maintained.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+    )
