@@ -499,3 +499,52 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob")
         )
     )
+
+
+@register(
+    "text_segment_dedup",
+    oracle="""
+    WITH segs AS (
+      SELECT doc_id, CAST(i // 80 AS BIGINT) AS seg_idx,
+             substr(text, CAST(i AS INT) + 1, 80) AS seg
+      FROM documents, LATERAL unnest(range(0, length(text), 80)) AS t(i)
+    ),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                    AS n_segments,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN rn = 1 THEN length(seg) ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY doc_id
+    """,
+    doc="Cross-document SEGMENT-level dedup (the C4/RefinedWeb recipe: "
+    "near-identical boilerplate repeats across pages even when whole "
+    "documents differ): chunk every document into 80-char segments, keep "
+    "only each segment's FIRST occurrence corpus-wide (ordered by "
+    "doc_id, position — deterministic), and report per-document kept/"
+    "dropped stats.  One shuffle keyed by segment content for the "
+    "first-occurrence window — segment dedup state never touches the "
+    "full documents again.  Finer-grained than dedup_exact (whole-doc) "
+    "and cheaper than MinHash (no signatures): the right tool when "
+    "duplication is structural boilerplate, not fuzzy similarity.",
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(0), F.length("text") - 1, F.lit(80))
+    segs = d.select("doc_id", "text", F.explode(starts).alias("i")).select(
+        "doc_id",
+        F.floor(F.col("i") / 80).alias("seg_idx"),
+        F.substring(F.col("text"), F.col("i") + 1, F.lit(80)).alias("seg"),
+    )
+    w = W.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(F.col("rn") == 1, F.length("seg")).otherwise(0)).alias("kept_chars"),
+    )
