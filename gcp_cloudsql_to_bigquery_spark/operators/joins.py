@@ -588,11 +588,9 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fall back to the only available side; orderless users keep NULLs.",
 )
 def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..catalog import load as _load
-
-    events = _load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     od = (
-        _load(spark, sf_dir, "orders")
+        load(spark, sf_dir, "orders")
         .groupBy("o_custkey", F.col("o_orderdate").cast("timestamp").alias("d"))
         .agg(F.max("o_orderkey").alias("order_key"))
     )

@@ -227,7 +227,12 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "zero shuffle, so it streams at scan speed over 100 TB.",
 )
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # length > 0: empty docs would crash Spark's sequence(0, -1, 80) where
+    # the oracle's range() silently yields nothing (same guard as
+    # text_segment_dedup)
+    d = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 200) & (F.length("text") > 0)
+    )
     starts = F.sequence(F.lit(0), F.length("text") - 1, F.lit(80))
     return (
         d.select("doc_id", "text", F.explode(starts).alias("i"))
@@ -534,7 +539,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    d = load(spark, sf_dir, "documents")
+    # empty documents: sequence(0, -1, 80) is a runtime error in Spark while
+    # DuckDB's range(0, 0, 80) yields no rows — filter them out to match
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
     starts = F.sequence(F.lit(0), F.length("text") - 1, F.lit(80))
     segs = d.select("doc_id", "text", F.explode(starts).alias("i")).select(
         "doc_id",

@@ -139,6 +139,20 @@ _GATE_FRONT: tuple[str, ...] = (
     # --- 5: CC pair, expensive Spark side → prefix tail (slots 49-50) ---
     "dedup_connected_components",
     "dedup_cluster_representatives",
+    # --- 6: late round-5 additions, pinned at positions 51+ — the FRONT
+    # of next round's rotation (the 50-slot prefix is already full of
+    # first-green candidates; these are selfcheck-green at two SFs and
+    # queue in recency order instead of module-import order) ---
+    "ts_seasonal_profile",
+    "analytics_cohort_ltv",
+    "join_asof_nearest",
+    "agg_grouping_metadata",
+    "window_distinct_running",
+    "elt_incremental_join_maintenance",
+    "text_segment_dedup",
+    "join_scd2_point_in_time",
+    "agg_boolean_filter_family",
+    "src_csv_quoted_edges",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
