@@ -361,3 +361,67 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_wav_batch, schema="doc_id bigint, payload binary")
     return media.mapInPandas(decode_wav_batch, schema=WAV_DECODED_SCHEMA)
+
+
+def resize_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL resize kernel (binary → binary): parse the P6 header, validate
+    the buffer, nearest-neighbor downsample by 2 (px[::2, ::2]), re-encode
+    as a well-formed P6 payload.  The output is a genuine image file again
+    — the next pipeline stage (decode, thumbnail sink) needs no special
+    casing — and wrong stride/reshape order produces wrong downstream
+    means, failing the closed-form oracle."""
+    import re
+
+    import numpy as np
+
+    hdr = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+255\s")
+    for pdf in batches:
+        out_ids, out_payloads = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = hdr.match(payload)
+            if not m:
+                raise ValueError(f"doc {doc_id}: not a P6 PPM header")
+            w, h = int(m.group(1)), int(m.group(2))
+            px = np.frombuffer(payload, dtype=np.uint8, offset=m.end())
+            if px.size != w * h * 3:
+                raise ValueError(f"doc {doc_id}: pixel buffer {px.size} != {w}x{h}x3")
+            small = px.reshape(h, w, 3)[::2, ::2]
+            nh, nw = small.shape[:2]
+            out_ids.append(doc_id)
+            out_payloads.append(f"P6\n{nw} {nh}\n255\n".encode() + small.tobytes())
+        yield pd.DataFrame({"doc_id": out_ids, "payload": out_payloads})
+
+
+@register(
+    "multimodal_resize_ppm",
+    oracle="""
+    SELECT doc_id,
+           CAST((n_chars % 64 + 8 + 1) // 2 AS INT) AS width,
+           CAST((doc_id % 48 + 8 + 1) // 2 AS INT)  AS height,
+           CAST(3 + length(CAST((n_chars % 64 + 8 + 1) // 2 AS VARCHAR)) + 1
+                  + length(CAST((doc_id % 48 + 8 + 1) // 2 AS VARCHAR)) + 1 + 4
+                  + 3 * ((n_chars % 64 + 8 + 1) // 2) * ((doc_id % 48 + 8 + 1) // 2)
+               AS BIGINT)                            AS n_bytes,
+           CAST(doc_id % 256 AS DOUBLE)             AS mean_r,
+           CAST((doc_id % 48 + 8 + 1) // 2 - 1 AS DOUBLE) AS mean_g,
+           CAST((doc_id * 31) % 256 AS DOUBLE)      AS mean_b
+    FROM documents
+    """,
+    doc="REAL image resize, the brief's named multimodal op: synthesize a "
+    "P6 PPM per document, nearest-neighbor downsample 2x in a distributed "
+    "binary-to-binary mapInPandas stage (header parse, [::2,::2] pixel "
+    "slice, re-encode as valid P6), then decode the RESIZED file with the "
+    "standard decoder and check dims/bytes/channel means against DuckDB "
+    "closed forms: new dims are ceil(w/2) x ceil(h/2), constant r/b "
+    "planes are invariant under subsampling, and the gradient g plane's "
+    "selected rows 0,2,..,2(k-1) have exact integer mean k-1.  Three "
+    "chained narrow stages — bytes never shuffle, each stage's output is "
+    "a self-describing image the next stage re-validates.  At 100 TB "
+    "this is the thumbnail/downsample pass that cuts payload bytes 4x "
+    "before any shuffle or sink.",
+)
+def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = docs.mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
+    resized = media.mapInPandas(resize_ppm_batch, schema="doc_id bigint, payload binary")
+    return resized.mapInPandas(decode_ppm_batch, schema=PPM_DECODED_SCHEMA)

@@ -153,6 +153,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "join_scd2_point_in_time",
     "agg_boolean_filter_family",
     "src_csv_quoted_edges",
+    "multimodal_resize_ppm",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -87,3 +87,33 @@ def test_wav_decode_rejects_corrupt_payloads():
     )
     with _pytest.raises(ValueError, match="missing fmt/data"):
         list(decode_wav_batch(iter([headless])))
+
+
+def test_resize_halves_dims_and_preserves_planes():
+    """Pure-kernel check: resize(synthesize(x)) decodes to ceil-half dims
+    with constant planes invariant and the gradient mean equal to k-1."""
+    import pandas as pd
+
+    from gcp_cloudsql_to_bigquery_spark.operators.multimodal import (
+        decode_ppm_batch,
+        resize_ppm_batch,
+        synthesize_ppm_batch,
+    )
+
+    src = pd.DataFrame({"doc_id": [7, 123, 4000], "n_chars": [100, 57, 999]})
+    media = next(synthesize_ppm_batch(iter([src])))
+    small = next(resize_ppm_batch(iter([media])))
+    out = next(decode_ppm_batch(iter([small])))
+    for i, (doc_id, n_chars) in enumerate(zip(src["doc_id"], src["n_chars"])):
+        w, h = n_chars % 64 + 8, doc_id % 48 + 8
+        assert out["width"][i] == (w + 1) // 2
+        assert out["height"][i] == (h + 1) // 2
+        assert out["mean_r"][i] == doc_id % 256
+        assert out["mean_b"][i] == (doc_id * 31) % 256
+        assert out["mean_g"][i] == (h + 1) // 2 - 1
+
+    import pytest as _pytest
+
+    bad = pd.DataFrame({"doc_id": [1], "payload": [b"GIF89a..."]})
+    with _pytest.raises(ValueError, match="not a P6"):
+        list(resize_ppm_batch(iter([bad])))
