@@ -183,3 +183,58 @@ def elt_load_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["nulls_status_or_null"], m["nulls_o_orderkey"])],
         "n_rows bigint, nulls_status bigint, nulls_orderkey bigint",
     )
+
+
+@register(
+    "elt_bad_records_quarantine",
+    oracle="""
+    SELECT CAST(count(CASE WHEN c_custkey % 97 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+           CAST(count(CASE WHEN c_custkey % 97 = 0 THEN 1 END) AS BIGINT)  AS n_quarantined,
+           CAST(sum(CASE WHEN c_custkey % 97 <> 0
+                         THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS good_bal_cents
+    FROM customer
+    """,
+    doc="Bad-record quarantine on load (PERMISSIVE mode + "
+    "columnNameOfCorruptRecord): a corrupted export — every 97th row "
+    "carries unparseable text in a numeric field — loads WITHOUT killing "
+    "the batch; malformed rows surface with NULL typed columns and the "
+    "raw line preserved in the corrupt-record column for reprocessing, "
+    "clean rows load normally.  This is the robustness layer the "
+    "reference's load cannot express (a bad row fails the whole BigQuery "
+    "job, bq-importer/main.py:27-39) and the row-level complement of "
+    "fn_try_arithmetic's cell-level NULLs.  Counts and the clean-row "
+    "balance total are closed-form checked against the uncorrupted "
+    "source.  At 100 TB: quarantine is a filter on the corrupt column — "
+    "the load stays single-pass, and the quarantined lines are replayable "
+    "bytes, not lost data.",
+)
+def elt_bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    c = load(spark, sf_dir, "customer")
+    line = F.concat_ws(
+        ",",
+        F.col("c_custkey"),
+        F.col("c_nationkey"),
+        F.when(F.col("c_custkey") % 97 == 0, F.lit("XXX")).otherwise(
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").cast("string")
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="quarantine_") + "/export"
+    c.select(line.alias("value")).write.mode("overwrite").text(out)
+
+    schema = "c_custkey bigint, c_nationkey bigint, bal_cents bigint, _corrupt string"
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_quarantined"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("bal_cents"))).alias(
+            "good_bal_cents"
+        ),
+    )

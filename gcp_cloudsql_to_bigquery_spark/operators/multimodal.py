@@ -425,3 +425,73 @@ def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
     resized = media.mapInPandas(resize_ppm_batch, schema="doc_id bigint, payload binary")
     return resized.mapInPandas(decode_ppm_batch, schema=PPM_DECODED_SCHEMA)
+
+
+def decimate_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL audio resample kernel (binary → binary): walk the RIFF chunks,
+    take every 2nd PCM16 frame (decimation by 2 — the no-filter nearest
+    neighbor of resampling), re-encode a valid RIFF/WAVE at half the
+    sample rate.  The output is a playable file the standard decoder
+    re-validates."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out_ids, out_payloads = [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError(f"doc {doc_id}: not a RIFF/WAVE container")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                body = payload[pos + 8 : pos + 8 + clen]
+                if cid == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", body[:16])
+                elif cid == b"data":
+                    data = body
+                pos += 8 + clen + (clen & 1)
+            if fmt is None or data is None:
+                raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
+            _afmt, n_ch, rate, _br, _al, _bits = fmt
+            x = np.frombuffer(data, dtype="<i2").reshape(-1, n_ch)[::2]
+            new_rate = rate // 2
+            new_data = x.astype("<i2").tobytes()
+            new_fmt = struct.pack(
+                "<HHIIHH", 1, n_ch, new_rate, new_rate * 2 * n_ch, 2 * n_ch, 16
+            )
+            chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(new_fmt)) + new_fmt
+            chunks += b"data" + struct.pack("<I", len(new_data)) + new_data
+            out_ids.append(doc_id)
+            out_payloads.append(b"RIFF" + struct.pack("<I", len(chunks)) + chunks)
+        yield pd.DataFrame({"doc_id": out_ids, "payload": out_payloads})
+
+
+@register(
+    "multimodal_resample_wav",
+    oracle=f"""
+    SELECT doc_id,
+           {_WAV_RATE} // 2                                        AS sample_rate,
+           1                                                       AS n_channels,
+           CAST((n_chars % 2000 + 100 + 1) // 2 AS BIGINT)         AS n_samples,
+           ((n_chars % 2000 + 100 + 1) // 2) / ({_WAV_RATE} / 2.0) AS duration_sec,
+           CAST(doc_id % 1000 AS DOUBLE)                           AS rms
+    FROM documents
+    """,
+    doc="REAL audio resample (the WAV sibling of multimodal_resize_ppm): "
+    "decimate the PCM16 stream by 2 in a binary-to-binary mapInPandas "
+    "stage (chunk walk, [::2] frame slice, re-encode a valid RIFF at "
+    "half rate), then decode the RESAMPLED file with the standard "
+    "decoder.  Closed forms: ceil-half sample count, duration preserved "
+    "to within one sample (n'/(r/2) ~ n/r), and the Nyquist +/-A square "
+    "wave decimates to a constant-amplitude signal whose RMS is still "
+    "EXACTLY A — so the check needs no tolerance.  Decode / feature / "
+    "resize-resample / frame-sample now all exist for both image and "
+    "audio payloads, all byte-level real, all oracle-verified.",
+)
+def multimodal_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = docs.mapInPandas(synthesize_wav_batch, schema="doc_id bigint, payload binary")
+    small = media.mapInPandas(decimate_wav_batch, schema="doc_id bigint, payload binary")
+    return small.mapInPandas(decode_wav_batch, schema=WAV_DECODED_SCHEMA)

@@ -154,6 +154,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_boolean_filter_family",
     "src_csv_quoted_edges",
     "multimodal_resize_ppm",
+    "multimodal_resample_wav",
+    "elt_bad_records_quarantine",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
