@@ -220,3 +220,146 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("share_x1e6"),
         (F.col("avg_cents_x100") == F.max("avg_cents_x100").over(w)).alias("is_peak_hour"),
     )
+
+
+@register(
+    "ts_time_weighted_avg",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    seg AS (
+      SELECT event_type, d, t_us, cents,
+             lead(t_us) OVER w AS next_us
+      FROM pts
+      WINDOW w AS (PARTITION BY event_type, d ORDER BY t_us, cents)
+    ),
+    acc AS (
+      SELECT event_type, d,
+             CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(max(t_us) - min(t_us) AS BIGINT) AS span_us,
+             CAST(sum(CASE WHEN next_us IS NULL THEN 0
+                           ELSE cents * (next_us - t_us) END) AS BIGINT)
+               AS integral_cents_us
+      FROM seg GROUP BY event_type, d
+    )
+    SELECT event_type, d, n_obs, span_us, integral_cents_us,
+           CAST((200 * integral_cents_us + span_us) // (2 * span_us) AS BIGINT)
+             AS twa_cents_x100
+    FROM acc WHERE n_obs >= 2
+    """,
+    doc="Time-weighted average over irregular samples (TimescaleDB "
+    "time_weighted_average, LOCF weighting): per (event_type, day), each "
+    "observation is held until the next one, so the integral is "
+    "sum(cents_i * (t_{i+1} - t_i)) over the observed span and "
+    "TWA = integral / span.  Arithmetic is EXACT end-to-end: timestamps in "
+    "integer microseconds, values in integer cents, and the final rounded "
+    "division floor(100*I/S + 0.5) is computed as the integer "
+    "(200*I + S) div (2*S) — no doubles cross the oracle boundary (the "
+    "integral can exceed 2^53, where a double division would silently "
+    "round; bounds: span <= 8.64e10 us/day * cents <= ~5e4 keeps "
+    "200*I < 2^63 with 3 orders of margin).  Ties on t_us are ordered by "
+    "cents so lead() is deterministic on both engines.  One window pass + "
+    "one aggregate over (event_type, day) partitions: the day bound keeps "
+    "per-partition state O(points/day) and the shuffle key matches the "
+    "natural telemetry partitioning at 100 TB.",
+)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("event_type", "d").orderBy("t_us", "cents")
+    seg = pts.withColumn("next_us", F.lead("t_us").over(w))
+    acc = seg.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        (F.max("t_us") - F.min("t_us")).alias("span_us"),
+        F.sum(
+            F.when(F.col("next_us").isNull(), F.lit(0)).otherwise(
+                F.col("cents") * (F.col("next_us") - F.col("t_us"))
+            )
+        ).alias("integral_cents_us"),
+    )
+    return acc.filter(F.col("n_obs") >= 2).select(
+        "event_type",
+        "d",
+        "n_obs",
+        "span_us",
+        "integral_cents_us",
+        F.expr("(200 * integral_cents_us + span_us) div (2 * span_us)")
+        .cast("bigint")
+        .alias("twa_cents_x100"),
+    )
+
+
+@register(
+    "ts_counter_rate",
+    oracle=f"""
+    WITH {_DUCK_HOURLY},
+    d AS (
+      SELECT event_type, h, cents,
+             cents - lag(cents) OVER w AS delta
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ),
+    inc AS (
+      SELECT event_type, h, cents,
+             CASE WHEN delta IS NULL THEN NULL
+                  WHEN delta < 0 THEN cents
+                  ELSE delta END AS increase,
+             delta < 0 AS is_reset
+      FROM d
+    )
+    SELECT event_type, h, cents,
+           CAST(increase AS BIGINT) AS increase,
+           coalesce(is_reset, FALSE) AS is_reset,
+           CAST(sum(coalesce(increase, 0))
+                OVER (PARTITION BY event_type ORDER BY h) AS BIGINT)
+             AS cum_increase
+    FROM inc
+    """,
+    doc="Counter-reset-aware rate extraction (the Prometheus/TimescaleDB "
+    "counter_agg 'increase' semantics): per series, the per-bucket increase "
+    "is the delta to the previous sample unless the counter went DOWN — a "
+    "reset — in which case the post-reset absolute value is the increase "
+    "(the counter restarted from zero).  First sample has no baseline → "
+    "NULL increase, excluded from the cumulative sum.  Integer cents "
+    "end-to-end.  Plan: the pre-reduction groupBy plus ONE (series)-keyed "
+    "window pass that computes lag, reset flag, and running total under a "
+    "single window spec — one exchange, one sort, O(1) frame state; at "
+    "100 TB the shuffle carries one row per (series, bucket), never raw "
+    "samples.",
+)
+def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_cents(spark, sf_dir)
+    w = W.partitionBy("event_type").orderBy("h")
+    delta = F.col("cents") - F.lag("cents").over(w)
+    d = hourly.withColumn("delta", delta)
+    inc = d.select(
+        "event_type",
+        "h",
+        "cents",
+        F.when(F.col("delta").isNull(), F.lit(None))
+        .when(F.col("delta") < 0, F.col("cents"))
+        .otherwise(F.col("delta"))
+        .alias("increase"),
+        (F.col("delta") < 0).alias("is_reset"),
+    )
+    return inc.select(
+        "event_type",
+        "h",
+        "cents",
+        F.col("increase").cast("bigint").alias("increase"),
+        F.coalesce("is_reset", F.lit(False)).alias("is_reset"),
+        F.sum(F.coalesce("increase", F.lit(0)))
+        .over(W.partitionBy("event_type").orderBy("h"))
+        .cast("bigint")
+        .alias("cum_increase"),
+    )

@@ -156,6 +156,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "multimodal_resize_ppm",
     "multimodal_resample_wav",
     "elt_bad_records_quarantine",
+    "ts_time_weighted_avg",
+    "ts_counter_rate",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -164,3 +164,57 @@ def test_stats_regression_matches_numpy(spark):
         assert abs(got.slope_x1e6 / 1e6 - slope) < 1e-4
         assert abs(got.intercept_x1e4 / 1e4 - intercept) < 1e-2
         assert abs(got.corr_x1e6 / 1e6 - np.corrcoef(p, q)[0, 1]) < 1e-5
+
+
+def test_twa_constant_series_equals_value(spark):
+    """LOCF time-weighted average of a constant series is the constant,
+    regardless of sample spacing; and single-point days are excluded."""
+    out = queries()["ts_time_weighted_avg"](spark, SF)
+    rows = out.collect()
+    assert all(r.n_obs >= 2 for r in rows)
+    # integral/span identity: twa lies within [min,max] cents of the day —
+    # check via a hand-built constant fixture
+    import datetime
+    df = spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 0, 0), 9, "t", 2.5, "{}"),
+            (2, datetime.datetime(2024, 1, 1, 5, 0, 0), 9, "t", 2.5, "{}"),
+            (3, datetime.datetime(2024, 1, 1, 23, 0, 0), 9, "t", 2.5, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        for t in ("events",):
+            df.write.mode("overwrite").parquet(os.path.join(d, f"{t}.parquet"))
+        r = queries()["ts_time_weighted_avg"](spark, d).collect()
+    assert len(r) == 1 and r[0].twa_cents_x100 == 250 * 100
+
+
+def test_counter_rate_reset_semantics(spark):
+    """A drop between consecutive buckets flags a reset and contributes the
+    post-reset absolute value; first bucket contributes nothing."""
+    out = queries()["ts_counter_rate"](spark, SF)
+    import pandas as pd
+    pdf = out.toPandas().sort_values(["event_type", "h"])
+    for _, g in pdf.groupby("event_type"):
+        assert pd.isna(g.iloc[0]["increase"])
+        prev = None
+        cum = 0
+        for _, r in g.iterrows():
+            if prev is not None:
+                delta = r["cents"] - prev
+                expect = r["cents"] if delta < 0 else delta
+                assert r["increase"] == expect
+                assert bool(r["is_reset"]) == (delta < 0)
+                cum += expect
+            assert r["cum_increase"] == cum
+            prev = r["cents"]
+
+
+def test_twa_and_counter_rate_single_window_exchange(spark):
+    """Both queries shuffle once for the pre-reduction and once for the
+    window pass — no extra exchanges."""
+    for name in ("ts_time_weighted_avg", "ts_counter_rate"):
+        df = queries()[name](spark, SF)
+        assert exchange_count(df) <= 2, (name, df._jdf.queryExecution().executedPlan().toString())
