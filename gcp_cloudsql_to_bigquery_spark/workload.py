@@ -158,6 +158,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "elt_bad_records_quarantine",
     "ts_time_weighted_avg",
     "ts_counter_rate",
+    "graph_triangle_count",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -218,3 +218,39 @@ def test_twa_and_counter_rate_single_window_exchange(spark):
     for name in ("ts_time_weighted_avg", "ts_counter_rate"):
         df = queries()[name](spark, SF)
         assert exchange_count(df) <= 2, (name, df._jdf.queryExecution().executedPlan().toString())
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Per-node triangle counts agree with an O(n^3) brute force on the
+    collected 25-node edge list; sum(per-node) = 3 * total triangles."""
+    from itertools import combinations
+    out = {r.n_nationkey: r for r in queries()["graph_triangle_count"](spark, SF).collect()}
+    # rebuild the undirected edge set independently
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_suppkey")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_custkey")
+    c = spark.read.parquet(f"{SF}/customer.parquet").select("c_custkey", "c_nationkey")
+    s = spark.read.parquet(f"{SF}/supplier.parquet").select("s_suppkey", "s_nationkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter("c_nationkey <> s_nationkey")
+        .selectExpr("least(c_nationkey, s_nationkey) a", "greatest(c_nationkey, s_nationkey) b")
+        .distinct()
+        .collect()
+    )
+    adj = {}
+    for r in pairs:
+        adj.setdefault(r.a, set()).add(r.b)
+        adj.setdefault(r.b, set()).add(r.a)
+    tri = {k: 0 for k in adj}
+    total = 0
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            total += 1
+            tri[x] += 1; tri[y] += 1; tri[z] += 1
+    for k, v in tri.items():
+        assert out[k].n_triangles == v, (k, v, out[k])
+        assert out[k].degree == len(adj[k])
+        assert 0 <= out[k].clustering_x1e6 <= 1_000_000
+    assert sum(r.n_triangles for r in out.values()) == 3 * total
