@@ -36,6 +36,7 @@ _OPTIONAL_MODULES = (
     "gcp_cloudsql_to_bigquery_spark.sources.jdbc",
     "gcp_cloudsql_to_bigquery_spark.sources.pysource",
     "gcp_cloudsql_to_bigquery_spark.operators.scale",
+    "gcp_cloudsql_to_bigquery_spark.operators.linkage",
 )
 
 
@@ -159,6 +160,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_time_weighted_avg",
     "ts_counter_rate",
     "graph_triangle_count",
+    "join_fuzzy_blocked",
+    "join_geo_radius",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
