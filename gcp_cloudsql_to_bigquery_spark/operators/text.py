@@ -555,3 +555,120 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dropped"),
         F.sum(F.when(F.col("rn") == 1, F.length("seg")).otherwise(0)).alias("kept_chars"),
     )
+
+
+_CLS_BUCKETS = 1024  # hashed feature space (fastText-style hashing trick)
+
+
+@register(
+    "text_hashed_classifier_score",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             CAST(list_sum(list_transform(
+                 string_split(lower(text), ' '),
+                 t -> (CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)
+                       % {_CLS_BUCKETS}) % 13 - 6)) AS BIGINT) AS score
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, n_tokens, score,
+           score > 0 AS accept,
+           CAST((score * 10000) // n_tokens AS BIGINT) AS mean_weight_x1e4
+    FROM scored
+    """,
+    doc="Hashed-feature linear classifier scoring (the fastText/Vowpal-"
+    "Wabbit hashing trick, as used for corpus quality classifiers a la "
+    "CCNet/GPT-3 filtering): each token hashes into a fixed "
+    f"{_CLS_BUCKETS}-bucket feature space (md5-derived — never the "
+    "salted builtin hash), the model is a deterministic weight per "
+    "bucket ((bucket %% 13) - 6 stands in for trained weights, which "
+    "would broadcast identically), and the document score is the sum of "
+    "its token weights.  The ENTIRE scorer is a per-row higher-order "
+    "expression — transform + aggregate inside whole-stage codegen, "
+    "ZERO shuffles, zero Python, no explode: the shape that scores "
+    "100 TB of documents at scan speed.  Mean weight is reported as an "
+    "exact truncated-toward-zero fixed-point ratio (both engines "
+    "truncate integer division identically, negative scores included).",
+)
+def text_hashed_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    score = F.expr(
+        "aggregate(transform(split(lower(text), ' '), "
+        f"t -> (CAST(conv(substr(md5(t), 1, 4), 16, 10) AS INT) % {_CLS_BUCKETS}) % 13 - 6), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        score.alias("score"),
+        (score > 0).alias("accept"),
+        F.expr("(score * 10000) div n_tokens").alias("mean_weight_x1e4"),
+    ).withColumn("mean_weight_x1e4", F.col("mean_weight_x1e4").cast("bigint"))
+
+
+_SPAN_N = 8  # words per duplicated-span shingle
+
+
+@register(
+    "text_duplicate_span_fraction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE length(text) > 0
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - {_SPAN_N - 1}, 1) + 1),
+               i -> md5(array_to_string(list_slice(t, i, i + {_SPAN_N - 1}), ' '))
+             ))) AS s
+      FROM toks
+    ),
+    freq AS (SELECT s, count(*) AS n_docs FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_shingles,
+           CAST((2 * 1000000 * sum(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END)
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS dup_frac_x1e6
+    FROM sh JOIN freq ON freq.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+    doc=f"Corpus-duplicated span fraction (the practical form of exact-"
+    f"substring training-data dedup, Lee et al. 2022 'Deduplicating "
+    f"Training Data Makes Language Models Better'): every {_SPAN_N}-word "
+    f"shingle is fingerprinted (md5 of the joined window), shingles "
+    f"occurring in >=2 documents are duplicated SPANS, and each document "
+    f"reports what fraction of its distinct spans the corpus duplicates — "
+    f"the removal signal for span-level dedup.  Pipeline: narrow per-row "
+    f"shingling (no shuffle) -> explode -> ONE fingerprint-keyed "
+    f"aggregate for corpus frequencies -> ONE join back on the "
+    f"fingerprint.  Both shuffles key on the shingle hash — uniformly "
+    f"distributed by construction, so no skew at 100 TB; suffix-array "
+    f"construction (the paper's in-memory approach) is replaced by "
+    f"shingle fingerprinting precisely because it has this shuffle "
+    f"shape.  Short documents (<{_SPAN_N} words) contribute their full "
+    f"text as one shingle.  Exact integer micro-fraction output.",
+)
+def text_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    shingles = F.expr(
+        "array_distinct(transform("
+        f"sequence(1, greatest(size(split(lower(text), ' ')) - {_SPAN_N - 1}, 1)), "
+        f"i -> md5(concat_ws(' ', slice(split(lower(text), ' '), i, {_SPAN_N})))))"
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("s"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+    return (
+        sh.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            dup.cast("bigint").alias("n_dup_shingles"),
+            F.expr(
+                "CAST((2 * 1000000 * sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)"
+                " + count(*)) div (2 * count(*)) AS BIGINT)"
+            ).alias("dup_frac_x1e6"),
+        )
+    )

@@ -162,6 +162,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "graph_triangle_count",
     "join_fuzzy_blocked",
     "join_geo_radius",
+    "text_hashed_classifier_score",
+    "text_duplicate_span_fraction",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
