@@ -583,3 +583,199 @@ def elt_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("spend"),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, c_nationkey, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, c_nationkey ASC) AS rk
+      FROM counts
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nationkey, n AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Deterministic exact MODE per group (most frequent value, ties "
+    "broken by smallest value): count-then-rank, NOT the builtin mode() "
+    "aggregate — Spark's mode() and DuckDB's mode() both leave tie order "
+    "engine-defined, which is a silent cross-engine (and cross-RUN, under "
+    "partition-order nondeterminism) divergence; an explicit ORDER BY n "
+    "DESC, value ASC pins it.  Plan: one partial-aggregated groupBy to "
+    "(group, value) counts, then a window over GROUP-CARDINALITY-sized "
+    "data — the heavy reduction happens before the sort, the canonical "
+    "mode-at-scale shape.",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("n").desc(), F.col("c_nationkey").asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nationkey"),
+            F.col("n").cast("bigint").alias("mode_count"),
+        )
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+      FROM counts GROUP BY source
+    )
+    SELECT source, n, n_langs,
+           CAST(floor((ln(CAST(n AS DOUBLE)) - clogc / n) / ln(2.0) * 1e6 + 0.5)
+                AS BIGINT) AS entropy_bits_x1e6
+    FROM tot
+    """,
+    doc="Shannon entropy of the language mix per source (the diversity/"
+    "balance metric for corpus composition dashboards): H = log2(N) - "
+    "sum(c*ln c)/(N ln 2), computed from integer category counts in the "
+    "numerically-stable count form (never materializing p_i), so the only "
+    "float inputs are ln() of exact integers — cross-engine libm "
+    "divergence is sub-ulp on ~20 summed terms against a 1e-6 "
+    "quantization, ~9 orders of headroom.  Plan: two partial-aggregated "
+    "groupBys ((source, lang) then source) — entropy over 100 TB reduces "
+    "to arithmetic on the category-count table.",
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("clogc"),
+    )
+    h = (F.log(F.col("n").cast("double")) - F.col("clogc") / F.col("n")) / F.log(F.lit(2.0))
+    return tot.select(
+        "source",
+        "n",
+        "n_langs",
+        F.floor(h * 1e6 + 0.5).cast("bigint").alias("entropy_bits_x1e6"),
+    )
+
+
+_CMS_W = 64  # sketch width (buckets per hash row)
+_CMS_D = 4   # sketch depth (independent hash rows)
+
+
+def _cms_bucket_sql(row: int, col: str) -> str:
+    """DuckDB bucket expression for hash row ``row`` (md5-derived)."""
+    return (
+        f"CAST('0x' || substr(md5('r{row}:' || {col}), 1, 8) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT r.row_id, CASE r.row_id
+               {' '.join(f"WHEN {r} THEN {_cms_bucket_sql(r, 'event_type')}" for r in range(_CMS_D))}
+             END AS bucket
+      FROM events
+      CROSS JOIN (VALUES {', '.join(f'({r})' for r in range(_CMS_D))}) r(row_id)
+    ),
+    cms AS (
+      SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM expanded GROUP BY row_id, bucket
+    ),
+    keys AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY event_type
+    ),
+    probes AS (
+      SELECT k.event_type, k.exact_n, r.row_id,
+             CASE r.row_id
+               {' '.join(f"WHEN {r} THEN {_cms_bucket_sql(r, 'k.event_type')}" for r in range(_CMS_D))}
+             END AS bucket
+      FROM keys k
+      CROSS JOIN (VALUES {', '.join(f'({r})' for r in range(_CMS_D))}) r(row_id)
+    )
+    SELECT p.event_type, p.exact_n,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate,
+           min(c.c) >= p.exact_n AS never_underestimates
+    FROM probes p JOIN cms c ON c.row_id = p.row_id AND c.bucket = p.bucket
+    GROUP BY p.event_type, p.exact_n
+    """,
+    doc=f"Count-min sketch as an explicit relational aggregation "
+    f"(depth {_CMS_D} x width {_CMS_W}, md5-derived row hashes): the "
+    f"UPDATE phase is a narrow {_CMS_D}x row expansion + one "
+    f"(row, bucket)-keyed partial-aggregated groupBy — the sketch IS the "
+    f"{_CMS_D * _CMS_W}-cell count table, mergeable across partitions/"
+    f"days by cell-wise addition like the HLL and bitmap rollups.  The "
+    f"QUERY phase probes each key's {_CMS_D} cells and takes the min.  "
+    f"Deterministic hashes make the whole sketch EXACTLY reproducible, "
+    f"so the oracle replays it cell-for-cell AND certifies the "
+    f"structural one-sided error bound (estimate >= exact, always).  "
+    f"Spark's builtin count_min_sketch() emits an opaque binary with no "
+    f"SQL probe function — building the sketch relationally keeps it "
+    f"queryable, mergeable, and oracle-checkable.  At 100 TB: sketch "
+    f"size is fixed ({_CMS_D}x{_CMS_W} cells) regardless of input.",
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type")
+
+    def bucket(row: int, col: F.Column) -> F.Column:
+        h = F.md5(F.concat(F.lit(f"r{row}:"), col))
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CMS_W
+
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(_CMS_D)])
+    ).alias("row_id")
+    expanded = ev.select(F.col("event_type"), rows)
+    bucket_expr = None
+    for r in range(_CMS_D):
+        cond = bucket(r, F.col("event_type"))
+        bucket_expr = (
+            F.when(F.col("row_id") == r, cond)
+            if bucket_expr is None
+            else bucket_expr.when(F.col("row_id") == r, cond)
+        )
+    cms = (
+        expanded.select("row_id", bucket_expr.alias("bucket"))
+        .groupBy("row_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    keys = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("exact_n"))
+    probe_rows = keys.select(
+        "event_type", "exact_n", F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("row_id")
+    )
+    probe_bucket = None
+    for r in range(_CMS_D):
+        cond = bucket(r, F.col("event_type"))
+        probe_bucket = (
+            F.when(F.col("row_id") == r, cond)
+            if probe_bucket is None
+            else probe_bucket.when(F.col("row_id") == r, cond)
+        )
+    probes = probe_rows.select("event_type", "exact_n", "row_id", probe_bucket.alias("bucket"))
+    return (
+        probes.join(F.broadcast(cms), ["row_id", "bucket"])
+        .groupBy("event_type", "exact_n")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+        .select(
+            "event_type",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_n")).alias("never_underestimates"),
+        )
+    )

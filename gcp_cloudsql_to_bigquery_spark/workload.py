@@ -164,6 +164,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "join_geo_radius",
     "text_hashed_classifier_score",
     "text_duplicate_span_fraction",
+    "agg_mode_deterministic",
+    "agg_entropy",
+    "agg_count_min_sketch",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -254,3 +254,39 @@ def test_triangle_count_matches_bruteforce(spark):
         assert out[k].degree == len(adj[k])
         assert 0 <= out[k].clustering_x1e6 <= 1_000_000
     assert sum(r.n_triangles for r in out.values()) == 3 * total
+
+
+def test_cms_one_sided_error_and_width_saturation(spark):
+    """CMS estimates never underestimate; with only 5 distinct keys in a
+    64-wide sketch, collisions are rare enough that estimates equal exact
+    counts unless two keys share a bucket in every row."""
+    rows = queries()["agg_count_min_sketch"](spark, SF).collect()
+    assert all(r.never_underestimates for r in rows)
+    assert all(r.cms_estimate >= r.exact_n for r in rows)
+
+
+def test_entropy_uniform_and_degenerate(spark, tmp_path):
+    """Uniform 4-language source -> exactly 2 bits; single-language source
+    -> exactly 0 bits."""
+    import os
+    docs = [(i, "t", ["en", "fr", "de", "es"][i % 4], "uniform", 1) for i in range(40)]
+    docs += [(100 + i, "t", "en", "mono", 1) for i in range(7)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {r.source: r for r in queries()["agg_entropy"](spark, str(tmp_path)).collect()}
+    assert out["uniform"].entropy_bits_x1e6 == 2_000_000
+    assert out["uniform"].n_langs == 4
+    assert out["mono"].entropy_bits_x1e6 == 0
+
+
+def test_mode_deterministic_tie_break(spark, tmp_path):
+    """On an exact tie the smallest value wins — pinned, engine-independent."""
+    import os
+    rows = [(1, "n", 10, 0.0, "SEG"), (2, "n", 20, 0.0, "SEG"),
+            (3, "n", 10, 0.0, "SEG"), (4, "n", 20, 0.0, "SEG")]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string"
+    ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "customer.parquet"))
+    out = queries()["agg_mode_deterministic"](spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].mode_nationkey == 10 and out[0].mode_count == 2
