@@ -202,3 +202,129 @@ def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         F.sum("cents").over(w).alias("cum_cents"),
     )
+
+
+@register(
+    "analytics_audience_overlap",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b ON b.user_id = a.user_id AND a.event_type < b.event_type
+      GROUP BY type_a, type_b
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           CAST((2 * 1000000 * i.n_both + (sa.n + sb.n - i.n_both))
+                // (2 * (sa.n + sb.n - i.n_both)) AS BIGINT) AS jaccard_x1e6
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    doc="Audience overlap matrix: for every pair of event types, the exact "
+    "intersection of their user audiences and the Jaccard similarity "
+    "(segment-overlap analysis, the exact companion to the HLL/bitmap "
+    "sketch rollups).  Plan: ONE distinct on (user, type) — the only "
+    "pass over raw events — then a user-keyed self-join of that reduced "
+    "audience table whose output is bounded by sum_u deg(u)^2 over "
+    "DISTINCT types per user (<= k^2/2 rows per user for k event types, "
+    "k small and fixed), then a type-pair aggregate.  Audience sizes "
+    "join back broadcast-sized.  Never joins raw events to raw events; "
+    "exact integer micro-Jaccard output.",
+)
+def analytics_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            ((2 * F.lit(1000000) * F.col("n_both") + union).cast("bigint"))
+            .alias("_num"),
+        )
+        .withColumn(
+            "jaccard_x1e6",
+            F.expr("_num div (2 * (n_a + n_b - n_both))").cast("bigint"),
+        )
+        .drop("_num")
+    )
+
+
+@register(
+    "analytics_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST((2 * 1000000 * n
+                 + sum(n) OVER (PARTITION BY from_type))
+                // (2 * sum(n) OVER (PARTITION BY from_type)) AS BIGINT)
+             AS p_x1e6
+    FROM trans
+    """,
+    doc="First-order event-transition matrix (Markov bigrams): per user, "
+    "consecutive event pairs in (ts, event_id) order — the tie-break on "
+    "event_id makes the sequence deterministic under equal timestamps — "
+    "aggregated into from->to counts and row-normalized transition "
+    "probabilities (exact integer micro-probabilities).  The building "
+    "block for journey mining and next-event prediction features.  Plan: "
+    "one user-keyed window pass over events (lead only, O(1) frame "
+    "state), one partial-aggregated groupBy to the k^2-sized transition "
+    "table, and the normalizing window runs on that k^2 table — at "
+    "100 TB only the first two shuffles touch event-scale data.",
+)
+def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = F.sum("n").over(W.partitionBy("from_type"))
+    return trans.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST((2 * 1000000 * n + sum(n) OVER (PARTITION BY from_type))"
+            " div (2 * sum(n) OVER (PARTITION BY from_type)) AS BIGINT)"
+        ).alias("p_x1e6"),
+    )

@@ -167,6 +167,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_mode_deterministic",
     "agg_entropy",
     "agg_count_min_sketch",
+    "analytics_audience_overlap",
+    "analytics_event_transitions",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -290,3 +290,26 @@ def test_mode_deterministic_tie_break(spark, tmp_path):
     ).write.mode("overwrite").parquet(os.path.join(str(tmp_path), "customer.parquet"))
     out = queries()["agg_mode_deterministic"](spark, str(tmp_path)).collect()
     assert len(out) == 1 and out[0].mode_nationkey == 10 and out[0].mode_count == 2
+
+
+def test_audience_overlap_bounds(spark):
+    rows = queries()["analytics_audience_overlap"](spark, SF).collect()
+    assert rows, "expected at least one overlapping type pair"
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert r.n_both <= min(r.n_a, r.n_b)
+        assert 0 < r.jaccard_x1e6 <= 1_000_000
+
+
+def test_event_transitions_rows_normalize(spark):
+    """Per from_type, probabilities sum to 1e6 within rounding slack of the
+    per-row fixed-point truncation (at most one count per destination)."""
+    rows = queries()["analytics_event_transitions"](spark, SF).collect()
+    from collections import defaultdict
+    by_from = defaultdict(list)
+    for r in rows:
+        by_from[r.from_type].append(r)
+    for ft, rs in by_from.items():
+        s = sum(r.p_x1e6 for r in rs)
+        assert abs(s - 1_000_000) <= len(rs), (ft, s)
+        assert all(r.n > 0 for r in rs)
