@@ -238,3 +238,78 @@ def elt_bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_bal_cents"
         ),
     )
+
+
+@register(
+    "elt_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT k, cents + CASE WHEN k % 101 = 0 THEN 100 ELSE 0 END AS cents
+      FROM a WHERE k % 97 <> 0
+      UNION ALL
+      SELECT k + 1000000000 AS k, cents FROM a WHERE k % 103 = 0
+    ),
+    classified AS (
+      SELECT coalesce(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'added'
+                  WHEN b.k IS NULL THEN 'removed'
+                  WHEN a.cents <> b.cents THEN 'changed'
+                  ELSE 'unchanged' END AS change_kind
+      FROM a FULL OUTER JOIN b ON b.k = a.k
+    )
+    SELECT change_kind,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM classified GROUP BY change_kind
+    """,
+    doc="Snapshot differencing (table compare): classify every primary key "
+    "across two snapshot versions as added / removed / changed / "
+    "unchanged via ONE full outer join on the key, and emit per-class "
+    "counts plus a key checksum — the audit primitive behind incremental "
+    "replication validation (the reference's WRITE_TRUNCATE reload has "
+    "no way to even ask 'what changed'; this is the engine-side answer). "
+    "Snapshot B is derived deterministically from A (drop keys %97, "
+    "perturb %101, insert shifted %103) so both engines construct the "
+    "identical pair without extra fixtures.  At 100 TB: the outer join "
+    "shuffles both snapshots once on the PK — the minimum possible — "
+    "and the classification is a narrow projection; counts partial-"
+    "aggregate before the final 4-row shuffle.  Works unchanged as the "
+    "per-micro-batch compare in a streaming CDC audit.",
+)
+def elt_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    b = (
+        a.filter(F.col("k") % 97 != 0)
+        .select(
+            "k",
+            (F.col("cents") + F.when(F.col("k") % 101 == 0, 100).otherwise(0)).alias("cents"),
+        )
+        .unionAll(
+            a.filter(F.col("k") % 103 == 0).select(
+                (F.col("k") + 1000000000).alias("k"), "cents"
+            )
+        )
+    )
+    aa = a.select(F.col("k").alias("ka"), F.col("cents").alias("ca"))
+    bb = b.select(F.col("k").alias("kb"), F.col("cents").alias("cb"))
+    classified = aa.join(bb, aa.ka == bb.kb, "full_outer").select(
+        F.coalesce("ka", "kb").alias("k"),
+        F.when(F.col("ka").isNull(), "added")
+        .when(F.col("kb").isNull(), "removed")
+        .when(F.col("ca") != F.col("cb"), "changed")
+        .otherwise("unchanged")
+        .alias("change_kind"),
+    )
+    return classified.groupBy("change_kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+    )

@@ -779,3 +779,67 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") >= F.col("exact_n")).alias("never_underestimates"),
         )
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    grouped AS (
+      SELECT l_returnflag, cents, CAST(sum(wt) AS BIGINT) AS wt
+      FROM w GROUP BY l_returnflag, cents
+    ),
+    cum AS (
+      SELECT l_returnflag, cents, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS total
+      FROM grouped
+    )
+    SELECT l_returnflag,
+           CAST(min(total) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= total THEN cents END) AS BIGINT)
+             AS weighted_median_cents
+    FROM cum GROUP BY l_returnflag
+    """,
+    doc="Exact weighted median (lower median: smallest value whose "
+    "cumulative weight reaches half the total) of extended price "
+    "weighted by quantity, per return flag.  Built from the standard "
+    "distributed shape: pre-aggregate (group, value) -> weight — the "
+    "pass that touches fact rows, partial-aggregated — then ONE window "
+    "over the collapsed value distribution (distinct values per group, "
+    "orders of magnitude smaller than rows), then the threshold pick as "
+    "a conditional MIN.  No percentile_cont interpolation ambiguity "
+    "crosses the oracle: the lower-median convention is pinned "
+    "identically on both engines, all arithmetic integer cents.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    grouped = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("cents"),
+            F.col("l_quantity").cast("bigint").alias("wt"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("wt").alias("wt"))
+    )
+    cum = grouped.select(
+        "l_returnflag",
+        "cents",
+        "wt",
+        F.sum("wt").over(W.partitionBy("l_returnflag").orderBy("cents")).alias("cw"),
+        F.sum("wt").over(W.partitionBy("l_returnflag")).alias("total"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min("total").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("total"), F.col("cents")))
+        .cast("bigint")
+        .alias("weighted_median_cents"),
+    )

@@ -169,6 +169,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_count_min_sketch",
     "analytics_audience_overlap",
     "analytics_event_transitions",
+    "elt_snapshot_diff",
+    "agg_weighted_median",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -313,3 +313,43 @@ def test_event_transitions_rows_normalize(spark):
         s = sum(r.p_x1e6 for r in rs)
         assert abs(s - 1_000_000) <= len(rs), (ft, s)
         assert all(r.n > 0 for r in rs)
+
+
+def test_snapshot_diff_class_arithmetic(spark):
+    """added = #keys%103 (all shifted past A's range); removed = #keys%97;
+    changed = #keys%101 surviving the %97 drop; total classified = |A ∪ B|."""
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey")
+    keys = [r.o_orderkey for r in o.collect()]
+    out = {r.change_kind: r for r in queries()["elt_snapshot_diff"](spark, SF).collect()}
+    exp_added = sum(1 for k in keys if k % 103 == 0)
+    exp_removed = sum(1 for k in keys if k % 97 == 0)
+    exp_changed = sum(1 for k in keys if k % 101 == 0 and k % 97 != 0)
+    assert out.get("added") and out["added"].n == exp_added
+    assert out.get("removed") and out["removed"].n == exp_removed
+    assert out.get("changed") and out["changed"].n == exp_changed
+    assert out["unchanged"].n == len(keys) - exp_removed - exp_changed
+    assert out["added"].key_checksum == sum(k + 1000000000 for k in keys if k % 103 == 0)
+
+
+def test_weighted_median_matches_numpy_style(spark):
+    """Lower weighted median agrees with a direct python computation."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    from collections import defaultdict
+    acc = defaultdict(list)
+    for r in li:
+        acc[r.l_returnflag].append((int(r.l_extendedprice * 100 + 0.5), int(r.l_quantity)))
+    out = {r.l_returnflag: r for r in queries()["agg_weighted_median"](spark, SF).collect()}
+    for flag, pairs in acc.items():
+        pairs.sort()
+        total = sum(w for _, w in pairs)
+        cw = 0
+        med = None
+        for c, w in pairs:
+            cw += w
+            if 2 * cw >= total:
+                med = c
+                break
+        assert out[flag].weighted_median_cents == med
+        assert out[flag].total_weight == total
