@@ -680,3 +680,118 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(quant.cast("array<string>"), ",").alias("q"),
         F.floor(err * 1e6 + 0.5).alias("err_micro"),
     )
+
+
+_PQ_M, _PQ_SUB, _PQ_K, _PQ_TOPK = 4, 16, 16, 5
+
+_PQ_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    subs AS (
+      SELECT vec_id, m.m,
+             v[m.m * {_PQ_SUB} + 1 : m.m * {_PQ_SUB} + {_PQ_SUB}] AS sub
+      FROM v CROSS JOIN (VALUES (0), (1), (2), (3)) m(m)
+    ),
+    cb AS (  -- codebook: subvectors of the first {_PQ_K} corpus vectors
+      SELECT m, vec_id AS j, sub AS cw FROM subs WHERE vec_id < {_PQ_K}
+    ),
+    d2 AS (  -- micro-quantized squared L2 of every subvector vs every codeword
+      SELECT s.vec_id, s.m, c.j,
+             CAST(floor((list_inner_product(s.sub, s.sub)
+                         - 2 * list_inner_product(s.sub, c.cw)
+                         + list_inner_product(c.cw, c.cw)) * 1e6 + 0.5)
+                  AS BIGINT) AS q
+      FROM subs s JOIN cb c ON c.m = s.m
+    ),
+    enc AS (  -- PQ code: nearest codeword per subspace, ties to lowest id
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY q, j) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    adc AS (  -- asymmetric distance: query's table entry at each code
+      SELECT t.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(sum(t.q) AS BIGINT) AS approx_d2_x1e6
+      FROM d2 t
+      JOIN enc e ON e.m = t.m AND e.code = t.j
+      WHERE t.vec_id < 10 AND e.vec_id <> t.vec_id
+      GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, approx_d2_x1e6, rnk FROM (
+      SELECT query_id, neighbor_id, approx_d2_x1e6,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_d2_x1e6, neighbor_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {_PQ_TOPK}
+    """
+
+
+@register(
+    "ann_pq_topk",
+    oracle=_PQ_ORACLE,
+    doc=f"Product-quantization ANN (PQ with asymmetric distance, Jegou et "
+    f"al. 2011): vectors split into {_PQ_M} x {_PQ_SUB}-dim subvectors, "
+    f"each encoded as its nearest of {_PQ_K} codewords (codebook = "
+    f"subvectors of the first {_PQ_K} corpus vectors, standing in for "
+    f"offline-trained centroids), so a 64-dim float vector compresses to "
+    f"{_PQ_M} bytes of codes.  Queries never decode: each query builds a "
+    f"{_PQ_M}x{_PQ_K} distance table and a candidate's approximate "
+    f"distance is {_PQ_M} TABLE LOOKUPS summed — here a broadcast join of "
+    f"the table against the code column.  Every per-subspace distance is "
+    f"micro-quantized to an INTEGER (floor(d2*1e6+0.5)) before the "
+    f"table/argmin, so codes, ADC sums, and ranks are all exact integer "
+    f"arithmetic and the oracle replays the whole pipeline.  Squared-L2 "
+    f"expanded as x.x - 2x.c + c.c with the sequential-fold dot (matches "
+    f"DuckDB's list accumulation bit-for-bit).  At 100 TB: the encode is "
+    f"one broadcast join + per-(vector, subspace) argmin, storage drops "
+    f"64x, and query cost is O(M*K) table build + a code-column scan — "
+    f"the memory-bound regime IVF alone cannot reach; IVF-PQ composes "
+    f"this with ann_ivf_topk's cell routing.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m")
+    subs = e.select("vec_id", "v", ms).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("j"), F.col("sub").alias("cw")
+    )
+    d2_expr = (
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("cw"))
+        + dot(F.col("cw"), F.col("cw"))
+    )
+    d2 = subs.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "j",
+        F.floor(d2_expr * 1e6 + 0.5).cast("bigint").alias("q"),
+    )
+    w_enc = W.partitionBy("vec_id", "m").orderBy("q", "j")
+    enc = (
+        d2.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    tbl = d2.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "m", "j", "q"
+    )
+    adc = (
+        enc.join(
+            F.broadcast(tbl),
+            (enc.m == tbl.m) & (enc.code == tbl.j) & (enc.vec_id != tbl.query_id),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("q").cast("bigint").alias("approx_d2_x1e6"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy("approx_d2_x1e6", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "approx_d2_x1e6", "rnk")
+    )

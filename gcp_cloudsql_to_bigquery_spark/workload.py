@@ -171,6 +171,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_event_transitions",
     "elt_snapshot_diff",
     "agg_weighted_median",
+    "ann_pq_topk",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

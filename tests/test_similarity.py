@@ -162,3 +162,27 @@ def test_kmeans_ivf_recall_vs_bruteforce(spark):
         i_ids = {n for n, _ in ivf[q]}
         recalls.append(len(b_ids & i_ids) / len(b_ids))
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_pq_topk_structure_and_determinism(spark):
+    """10 queries x 5 ranks; per query the ADC distances are nondecreasing
+    in rank, neighbors unique, self excluded; two runs identical (integer
+    arithmetic end-to-end)."""
+    from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+    sf = "/root/testdata/sf0.001"
+    a = queries()["ann_pq_topk"](spark, sf).collect()
+    assert len(a) == 50
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.neighbor_id != r.query_id
+        assert r.approx_d2_x1e6 >= 0
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == [1, 2, 3, 4, 5]
+        assert len({r.neighbor_id for r in rows}) == 5
+        dists = [r.approx_d2_x1e6 for r in rows]
+        assert dists == sorted(dists)
+    b = queries()["ann_pq_topk"](spark, sf).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
