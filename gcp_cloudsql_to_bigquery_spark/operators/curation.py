@@ -356,3 +356,55 @@ def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_EPOCH_SHARDS = 8
+
+
+@register(
+    "curation_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST('0x' || substr(h, 1, 8) AS BIGINT) % {_EPOCH_SHARDS}
+                  AS INT) AS shard,
+             CAST(row_number() OVER (
+               PARTITION BY CAST('0x' || substr(h, 1, 8) AS BIGINT) % {_EPOCH_SHARDS}
+               ORDER BY h, doc_id) AS BIGINT) - 1 AS pos
+      FROM keyed
+    )
+    SELECT doc_id, shard, pos, n_chars FROM placed
+    """,
+    doc=f"Deterministic epoch shuffle for training-data loading: each "
+    f"document is assigned a shard (md5(epoch_seed, doc_id) % "
+    f"{_EPOCH_SHARDS}) and a position within its shard (rank of the "
+    f"hash), so the training order for any epoch is a pure function of "
+    f"(seed, doc_id) — reproducible across reruns, engines, and "
+    f"cluster sizes, and a different permutation per epoch seed.  The "
+    f"KEY scale decision: there is NO global row_number (a global "
+    f"total order would serialize through one partition); the global "
+    f"shuffle order is materialized as (shard, pos) with each shard "
+    f"sorted independently — exactly the layout loaders consume "
+    f"(shard files read in parallel, sequential within), so the sort "
+    f"is {_EPOCH_SHARDS}-way distributed and scales with the "
+    f"cluster.  Hash-partitioned by construction: shard sizes are "
+    f"balanced to binomial fluctuation, no skew.",
+)
+def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", "n_chars", h.alias("h"))
+    shard = (F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint") % _EPOCH_SHARDS).cast("int")
+    placed = keyed.withColumn("shard", shard)
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return placed.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w).cast("bigint") - 1).alias("pos"),
+        "n_chars",
+    )

@@ -438,3 +438,33 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("view_to_click_us"),
     )
     return run_to_completion(joined, spark, output_mode="append")
+
+
+@register(
+    "stream_dedup_redelivery",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Exactly-once counts under AT-LEAST-ONCE delivery: the input stream "
+    "is deliberately self-unioned (every event delivered twice — the "
+    "redelivery the reference's duplicate-delivery guard, SURVEY §2A "
+    "op #10, worries about) and dropDuplicatesWithinWatermark(event_id) "
+    "restores exact per-type counts, proven by the oracle counting the "
+    "ORIGINAL table once.  Unlike plain dropDuplicates, the "
+    "WithinWatermark variant EVICTS dedup state once an id's event time "
+    "falls behind the watermark — bounded state at 100 TB, the "
+    "difference between a dedup that runs forever and one that OOMs; "
+    "redeliveries only need to be deduped within the delay window, "
+    "matching real redelivery semantics (Pub/Sub redelivers within "
+    "minutes, not days).  Runs through a real StreamingQuery "
+    "(availableNow, memory sink, checkpointed state).",
+)
+def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    redelivered = ev.union(ev)  # every event arrives twice
+    dedup = redelivered.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    return run_to_completion(agg, spark)

@@ -172,6 +172,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "elt_snapshot_diff",
     "agg_weighted_median",
     "ann_pq_topk",
+    "curation_epoch_shuffle",
+    "stream_dedup_redelivery",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -353,3 +353,18 @@ def test_weighted_median_matches_numpy_style(spark):
                 break
         assert out[flag].weighted_median_cents == med
         assert out[flag].total_weight == total
+
+
+def test_epoch_shuffle_is_permutation_and_balanced(spark):
+    """(shard, pos) pairs form a dense permutation: every doc placed once,
+    positions 0..n_i-1 dense per shard, different seeds permute."""
+    out = queries()["curation_epoch_shuffle"](spark, SF).collect()
+    docs = {r.doc_id for r in out}
+    assert len(docs) == len(out)
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for r in out:
+        by_shard[r.shard].append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), shard
+    assert len(by_shard) == 8
