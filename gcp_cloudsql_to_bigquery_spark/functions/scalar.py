@@ -414,3 +414,34 @@ def fn_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return d.select("doc_id", rkey("text").alias("rkey"), klen("text").alias("klen"))
+
+
+@register(
+    "fn_mask_pii",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+               substr(text, 1, 40), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+               '[0-9]', 'n', 'g') AS masked_default,
+           regexp_replace(regexp_replace(regexp_replace(
+               substr(text, 1, 40), '[A-Z]', '#', 'g'), '[a-z]', '#', 'g'),
+               '[0-9]', '9', 'g') AS masked_custom
+    FROM documents WHERE doc_id < 200
+    """,
+    doc="Data-masking function family (Spark's builtin mask(), the "
+    "char-class redaction used for PII-safe exports): default masking "
+    "(upper->X, lower->x, digit->n, other kept) and custom replacement "
+    "chars.  The DuckDB oracle states the same transform as three "
+    "char-class regexp passes — pinning mask()'s exact char-class "
+    "semantics rather than trusting them.  Complements "
+    "text_pii_redaction (pattern-level) with char-level masking; pure "
+    "narrow projection, codegen, zero shuffle at any scale.",
+)
+def fn_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    s = F.substring("text", 1, 40)
+    return d.select(
+        "doc_id",
+        F.mask(s).alias("masked_default"),
+        F.mask(s, F.lit("#"), F.lit("#"), F.lit("9"), None).alias("masked_custom"),
+    )

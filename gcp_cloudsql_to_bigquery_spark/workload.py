@@ -174,6 +174,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "ann_pq_topk",
     "curation_epoch_shuffle",
     "stream_dedup_redelivery",
+    "fn_mask_pii",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -5,6 +5,7 @@ shuffle-the-fact-table or scan-every-column, these fail at sf0.001.
 """
 
 from gcp_cloudsql_to_bigquery_spark.plans import inspect
+from gcp_cloudsql_to_bigquery_spark.plans.inspect import broadcast_join_count, physical_plan
 from gcp_cloudsql_to_bigquery_spark.workload import queries
 
 SF = "/root/testdata/sf0.001"
@@ -240,3 +241,40 @@ def test_session_window_batch_single_exchange(spark):
     # the aggregate on one user-keyed shuffle — no lag/cumsum window chain
     df = queries()["window_session_batch"](spark, SF)
     assert inspect.exchange_count(df) == 1, inspect.physical_plan(df)
+
+
+def test_audience_overlap_joins_reduced_audiences(spark):
+    """The user-keyed self-join runs on the DISTINCT-reduced (user, type)
+    table — aggregates appear below the join — and the two size lookups
+    are broadcast, not shuffled."""
+    df = queries()["analytics_audience_overlap"](spark, "/root/testdata/sf0.001")
+    assert broadcast_join_count(df) >= 2
+    plan = physical_plan(df)
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"),
+                    plan.find("BroadcastHashJoin")) if p >= 0
+    )
+    assert "HashAggregate" in plan[join_pos:], "distinct reduction must feed the join"
+
+
+def test_cms_probe_join_is_broadcast(spark):
+    """The CMS probe phase broadcasts the fixed-size sketch/probe tables —
+    the fact table is never shuffled for the lookup."""
+    df = queries()["agg_count_min_sketch"](spark, "/root/testdata/sf0.001")
+    assert broadcast_join_count(df) >= 1
+
+
+def test_event_transitions_single_event_scale_window(spark):
+    """Exactly one exchange keyed on user_id touches event-scale data; the
+    normalizing window runs post-aggregation on the k^2 table."""
+    df = queries()["analytics_event_transitions"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_pq_encode_and_table_joins_are_broadcast(spark):
+    """PQ's codebook join (encode) and distance-table join (ADC) both
+    broadcast the fixed-size small side; corpus vectors are never shuffled
+    for either."""
+    df = queries()["ann_pq_topk"](spark, "/root/testdata/sf0.001")
+    assert broadcast_join_count(df) >= 2
