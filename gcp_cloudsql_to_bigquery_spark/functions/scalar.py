@@ -445,3 +445,105 @@ def fn_mask_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.mask(s).alias("masked_default"),
         F.mask(s, F.lit("#"), F.lit("#"), F.lit("9"), None).alias("masked_custom"),
     )
+
+
+@register(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&v=2' AS url
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1)      AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1)               AS query,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)       AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1)           AS protocol
+    FROM u
+    """,
+    doc="URL decomposition (parse_url: HOST/PATH/QUERY/keyed-QUERY/"
+    "PROTOCOL) — the first step of web-corpus curation (per-domain "
+    "quotas, dedup by canonical URL, robots filtering all start here).  "
+    "URLs are synthesized deterministically from document fields (the "
+    "fixture has no URL column).  The oracle states the same "
+    "decomposition as anchored regexes, pinning parse_url's component "
+    "semantics.  Pure narrow projection — codegen, zero shuffle.",
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"), F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+
+@register(
+    "fn_collation_group",
+    oracle="""
+    WITH vals AS (
+      SELECT source AS v FROM documents
+      UNION ALL SELECT upper(source) FROM documents
+      UNION ALL SELECT CASE WHEN doc_id % 2 = 0
+                            THEN upper(substr(source, 1, 1)) || substr(source, 2)
+                            ELSE source END
+      FROM documents
+    )
+    SELECT lower(v) AS key_lower,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_case_variants,
+           min(v) AS min_variant
+    FROM vals GROUP BY lower(v)
+    """,
+    doc="Case-insensitive grouping via Spark 4 COLLATION (UTF8_LCASE): "
+    "three case variants of every source name group into one bucket "
+    "under the collated key while count(DISTINCT v) still sees the raw "
+    "binary variants.  The grouped representative is emitted as "
+    "lower(v) explicitly — grouping by a collated key returns an "
+    "ARBITRARY representative case, which is exactly the cross-engine "
+    "(and cross-run) nondeterminism this query demonstrates how to "
+    "avoid.  Oracle uses lower() grouping, the pre-collation idiom.  "
+    "Collation evaluates in codegen — no shuffle beyond the one "
+    "group-by.",
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    vals = (
+        d.select(F.col("source").alias("v"))
+        .unionAll(d.select(F.upper("source").alias("v")))
+        .unionAll(
+            d.select(
+                F.when(
+                    F.col("doc_id") % 2 == 0,
+                    F.concat(F.upper(F.substring("source", 1, 1)), F.expr("substr(source, 2)")),
+                )
+                .otherwise(F.col("source"))
+                .alias("v")
+            )
+        )
+    )
+    return (
+        vals.groupBy(F.collate(F.col("v"), "UTF8_LCASE").alias("ck"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct(F.collate(F.col("v"), "UTF8_BINARY")).cast("bigint").alias("n_case_variants"),
+            F.min(F.collate(F.col("v"), "UTF8_BINARY")).alias("min_variant"),
+        )
+        .select(
+            F.lower(F.col("ck")).cast("string").alias("key_lower"),
+            "n",
+            "n_case_variants",
+            "min_variant",
+        )
+    )

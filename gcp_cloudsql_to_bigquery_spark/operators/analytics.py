@@ -328,3 +328,55 @@ def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * sum(n) OVER (PARTITION BY from_type)) AS BIGINT)"
         ).alias("p_x1e6"),
     )
+
+
+@register(
+    "analytics_frequent_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS total FROM baskets),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, CAST(count(*) AS BIGINT) AS n_baskets
+      FROM baskets a JOIN baskets b ON b.o = a.o AND a.p < b.p
+      GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n_baskets,
+           CAST((2 * 1000000 * n_baskets + total) // (2 * total) AS BIGINT)
+             AS support_x1e6
+    FROM pairs CROSS JOIN n_orders
+    WHERE n_baskets >= 3
+    """,
+    doc="Frequent-itemset mining, pairwise pass (the candidate-generation "
+    "step of Apriori / the 2-itemset half of FP-growth, market-basket "
+    "style): parts co-purchased in the same order, with basket support "
+    "as an exact integer micro-ratio.  Plan: one distinct to (order, "
+    "part) baskets, one ORDER-KEYED self-join whose fan-out is bounded "
+    "by basket_size^2 per order (TPC-H baskets are <=7 lines — at "
+    "100 TB the bound is the retailer's basket size, never the catalog "
+    "or order count), one partial-agged pair count, and the total-order "
+    "scalar broadcast via crossJoin.  Support threshold prunes the "
+    "long tail before any downstream join.",
+)
+def analytics_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    total_df = baskets.agg(F.countDistinct("o").cast("bigint").alias("total"))
+    a = baskets.select("o", F.col("p").alias("part_a"))
+    b = baskets.select("o", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_baskets"))
+        .filter(F.col("n_baskets") >= 3)
+    )
+    return pairs.crossJoin(F.broadcast(total_df)).select(
+        "part_a",
+        "part_b",
+        "n_baskets",
+        F.expr("CAST((2 * 1000000 * n_baskets + total) div (2 * total) AS BIGINT)").alias(
+            "support_x1e6"
+        ),
+    )

@@ -221,3 +221,85 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
     )
     return ev.join(dim, cond, "left").select("event_id", "user_id", "ts", "priority")
+
+
+@register(
+    "dq_reconciliation_rowhash",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(o_orderdate AS DATE) AS d,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (  -- replica with injected per-row corruption
+      SELECT k, d, cents + CASE WHEN k % 211 = 0 THEN 1 ELSE 0 END AS cents
+      FROM a
+    ),
+    da AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_a,
+             CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+                      CAST(cents AS VARCHAR)), 1, 10) AS BIGINT)) AS BIGINT) AS dig_a
+      FROM a GROUP BY d
+    ),
+    db AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_b,
+             CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+                      CAST(cents AS VARCHAR)), 1, 10) AS BIGINT)) AS BIGINT) AS dig_b
+      FROM b GROUP BY d
+    )
+    SELECT da.d, da.n_a, db.n_b,
+           da.n_a = db.n_b AND da.dig_a = db.dig_b AS partition_matches
+    FROM da JOIN db ON db.d = da.d
+    """,
+    doc="Replication reconciliation via ORDER-INDEPENDENT partition "
+    "digests: every row hashes to a 40-bit integer (md5 of its "
+    "normalized representation) and a partition's fingerprint is the "
+    "SUM of its row digests — commutative, so primary and replica can "
+    "be scanned in any partition order, any parallelism, and compared "
+    "per day-partition with one tiny join of per-day summaries.  This "
+    "is how you verify the reference's Cloud SQL -> BigQuery copy "
+    "without re-shipping data: ship per-partition (count, digest) "
+    "pairs only.  A deterministic corruption (cents+1 on keys %211) is "
+    "injected into the replica so the check provably DETECTS mismatches "
+    "(days containing a corrupted key flip to false).  40-bit digests "
+    "keep per-day sums < 2^53 even at 10M rows/day; collision-masking "
+    "of a corruption requires digest deltas summing to exactly zero — "
+    "~2^-40 per affected partition.  Fact rows touched once per side.",
+)
+def dq_reconciliation_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    b = a.select(
+        "k", "d", (F.col("cents") + F.when(F.col("k") % 211 == 0, 1).otherwise(0)).alias("cents")
+    )
+
+    def digest(df: DataFrame, n_name: str, dig_name: str) -> DataFrame:
+        row_digest = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("k").cast("string"), F.lit("|"), F.col("cents").cast("string"))),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.groupBy("d").agg(
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
+            F.sum(row_digest).cast("bigint").alias(dig_name),
+        )
+
+    da = digest(a, "n_a", "dig_a")
+    db = digest(b, "n_b", "dig_b")
+    return da.join(db, "d").select(
+        "d",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") == F.col("n_b")) & (F.col("dig_a") == F.col("dig_b"))).alias(
+            "partition_matches"
+        ),
+    )

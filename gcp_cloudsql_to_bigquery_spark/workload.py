@@ -175,6 +175,10 @@ _GATE_FRONT: tuple[str, ...] = (
     "curation_epoch_shuffle",
     "stream_dedup_redelivery",
     "fn_mask_pii",
+    "analytics_frequent_pairs",
+    "fn_url_parse",
+    "fn_collation_group",
+    "dq_reconciliation_rowhash",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

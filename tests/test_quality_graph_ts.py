@@ -368,3 +368,53 @@ def test_epoch_shuffle_is_permutation_and_balanced(spark):
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(len(poss))), shard
     assert len(by_shard) == 8
+
+
+def test_reconciliation_detects_exactly_corrupted_days(spark):
+    """A day-partition mismatches iff it contains a key divisible by 211 —
+    the digest detects every injected corruption and nothing else."""
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey", "o_orderdate").collect()
+    from collections import defaultdict
+    corrupted_days = set()
+    all_days = set()
+    for r in o:
+        d = r.o_orderdate.date()
+        all_days.add(d)
+        if r.o_orderkey % 211 == 0:
+            corrupted_days.add(d)
+    out = {r.d: r for r in queries()["dq_reconciliation_rowhash"](spark, SF).collect()}
+    assert set(out) == all_days
+    for d, r in out.items():
+        assert r.partition_matches == (d not in corrupted_days), d
+        assert r.n_a == r.n_b
+
+
+def test_frequent_pairs_bruteforce(spark):
+    """Pair supports agree with an in-memory basket scan."""
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select("l_orderkey", "l_partkey").collect()
+    from collections import defaultdict
+    from itertools import combinations
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r.l_orderkey].add(r.l_partkey)
+    counts = defaultdict(int)
+    for parts in baskets.values():
+        for a, b in combinations(sorted(parts), 2):
+            counts[(a, b)] += 1
+    expect = {k: v for k, v in counts.items() if v >= 3}
+    got = {(r.part_a, r.part_b): r.n_baskets for r in queries()["analytics_frequent_pairs"](spark, SF).collect()}
+    assert got == expect
+
+
+def test_collation_group_merges_case_variants(spark):
+    """Every collated group aggregates exactly 3x the per-source doc count
+    and sees >1 raw case variant for multi-char sources."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").groupBy("source").count().collect()
+    per_source = {r.source: r["count"] for r in docs}
+    out = {r.key_lower: r for r in queries()["fn_collation_group"](spark, SF).collect()}
+    assert set(out) == {s.lower() for s in per_source}
+    for s, n in per_source.items():
+        r = out[s.lower()]
+        assert r.n == 3 * n
+        assert r.n_case_variants >= 2
+        assert r.min_variant.lower() == s.lower()
