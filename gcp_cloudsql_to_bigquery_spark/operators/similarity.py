@@ -795,3 +795,141 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "approx_d2_x1e6", "rnk")
     )
+
+
+_IVFPQ_ORACLE = f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    anchors AS (SELECT vec_id AS aid, v AS av FROM v WHERE vec_id < 16),
+    cellscore AS (
+      SELECT v.vec_id, a.aid,
+             CAST(floor(list_cosine_similarity(v.v, a.av) * 1e6 + 0.5) AS BIGINT) AS cm
+      FROM v CROSS JOIN anchors a
+    ),
+    assign AS (
+      SELECT vec_id, aid AS cell FROM (
+        SELECT vec_id, aid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cm DESC, aid) AS rn
+        FROM cellscore
+      ) WHERE rn = 1
+    ),
+    qprobe AS (
+      SELECT vec_id AS query_id, aid AS cell FROM (
+        SELECT vec_id, aid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY cm DESC, aid) AS rn
+        FROM cellscore WHERE vec_id < 10
+      ) WHERE rn <= 4
+    ),
+    subs AS (
+      SELECT vec_id, m.m,
+             v[m.m * {_PQ_SUB} + 1 : m.m * {_PQ_SUB} + {_PQ_SUB}] AS sub
+      FROM v CROSS JOIN (VALUES (0), (1), (2), (3)) m(m)
+    ),
+    cb AS (SELECT m, vec_id AS j, sub AS cw FROM subs WHERE vec_id < {_PQ_K}),
+    d2 AS (
+      SELECT s.vec_id, s.m, c.j,
+             CAST(floor((list_inner_product(s.sub, s.sub)
+                         - 2 * list_inner_product(s.sub, c.cw)
+                         + list_inner_product(c.cw, c.cw)) * 1e6 + 0.5)
+                  AS BIGINT) AS q
+      FROM subs s JOIN cb c ON c.m = s.m
+    ),
+    enc AS (
+      SELECT vec_id, m, j AS code FROM (
+        SELECT vec_id, m, j,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY q, j) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT p.query_id, a2.vec_id AS neighbor_id, CAST(sum(t.q) AS BIGINT) AS approx_d2_x1e6
+      FROM qprobe p
+      JOIN assign a2 ON a2.cell = p.cell AND a2.vec_id <> p.query_id
+      JOIN enc e ON e.vec_id = a2.vec_id
+      JOIN d2 t ON t.vec_id = p.query_id AND t.m = e.m AND t.j = e.code
+      GROUP BY p.query_id, a2.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_d2_x1e6, rnk FROM (
+      SELECT query_id, neighbor_id, approx_d2_x1e6,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_d2_x1e6, neighbor_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= {_PQ_TOPK}
+    """
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=_IVFPQ_ORACLE,
+    doc="IVF-PQ: the composition the billion-scale ANN systems ship "
+    "(FAISS IVFPQ) — IVF cell routing bounds WHICH candidates a query "
+    "touches (4 of 16 cells, from ann_ivf_topk's micro-quantized "
+    "assignment), and PQ codes bound WHAT is read per candidate "
+    "(4 bytes of codes + a broadcast distance table, from ann_pq_topk's "
+    "integer ADC).  Every decision — cell assignment, probe order, "
+    "codes, ADC sums, ranks — is quantized integer arithmetic, so the "
+    "oracle replays the full two-stage pipeline exactly.  At 100 TB: "
+    "candidate count scales with nprobe/ncells of the corpus, bytes-"
+    "per-candidate with M codes instead of the raw vector — the two "
+    "multiplicative reductions that make memory-bound ANN feasible; "
+    "cells shard naturally into partitions and the code column "
+    "colocates with the cell assignment.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    anchors = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("aid"), F.col("v").alias("av")
+    )
+    cm = F.floor(cosine(F.col("v"), F.col("av")) * 1e6 + 0.5).cast("bigint")
+    cellscore = e.crossJoin(F.broadcast(anchors)).select("vec_id", "aid", cm.alias("cm"))
+    w_assign = W.partitionBy("vec_id").orderBy(F.col("cm").desc(), "aid")
+    ranked = cellscore.withColumn("rn", F.row_number().over(w_assign))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("aid").alias("cell"))
+    qprobe = (
+        ranked.filter((F.col("vec_id") < 10) & (F.col("rn") <= 4))
+        .select(F.col("vec_id").alias("query_id"), F.col("aid").alias("cell"))
+    )
+
+    ms = F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m")
+    subs = e.select("vec_id", "v", ms).select(
+        "vec_id", "m", F.expr(f"slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sub")
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("j"), F.col("sub").alias("cw")
+    )
+    d2_expr = (
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("cw"))
+        + dot(F.col("cw"), F.col("cw"))
+    )
+    d2 = subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "j", F.floor(d2_expr * 1e6 + 0.5).cast("bigint").alias("q")
+    )
+    w_enc = W.partitionBy("vec_id", "m").orderBy("q", "j")
+    enc = (
+        d2.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id").alias("nid"), "m", F.col("j").alias("code"))
+    )
+    tbl = d2.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "m", "j", "q"
+    )
+    cand = qprobe.join(assign, qprobe.cell == assign.cell).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", F.col("vec_id").alias("nid"))
+    adc = (
+        cand.join(enc, "nid")
+        .join(
+            F.broadcast(tbl),
+            (cand.query_id == tbl.query_id) & (enc.m == tbl.m) & (enc.code == tbl.j),
+        )
+        .groupBy(cand.query_id, F.col("nid").alias("neighbor_id"))
+        .agg(F.sum("q").cast("bigint").alias("approx_d2_x1e6"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy("approx_d2_x1e6", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "approx_d2_x1e6", "rnk")
+    )

@@ -179,6 +179,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_url_parse",
     "fn_collation_group",
     "dq_reconciliation_rowhash",
+    "ann_ivfpq_topk",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}
