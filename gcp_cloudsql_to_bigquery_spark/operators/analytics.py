@@ -380,3 +380,86 @@ def analytics_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support_x1e6"
         ),
     )
+
+
+_FUNNEL_WINDOW_H = 6  # max hours between consecutive funnel steps
+
+
+@register(
+    "analytics_window_funnel",
+    oracle=f"""
+    WITH t1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ts1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts2
+      FROM events e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click'
+        AND CAST(e.ts AS TIMESTAMP) > t1.ts1
+        AND CAST(e.ts AS TIMESTAMP) <= t1.ts1 + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts3
+      FROM events e JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(e.ts AS TIMESTAMP) > t2.ts2
+        AND CAST(e.ts AS TIMESTAMP) <= t2.ts2 + INTERVAL {_FUNNEL_WINDOW_H} HOUR
+      GROUP BY e.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_step1,
+           CAST(count(t2.user_id) AS BIGINT) AS n_step2,
+           CAST(count(t3.user_id) AS BIGINT) AS n_step3,
+           CAST((2 * 1000000 * count(t3.user_id) + count(*)) // (2 * count(*))
+                AS BIGINT) AS conversion_x1e6
+    FROM t1
+    LEFT JOIN t2 ON t2.user_id = t1.user_id
+    LEFT JOIN t3 ON t3.user_id = t1.user_id
+    """,
+    doc=f"TIME-BOUNDED sequential funnel (ClickHouse windowFunnel "
+    f"semantics, earliest-completion variant): view -> click -> purchase "
+    f"where each step must follow the previous within {_FUNNEL_WINDOW_H} "
+    f"hours, anchored at each user's EARLIEST qualifying prior step.  "
+    f"Unlike analytics_funnel_conversion (unbounded ordering via "
+    f"conditional minima in one pass), the time bound makes each step's "
+    f"eligibility depend on the previous step's timestamp, so the plan "
+    f"is a 3-stage user-keyed chain: aggregate step N's earliest "
+    f"timestamp, join back to events, filter the (prev, prev+window] "
+    f"range, aggregate step N+1.  All joins and aggregates key on "
+    f"user_id — 3 shuffles of (user, ts) pairs, never events x events; "
+    f"at 100 TB each stage's right side is one row per surviving user.  "
+    f"Timestamps compared at microsecond precision on both engines.",
+)
+def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+
+    def next_step(prev: DataFrame, prev_col: str, step: str, out_col: str) -> DataFrame:
+        bound = F.col(prev_col) + F.expr(f"INTERVAL {_FUNNEL_WINDOW_H} HOURS")
+        return (
+            ev.filter(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .filter((F.col("ts") > F.col(prev_col)) & (F.col("ts") <= bound))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_col))
+        )
+
+    t2 = next_step(t1, "ts1", "click", "ts2")
+    t3 = next_step(t2, "ts2", "purchase", "ts3")
+    joined = (
+        t1.join(t2.select("user_id", F.lit(1).alias("s2")), "user_id", "left")
+        .join(t3.select("user_id", F.lit(1).alias("s3")), "user_id", "left")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_step1"),
+        F.count("s2").cast("bigint").alias("n_step2"),
+        F.count("s3").cast("bigint").alias("n_step3"),
+        F.expr(
+            "CAST((2 * 1000000 * count(s3) + count(*)) div (2 * count(*)) AS BIGINT)"
+        ).alias("conversion_x1e6"),
+    )

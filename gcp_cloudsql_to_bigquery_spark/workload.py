@@ -180,6 +180,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_collation_group",
     "dq_reconciliation_rowhash",
     "ann_ivfpq_topk",
+    "analytics_window_funnel",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -418,3 +418,33 @@ def test_collation_group_merges_case_variants(spark):
         assert r.n == 3 * n
         assert r.n_case_variants >= 2
         assert r.min_variant.lower() == s.lower()
+
+
+def test_window_funnel_bruteforce(spark):
+    """Earliest-completion windowed funnel agrees with a per-user python
+    replay at sf0.001."""
+    import datetime
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "event_type", "ts").collect()
+    from collections import defaultdict
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append((r.ts, r.event_type))
+    win = datetime.timedelta(hours=6)
+    n1 = n2 = n3 = 0
+    for _, evs in per_user.items():
+        views = [t for t, k in evs if k == "view"]
+        if not views:
+            continue
+        n1 += 1
+        t1 = min(views)
+        clicks = [t for t, k in evs if k == "click" and t1 < t <= t1 + win]
+        if not clicks:
+            continue
+        n2 += 1
+        t2 = min(clicks)
+        buys = [t for t, k in evs if k == "purchase" and t2 < t <= t2 + win]
+        if buys:
+            n3 += 1
+    out = queries()["analytics_window_funnel"](spark, SF).collect()[0]
+    assert (out.n_step1, out.n_step2, out.n_step3) == (n1, n2, n3)
+    assert out.n_step1 >= out.n_step2 >= out.n_step3 > 0

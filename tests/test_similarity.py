@@ -188,20 +188,24 @@ def test_pq_topk_structure_and_determinism(spark):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
-def test_ivfpq_candidates_subset_of_pq(spark):
-    """IVF-PQ returns at most the PQ result restricted to probed cells:
-    every IVF-PQ neighbor's ADC distance must equal the full-PQ ADC
-    distance for that (query, neighbor) pair (the routing changes WHICH
-    candidates are scored, never their scores)."""
+def test_ivfpq_scores_match_pq_on_shared_pairs(spark):
+    """Routing changes WHICH candidates are scored, never their scores:
+    for every (query, neighbor) pair present in both the full-PQ top-k and
+    the IVF-PQ top-k, the integer ADC distances are identical.  Plus rank
+    monotonicity and run-to-run determinism."""
     from gcp_cloudsql_to_bigquery_spark.workload import queries
 
     sf = "/root/testdata/sf0.001"
-    pq_all = queries()["ann_pq_topk"](spark, sf)
+    pq = {(r.query_id, r.neighbor_id): r.approx_d2_x1e6
+          for r in queries()["ann_pq_topk"](spark, sf).collect()}
     ivfpq = queries()["ann_ivfpq_topk"](spark, sf).collect()
     assert len(ivfpq) == 50
-    # recompute full ADC for pairs of interest via the PQ query's internals:
-    # cheaper equivalent — rerun PQ with a huge K by reusing its distances
-    # is not exposed; instead assert determinism + rank monotonicity here
+    shared = 0
+    for r in ivfpq:
+        if (r.query_id, r.neighbor_id) in pq:
+            assert pq[(r.query_id, r.neighbor_id)] == r.approx_d2_x1e6, r
+            shared += 1
+    assert shared > 0, "top-k sets should overlap on this corpus"
     by_q = {}
     for r in ivfpq:
         by_q.setdefault(r.query_id, []).append(r)
