@@ -363,3 +363,54 @@ def ts_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cum_increase"),
     )
+
+
+@register(
+    "ts_m4_downsample",
+    oracle=f"""
+    WITH {_DUCK_HOURLY},
+    spans AS (
+      SELECT event_type, min(h) AS h0 FROM hourly GROUP BY event_type
+    ),
+    bucketed AS (
+      SELECT o.event_type, o.h, o.cents,
+             CAST(floor(date_diff('hour', s.h0, o.h) / 24) AS BIGINT) AS bucket
+      FROM hourly o JOIN spans s ON s.event_type = o.event_type
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT)  AS n_points,
+           CAST(min(cents) AS BIGINT) AS min_cents,
+           CAST(max(cents) AS BIGINT) AS max_cents,
+           CAST(min_by(cents, h) AS BIGINT) AS first_cents,
+           CAST(max_by(cents, h) AS BIGINT) AS last_cents
+    FROM bucketed GROUP BY event_type, bucket
+    """,
+    doc="M4 downsampling (Jugel et al. 2014, the visualization-lossless "
+    "time-series reduction every monitoring stack ships): per (series, "
+    "pixel-bucket) keep exactly min, max, first, last — the four points "
+    "that determine the rendered line — here at a 24-hour bucket per "
+    "series-relative origin.  first/last are min_by/max_by on the "
+    "timestamp (hourly buckets are unique within a series, so the "
+    "selection is deterministic on both engines).  ONE partial-"
+    "aggregated groupBy computes all four extremes together: the "
+    "100 TB dashboard query reduces server-side to 4 points per pixel "
+    "instead of shipping raw points.  Integer cents end-to-end.",
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_cents(spark, sf_dir)
+    spans = hourly.groupBy("event_type").agg(F.min("h").alias("h0"))
+    bucketed = hourly.join(F.broadcast(spans), "event_type").select(
+        "event_type",
+        "h",
+        "cents",
+        F.floor(
+            (F.unix_timestamp("h") - F.unix_timestamp("h0")) / 3600 / 24
+        ).cast("bigint").alias("bucket"),
+    )
+    return bucketed.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("cents").cast("bigint").alias("min_cents"),
+        F.max("cents").cast("bigint").alias("max_cents"),
+        F.min_by("cents", "h").cast("bigint").alias("first_cents"),
+        F.max_by("cents", "h").cast("bigint").alias("last_cents"),
+    )

@@ -181,6 +181,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "dq_reconciliation_rowhash",
     "ann_ivfpq_topk",
     "analytics_window_funnel",
+    "ts_m4_downsample",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -448,3 +448,27 @@ def test_window_funnel_bruteforce(spark):
     out = queries()["analytics_window_funnel"](spark, SF).collect()[0]
     assert (out.n_step1, out.n_step2, out.n_step3) == (n1, n2, n3)
     assert out.n_step1 >= out.n_step2 >= out.n_step3 > 0
+
+
+def test_m4_downsample_invariants(spark):
+    """min<=first,last<=max per bucket; bucket 0 exists for every series;
+    n_points sums to the hourly bucket count."""
+    out = queries()["ts_m4_downsample"](spark, SF).collect()
+    assert out
+    from collections import defaultdict
+    per_series = defaultdict(int)
+    for r in out:
+        assert r.min_cents <= r.first_cents <= r.max_cents
+        assert r.min_cents <= r.last_cents <= r.max_cents
+        per_series[r.event_type] += r.n_points
+        assert r.bucket >= 0
+    hourly = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .selectExpr("event_type", "date_trunc('hour', ts) h")
+        .distinct()
+        .groupBy("event_type")
+        .count()
+        .collect()
+    )
+    for r in hourly:
+        assert per_series[r.event_type] == r["count"]
