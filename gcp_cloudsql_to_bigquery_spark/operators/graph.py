@@ -21,6 +21,7 @@ damping term keeps every node's rank positive.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -284,5 +285,120 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("clustering_x1e6"),
+        )
+    )
+
+
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH raw AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY src, dst
+    ),
+    knn AS (  -- sparsify: keep each node's 4 strongest partners
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst) AS rn
+        FROM raw
+      ) WHERE rn <= 4
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM knn
+    ),
+    adj AS (
+      SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u),
+    wedges AS (  -- common neighbors of candidate pair (x, y) via shared w
+      SELECT e1.v AS x, e2.v AS y, CAST(count(*) AS BIGINT) AS n_common
+      FROM adj e1 JOIN adj e2 ON e2.u = e1.u AND e1.v < e2.v
+      GROUP BY x, y
+    ),
+    cand AS (  -- only NON-adjacent pairs are link-prediction candidates
+      SELECT w.x, w.y, w.n_common
+      FROM wedges w
+      LEFT JOIN und ON und.a = w.x AND und.b = w.y
+      WHERE und.a IS NULL
+    )
+    SELECT c.x AS node_a, c.y AS node_b, c.n_common,
+           CAST((2 * 1000000 * c.n_common + (da.d + db.d - c.n_common))
+                // (2 * (da.d + db.d - c.n_common)) AS BIGINT) AS jaccard_x1e6
+    FROM cand c
+    JOIN deg da ON da.u = c.x
+    JOIN deg db ON db.u = c.y
+    """,
+    doc="Link prediction by common-neighbor counting (the classic "
+    "similarity-based predictor, Liben-Nowell & Kleinberg 2003): for "
+    "every NON-adjacent node pair sharing at least one neighbor, the "
+    "common-neighbor count and neighborhood Jaccard "
+    "|N(a) n N(b)| / |N(a) u N(b)| as an exact integer micro-ratio.  "
+    "Plan: wedge enumeration is ONE self-join of the adjacency list on "
+    "the shared endpoint (the same node-keyed shuffle as triangle "
+    "counting, wedge-bounded per node), existing edges are removed by "
+    "an anti join against the edge list, degrees join back from a "
+    "node-sized table.  At 100 TB wedge blow-up on hubs is the risk — "
+    "production systems cap or sample hub neighborhoods; here the "
+    "25-node trade graph needs no cap and the oracle is exact.",
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # sparsify to a k-NN graph (4 strongest partners per node) — the dense
+    # trade graph is near-complete, which leaves no non-adjacent candidate
+    # pairs; k-NN graphs are also what link prediction runs on in practice
+    w_knn = W.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    knn = (
+        raw.withColumn("rn", F.row_number().over(w_knn))
+        .filter(F.col("rn") <= 4)
+        .select("src", "dst")
+    )
+    und = knn.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct().localCheckpoint()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = adj.select(F.col("u"), F.col("v").alias("x"))
+    e2 = adj.select(F.col("u"), F.col("v").alias("y"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = wedges.join(
+        und, (und.a == wedges.x) & (und.b == wedges.y), "left_anti"
+    )
+    da = deg.select(F.col("u").alias("x"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("y"), F.col("d").alias("db"))
+    return (
+        cand.join(F.broadcast(da), "x")
+        .join(F.broadcast(db), "y")
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.expr(
+                "CAST((2 * 1000000 * n_common + (da + db - n_common))"
+                " div (2 * (da + db - n_common)) AS BIGINT)"
+            ).alias("jaccard_x1e6"),
         )
     )

@@ -182,6 +182,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "ann_ivfpq_topk",
     "analytics_window_funnel",
     "ts_m4_downsample",
+    "graph_link_prediction",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -472,3 +472,14 @@ def test_m4_downsample_invariants(spark):
     )
     for r in hourly:
         assert per_series[r.event_type] == r["count"]
+
+
+def test_link_prediction_candidates_are_nonadjacent(spark):
+    """Candidates never include existing k-NN edges; jaccard bounded; every
+    candidate pair shares >=1 neighbor by construction."""
+    out = queries()["graph_link_prediction"](spark, SF).collect()
+    assert out, "sparsified graph must yield candidates"
+    for r in out:
+        assert r.node_a < r.node_b
+        assert r.n_common >= 1
+        assert 0 < r.jaccard_x1e6 <= 1_000_000
