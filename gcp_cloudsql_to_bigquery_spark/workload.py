@@ -37,6 +37,7 @@ _OPTIONAL_MODULES = (
     "gcp_cloudsql_to_bigquery_spark.sources.pysource",
     "gcp_cloudsql_to_bigquery_spark.operators.scale",
     "gcp_cloudsql_to_bigquery_spark.operators.linkage",
+    "gcp_cloudsql_to_bigquery_spark.operators.sqlx",
 )
 
 
@@ -183,6 +184,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_window_funnel",
     "ts_m4_downsample",
     "graph_link_prediction",
+    "sql_unpivot",
+    "sql_exists_correlated",
+    "sql_lateral_column_alias",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -278,3 +278,26 @@ def test_pq_encode_and_table_joins_are_broadcast(spark):
     for either."""
     df = queries()["ann_pq_topk"](spark, "/root/testdata/sf0.001")
     assert broadcast_join_count(df) >= 2
+
+
+def test_correlated_subqueries_decorrelate_to_joins(spark):
+    """EXISTS / NOT EXISTS / correlated scalar subqueries must all become
+    joins on the correlation key — never per-outer-row re-execution (the
+    property that lets correlated SQL survive 100 TB)."""
+    df = queries()["sql_exists_correlated"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "Join" in plan, plan
+    # decorrelation leaves no lazily re-executed subquery nodes behind
+    assert "InSubquery" not in plan and "exists#" not in plan.lower(), plan
+
+
+def test_unpivot_expands_after_aggregation(spark):
+    """The Expand (unpivot) operator must sit ABOVE the aggregate: the
+    5x row fan-out happens on the 25-row pivoted table, never on the
+    customer fact scan."""
+    df = queries()["sql_unpivot"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "Expand" in plan, plan
+    expand_pos = plan.index("Expand")
+    agg_pos = plan.rindex("HashAggregate")
+    assert expand_pos < agg_pos, plan  # physical plans print top-down
