@@ -408,3 +408,99 @@ def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w).cast("bigint") - 1).alias("pos"),
         "n_chars",
     )
+
+
+@register(
+    "curation_importance_resampling",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 1024 AS b
+      FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    ),
+    tgt AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY b),
+    raw AS (SELECT b, count(*) AS cr FROM tok WHERE lang <> 'en' GROUP BY b),
+    tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS t,
+                   (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS r),
+    lr AS (
+      SELECT coalesce(tgt.b, raw.b) AS b,
+             CAST(floor((ln((coalesce(ct, 0) + 0.5) / (t + 512.0))
+                         - ln((coalesce(cr, 0) + 0.5) / (r + 512.0))) * 1e6 + 0.5)
+                  AS BIGINT) AS lr_fp
+      FROM tgt FULL OUTER JOIN raw ON tgt.b = raw.b CROSS JOIN tot
+    ),
+    dcounts AS (
+      SELECT doc_id, lang, b, count(*) AS n
+      FROM tok WHERE lang <> 'en' GROUP BY doc_id, lang, b
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang, CAST(sum(d.n * lr.lr_fp) AS BIGINT) AS score_fp
+      FROM dcounts d JOIN lr ON d.b = lr.b
+      GROUP BY d.doc_id, d.lang
+    )
+    SELECT doc_id, lang, score_fp,
+           CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 100
+    """,
+    doc="DSIR-style importance resampling (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling'): hashed unigram "
+    "features (md5 -> 1024 buckets), a smoothed bag-of-buckets language "
+    "model for the target (lang='en') and raw (everything else) pools, and "
+    "each raw document scored by its summed log-likelihood ratio — the "
+    "standard cheap way to pull target-domain-like documents out of a web "
+    "crawl.  Float discipline: per-bucket log-ratios are quantized ONCE to "
+    "1e-6 fixed point, so document scores are exact INTEGER sums (no "
+    "accumulation-order sensitivity at all — stronger than sorted-fold).  "
+    "Scale: bucket tables are 1024 rows (broadcast); the only fact-scale "
+    "shuffles are the two partial-agged token groupBys; ranking runs on "
+    "the doc-count-sized score table.",
+)
+def curation_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .withColumn(
+            "b", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint") % 1024
+        )
+    )
+    tgt = tok.filter(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    raw = tok.filter(F.col("lang") != "en")
+    rawb = raw.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tot = tgt.agg(F.sum("ct").alias("t")).crossJoin(rawb.agg(F.sum("cr").alias("r")))
+    lr = (
+        tgt.join(rawb, "b", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                (
+                    F.log((F.coalesce("ct", F.lit(0)) + 0.5) / (F.col("t") + 512.0))
+                    - F.log((F.coalesce("cr", F.lit(0)) + 0.5) / (F.col("r") + 512.0))
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("lr_fp"),
+        )
+    )
+    dcounts = raw.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        dcounts.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("n") * F.col("lr_fp")).alias("score_fp"))
+    )
+    w = W.orderBy(F.col("score_fp").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 100)
+        .select("doc_id", "lang", "score_fp", "rnk")
+    )

@@ -22,6 +22,7 @@ import hashlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -641,4 +642,86 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE length(text) > 0
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> md5(array_to_string(list_slice(t, i, i + 4), ' '))
+             ))) AS s
+      FROM toks
+    ),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    freq AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+    idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN freq ON freq.s = sh.s),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE sb.n_sh >= sa.n_sh AND 2 * n_inter >= sa.n_sh
+    )
+    SELECT doc_a, doc_b, n_a, n_inter,
+           CAST((2 * 100 * n_inter + n_a) // (2 * n_a) AS BIGINT) AS containment_pct
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_a ORDER BY n_inter DESC, doc_b) AS rn
+          FROM cand)
+    WHERE rn = 1
+    """,
+    doc="Asymmetric CONTAINMENT dedup (Broder's containment coefficient "
+    "|A∩B| / |A|): catches a document that is mostly a SUBSET of a longer "
+    "one — the quote/boilerplate/version-bump case symmetric Jaccard "
+    "misses, since a small doc inside a huge one has near-zero Jaccard "
+    "but containment ~1.  Word-5-gram distinct shingle sets, md5 "
+    "fingerprints, inverted-index self-join (same scale shape as the "
+    "Jaccard ground truth), with a df<=100 stop-shingle cap so hub "
+    "shingles cannot produce a quadratic candidate blow-up at scale "
+    "(standard practice: ubiquitous shingles carry no dedup signal).  "
+    "Per contained doc, the best container = max overlap (ties to "
+    "smallest doc_id); threshold containment >= 50%.  Integer outputs "
+    "throughout (ratio as exact rounded percent).",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.lower("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, 5), " ").cast("binary")),
+        )
+    )
+    sh = d.select("doc_id", F.explode(grams).alias("s"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
+    idx = sh.join(freq.select("s"), "s")
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    cand = (
+        inter.join(sz.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "n_a"}), "doc_a")
+        .join(sz.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "n_b"}), "doc_b")
+        .filter((F.col("n_b") >= F.col("n_a")) & (2 * F.col("n_inter") >= F.col("n_a")))
+    )
+    w = W.partitionBy("doc_a").orderBy(F.col("n_inter").desc(), "doc_b")
+    pct = F.expr("(2 * 100 * n_inter + n_a) div (2 * n_a)").cast("bigint")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_a", "doc_b", "n_a", "n_inter", pct.alias("containment_pct"))
     )

@@ -11,6 +11,7 @@ where a query aggregates).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -671,4 +672,49 @@ def text_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " + count(*)) div (2 * count(*)) AS BIGINT)"
             ).alias("dup_frac_x1e6"),
         )
+    )
+
+
+@register(
+    "text_unicode_normalize",
+    oracle="""
+    WITH deco AS (
+      SELECT doc_id,
+             replace(substr(text, 1, 120), 'e', 'e' || chr(769)) AS d
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(length(d) AS BIGINT)                AS n_deco,
+           CAST(length(nfc_normalize(d)) AS BIGINT) AS n_nfc,
+           substr(md5(nfc_normalize(d)), 1, 8)      AS fp8
+    FROM deco
+    """,
+    doc="Unicode NFC canonicalization — the normalization pass that must "
+    "precede any fingerprint-based dedup, because visually identical text "
+    "arrives in mixed composed/decomposed forms ('e'+U+0301 vs U+00E9) and "
+    "hashes differently raw.  The fixture decomposes deterministically on "
+    "BOTH sides (every 'e' gains a combining acute), Spark recomposes via "
+    "a vectorized Arrow pandas_udf over stdlib unicodedata (Spark has no "
+    "NFC builtin; row-at-a-time Python is never used), DuckDB via its "
+    "native nfc_normalize — convergence is proven by character counts AND "
+    "an md5 fingerprint of the normalized UTF-8 bytes.  Scale: pure "
+    "narrow per-row transform, zero shuffle; the UDF streams Arrow "
+    "batches and holds only one batch in memory.",
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: None if x is None else unicodedata.normalize("NFC", x))
+
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # decomposed form: every 'e' followed by U+0301 COMBINING ACUTE ACCENT
+    deco = F.replace(F.substring("text", 1, 120), F.lit("e"), F.lit("é"))
+    normalized = nfc(deco)
+    return d.select(
+        "doc_id",
+        F.length(deco).cast("bigint").alias("n_deco"),
+        F.length(normalized).cast("bigint").alias("n_nfc"),
+        F.substring(F.md5(normalized.cast("binary")), 1, 8).alias("fp8"),
     )

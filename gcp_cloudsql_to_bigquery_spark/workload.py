@@ -187,6 +187,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "sql_unpivot",
     "sql_exists_correlated",
     "sql_lateral_column_alias",
+    "curation_importance_resampling",
+    "dedup_containment",
+    "text_unicode_normalize",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

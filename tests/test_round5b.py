@@ -1,0 +1,50 @@
+"""Invariant tests for the round-5 second-wave operators (DSIR importance
+resampling, containment dedup, Unicode NFC normalization, SQL surface)."""
+
+import unicodedata
+
+from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_importance_resampling_ranks_and_pool(spark):
+    rows = queries()["curation_importance_resampling"](spark, SF).collect()
+    assert rows, "expected a non-empty selection"
+    ranks = sorted(r["rnk"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1)), "ranks must be dense 1..N"
+    assert all(r["lang"] != "en" for r in rows), "target-pool docs must not be scored"
+    # scores must be non-increasing in rank order
+    by_rank = sorted(rows, key=lambda r: r["rnk"])
+    scores = [r["score_fp"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_containment_bounds_and_best_container(spark):
+    rows = queries()["dedup_containment"](spark, SF).collect()
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] not in seen, "one best container per contained doc"
+        seen.add(r["doc_a"])
+        assert r["doc_a"] != r["doc_b"]
+        assert 0 < r["n_inter"] <= r["n_a"]
+        assert 50 <= r["containment_pct"] <= 100
+
+
+def test_unicode_normalize_recomposes(spark):
+    df = queries()["text_unicode_normalize"](spark, SF)
+    rows = df.limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["n_nfc"] <= r["n_deco"]
+    # cross-check one row end-to-end against stdlib on the raw text
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+
+    raw = (
+        load(spark, SF, "documents")
+        .filter("doc_id = %d" % rows[0]["doc_id"])
+        .collect()[0]["text"]
+    )
+    deco = raw[:120].replace("e", "e\u0301")
+    assert rows[0]["n_deco"] == len(deco)
+    assert rows[0]["n_nfc"] == len(unicodedata.normalize("NFC", deco))
