@@ -725,3 +725,64 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_a", "doc_b", "n_a", "n_inter", pct.alias("containment_pct"))
     )
+
+
+def _semdedup_oracle() -> str:
+    from .similarity import _kmeans_cte_prefix
+
+    parts = _kmeans_cte_prefix(k=16, iters=3, dim=64)
+    parts.append(
+        "pairs AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b,"
+        " CAST(floor(list_cosine_similarity(va.v, vb.v)*1e6+0.5) AS BIGINT) AS cos_fp"
+        " FROM af a JOIN af b ON a.cell = b.cell AND a.vec_id < b.vec_id"
+        " JOIN v va ON va.vec_id = a.vec_id"
+        " JOIN v vb ON vb.vec_id = b.vec_id)"
+    )
+    parts.append(
+        "SELECT vec_b AS vec_id, cell, CAST(min(vec_a) AS BIGINT) AS dup_of,"
+        " CAST(max(cos_fp) AS BIGINT) AS best_cos_fp"
+        " FROM pairs WHERE cos_fp >= 400000 GROUP BY vec_b, cell"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "dedup_semdedup",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023, 'SemDeDup: Data-efficient learning "
+    "at web-scale through semantic deduplication'): cluster the embedding "
+    "space with k-means (the shared quantized Lloyd trainer of "
+    "ann_ivf_kmeans_topk), then search for near-duplicate pairs ONLY "
+    "within each cluster — the clustering bounds the quadratic pairwise "
+    "work to cell-sized blocks, which is the whole trick that makes "
+    "semantic dedup feasible on billions of embeddings (k grows with N, "
+    "cells stay bounded).  A vector is a duplicate when it has cosine >= "
+    "0.4 with any LOWER-id vector in its cell (greedy keep-first, fully "
+    "deterministic); output reports each duplicate's keeper (min such "
+    "partner) and best similarity.  Training decisions are micro-"
+    "quantized, so the EXACT oracle replays the 3 Lloyd rounds as "
+    "unrolled CTEs and the within-cell sweep as one equi-join on the "
+    "cell id.  Scale shape: one shuffle on cell for the pair join; "
+    "within-cell GEMM batches via the pandas_udf assign path.",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import cosine, kmeans_train
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    _cent, assigned = kmeans_train(e, k=16, iters=3)
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, ["cell"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cos_fp = F.floor(cosine(F.col("va"), F.col("vb")) * 1e6 + 0.5).cast("bigint")
+    scored = pairs.select("cell", "vec_a", "vec_b", cos_fp.alias("cos_fp")).filter(
+        F.col("cos_fp") >= 400000
+    )
+    return scored.groupBy(F.col("vec_b").alias("vec_id"), "cell").agg(
+        F.min("vec_a").alias("dup_of"), F.max("cos_fp").alias("best_cos_fp")
+    )

@@ -506,12 +506,13 @@ def kmeans_train(e: DataFrame, k: int = 16, iters: int = 3):
     return cent, assign(cent)
 
 
-def _ivf_kmeans_oracle(k: int = 16, iters: int = 3, dim: int = 64) -> str:
-    """Unrolled-Lloyd DuckDB oracle for ``ann_ivf_kmeans_topk``: each
-    iteration is one assign-CTE (micro-quantized cosine argmax, ties to
-    lowest cell) + one recompute-CTE (per-dim mean → micro-quant →
-    normalize → micro-quant; empty cells keep the previous centroid),
-    replicating ``kmeans_train`` decision-for-decision."""
+def _kmeans_cte_prefix(k: int = 16, iters: int = 3, dim: int = 64) -> list[str]:
+    """Shared unrolled-Lloyd CTE prefix (through the final assignment
+    ``af``): each iteration is one assign-CTE (micro-quantized cosine
+    argmax, ties to lowest cell) + one recompute-CTE (per-dim mean →
+    micro-quant → normalize → micro-quant; empty cells keep the previous
+    centroid), replicating ``kmeans_train`` decision-for-decision.  Used
+    by the ``ann_ivf_kmeans_topk`` and ``dedup_semdedup`` oracles."""
     parts = [
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
         f"dims AS (SELECT CAST(range AS INT) + 1 AS dim FROM range({dim})),",
@@ -554,6 +555,14 @@ def _ivf_kmeans_oracle(k: int = 16, iters: int = 3, dim: int = 64) -> str:
         f" floor(list_cosine_similarity(v.v, c.c)*1e6+0.5) DESC, c.cell) AS rn"
         f" FROM v CROSS JOIN {final} c) WHERE rn = 1),"
     )
+    return parts
+
+
+def _ivf_kmeans_oracle(k: int = 16, iters: int = 3, dim: int = 64) -> str:
+    """Probe-search oracle of ``ann_ivf_kmeans_topk`` over the shared
+    unrolled-Lloyd prefix."""
+    final = f"c{iters}"
+    parts = _kmeans_cte_prefix(k, iters, dim)
     parts.append(
         f"qprobe AS (SELECT vec_id AS query_id, cell FROM ("
         f" SELECT v.vec_id, c.cell,"

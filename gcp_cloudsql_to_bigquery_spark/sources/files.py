@@ -503,3 +503,110 @@ def src_csv_quoted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.octet_length(F.col("p_type").cast("binary"))
         ).alias("payload_bytes"),
     )
+
+
+@register(
+    "src_binary_file",
+    oracle="""
+    WITH payload AS (
+      SELECT n_nationkey,
+             'blob:' || n_name || ':' || CAST(n_regionkey AS VARCHAR) || ':'
+               || repeat(n_name || '|', CAST(n_nationkey AS INT) + 3) AS body
+      FROM nation
+    )
+    SELECT 'nation_' || CAST(n_nationkey AS VARCHAR) || '.bin' AS fname,
+           CAST(length(body) AS BIGINT) AS n_bytes,
+           md5(body) AS digest
+    FROM payload
+    """,
+    doc="Whole-file binary ingestion via the binaryFile data source — the "
+    "scan path for opaque media payloads (images/audio/model shards) "
+    "where each FILE is the record: spark.read.format('binaryFile') "
+    "yields (path, modificationTime, length, content) with one row per "
+    "file, split across tasks by file.  The fixture stages one "
+    "deterministic payload per nation (driver-side staging of 25 tiny "
+    "files — fixture setup, not the scan path), then the query proves "
+    "byte-exact ingestion by length + md5 of content against the oracle's "
+    "reconstruction of the same payloads from the base table.  Scale: "
+    "binaryFile parallelizes per file and never splits one (required for "
+    "format-opaque blobs); pair it with maxPartitionBytes-aware bin-"
+    "packing of small files (see elt_compact_small_files) at 100 TB.",
+)
+def src_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    stage = tempfile.mkdtemp(prefix="src_binfile_")
+    for r in rows:
+        body = "blob:%s:%d:%s" % (
+            r["n_name"],
+            r["n_regionkey"],
+            ("%s|" % r["n_name"]) * (int(r["n_nationkey"]) + 3),
+        )
+        with open(os.path.join(stage, "nation_%d.bin" % r["n_nationkey"]), "wb") as fh:
+            fh.write(body.encode("utf-8"))
+    scanned = spark.read.format("binaryFile").load(stage)
+    return scanned.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("digest"),
+    )
+
+
+@register(
+    "elt_range_partition_layout",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_disc(o_totalprice, 0.25) AS p25,
+             quantile_disc(o_totalprice, 0.5)  AS p50,
+             quantile_disc(o_totalprice, 0.75) AS p75
+      FROM orders
+    ),
+    assigned AS (
+      SELECT CASE WHEN o_totalprice <= p25 THEN 0
+                  WHEN o_totalprice <= p50 THEN 1
+                  WHEN o_totalprice <= p75 THEN 2
+                  ELSE 3 END AS pid,
+             o_totalprice
+      FROM orders CROSS JOIN b
+    )
+    SELECT pid, CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM assigned GROUP BY pid
+    """,
+    doc="Range-partitioned layout with EXACT quantile boundaries — the "
+    "deterministic cousin of repartitionByRange (whose boundaries come "
+    "from reservoir sampling and vary run-to-run, so they cannot be "
+    "oracle-checked or reproduced across engines).  percentile_disc "
+    "picks real data values as cut points (identical element choice in "
+    "Spark and DuckDB, unlike interpolated quantiles whose float "
+    "arithmetic may differ in the last ulp), every row is routed by a "
+    "broadcast boundary compare, and the per-partition (count, min, max) "
+    "profile proves the ranges are disjoint, ordered, and ~25% balanced.  "
+    "This is the write-side layout that makes downstream range predicates "
+    "prune files at 100 TB; at scale the quantile pass runs on a sample "
+    "or sketch and the routing plan is unchanged.",
+)
+def elt_range_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_totalprice")
+    b = o.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").alias("p25"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").alias("p75"),
+    )
+    assigned = o.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("o_totalprice") <= F.col("p25"), 0)
+        .when(F.col("o_totalprice") <= F.col("p50"), 1)
+        .when(F.col("o_totalprice") <= F.col("p75"), 2)
+        .otherwise(3)
+        .alias("pid"),
+        "o_totalprice",
+    )
+    return assigned.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )

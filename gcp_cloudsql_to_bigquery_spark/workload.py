@@ -190,6 +190,10 @@ _GATE_FRONT: tuple[str, ...] = (
     "curation_importance_resampling",
     "dedup_containment",
     "text_unicode_normalize",
+    "join_interval_overlap",
+    "src_binary_file",
+    "elt_range_partition_layout",
+    "dedup_semdedup",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -301,3 +301,13 @@ def test_unpivot_expands_after_aggregation(spark):
     expand_pos = plan.index("Expand")
     agg_pos = plan.rindex("HashAggregate")
     assert expand_pos < agg_pos, plan  # physical plans print top-down
+
+
+def test_interval_overlap_is_equi_join_not_nested_loop(spark):
+    """The binned range join must plan as a hash/broadcast EQUI join on the
+    day bin — a bare theta-join would degenerate to
+    BroadcastNestedLoopJoin and die at 100 TB."""
+    df = queries()["join_interval_overlap"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan, plan

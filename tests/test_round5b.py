@@ -48,3 +48,22 @@ def test_unicode_normalize_recomposes(spark):
     deco = raw[:120].replace("e", "e\u0301")
     assert rows[0]["n_deco"] == len(deco)
     assert rows[0]["n_nfc"] == len(unicodedata.normalize("NFC", deco))
+
+
+def test_range_partition_layout_disjoint_ordered_balanced(spark):
+    rows = {r["pid"]: r for r in queries()["elt_range_partition_layout"](spark, SF).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    # ranges disjoint and ordered
+    for pid in range(3):
+        assert rows[pid]["hi"] <= rows[pid + 1]["lo"]
+    # ~25% balance (disc boundaries on distinct-ish values)
+    total = sum(r["n"] for r in rows.values())
+    for r in rows.values():
+        assert abs(r["n"] - total / 4) <= total * 0.05 + 2
+
+
+def test_semdedup_dup_targets_have_lower_keeper(spark):
+    rows = queries()["dedup_semdedup"](spark, SF).collect()
+    for r in rows:
+        assert r["dup_of"] < r["vec_id"]
+        assert r["best_cos_fp"] >= 400000
