@@ -843,3 +843,86 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("weighted_median_cents"),
     )
+
+
+@register(
+    "agg_ab_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT user_id % 2 AS variant,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum(cents * cents) AS BIGINT) AS q
+      FROM g GROUP BY variant
+    ),
+    w AS (
+      SELECT a.n AS n_a, a.s AS s_a, b.n AS n_b, b.s AS s_b,
+             (CAST(a.s AS DOUBLE) / a.n) AS mean_a,
+             (CAST(b.s AS DOUBLE) / b.n) AS mean_b,
+             ((a.q - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1)) AS var_a,
+             ((b.q - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1)) AS var_b
+      FROM (SELECT * FROM m WHERE variant = 0) a
+      CROSS JOIN (SELECT * FROM m WHERE variant = 1) b
+    )
+    SELECT n_a, n_b, s_a, s_b,
+           CAST(floor((mean_a - mean_b)
+                      / sqrt(var_a / n_a + var_b / n_b) * 1e6 + 0.5) AS BIGINT)
+             AS t_stat_x1e6,
+           abs((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)) > 1.96
+             AS significant_95
+    FROM w
+    """,
+    doc="Welch's two-sample t-test as a pure aggregate — the A/B "
+    "experiment readout (variant = user_id % 2 on purchase values) "
+    "computed from sufficient statistics only: each arm reduces to "
+    "(n, sum, sum-of-squares) in EXACT integer cents (one partial-agged "
+    "shuffle of 2 groups; Q < 2^53 so the widening to double for the "
+    "final scalar formula is lossless), then mean/variance/t come from "
+    "one identical expression tree on both engines — no per-row doubles, "
+    "no accumulation-order sensitivity.  This moment-folding is the only "
+    "shape that works at 100 TB: the raw arms never leave the cluster, "
+    "and arms can be merged across partitions/days by adding the three "
+    "integers.  t quantized to 1e-6; two-sided 95% flag at |t| > 1.96.",
+)
+def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    m = g.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    a = m.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("q").alias("q_a")
+    )
+    b = m.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("q").alias("q_b")
+    )
+    j = a.crossJoin(b)
+    mean_a = F.col("s_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s_b").cast("double") / F.col("n_b")
+    var_a = (F.col("q_a") - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("q_b") - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    t = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return j.select(
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        F.floor(t * 1e6 + 0.5).cast("bigint").alias("t_stat_x1e6"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )

@@ -14,6 +14,7 @@ runs daily, each expressed so the plan scales:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -462,4 +463,141 @@ def analytics_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((2 * 1000000 * count(s3) + count(*)) div (2 * count(*)) AS BIGINT)"
         ).alias("conversion_x1e6"),
+    )
+
+
+@register(
+    "analytics_attribution_last_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, event_type AS channel, ts, event_id FROM ev
+      WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    conv AS (SELECT user_id, ts, event_id, cents FROM ev WHERE event_type = 'purchase'),
+    attributed AS (
+      SELECT c.event_id AS conversion_id, c.cents, t.channel,
+             row_number() OVER (
+               PARTITION BY c.event_id
+               ORDER BY t.ts DESC, t.event_id DESC) AS rn
+      FROM conv c
+      JOIN touches t
+        ON t.user_id = c.user_id
+       AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))
+       AND t.ts > c.ts - INTERVAL 7 DAY
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_conversions,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM attributed WHERE rn = 1
+    GROUP BY channel
+    """,
+    doc="Last-touch marketing attribution: every purchase is credited to "
+    "the most recent view/click/signup touch by the same user within a "
+    "7-day lookback, then revenue rolls up per channel.  Spark-first "
+    "shape: this is an AS-OF join (union + last-non-null window over the "
+    "user timeline — the same linear plan as join_asof, NO range "
+    "self-join), so the only event-scale shuffle keys on user_id and the "
+    "per-user timeline is swept once in order.  The oracle states the "
+    "equivalent declarative form (range join + row_number), which DuckDB "
+    "can afford at sf0.01 but which degenerates quadratically per user "
+    "at scale — exactly why the implementation picks the sweep.  "
+    "Deterministic tie-break: later event_id wins on equal timestamps; "
+    "revenue in integer cents.",
+)
+def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("channel"),
+        F.lit(None).cast("long").alias("conv_id"),
+        F.lit(None).cast("long").alias("conv_cents"),
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.lit(None).cast("string").alias("channel"),
+        F.col("event_id").alias("conv_id"),
+        F.col("cents").alias("conv_cents"),
+    )
+    # one interleaved user timeline; the last non-null (channel, ts, id)
+    # seen at or before each row IS the last touch — linear sweep, no join
+    timeline = touches.unionByName(convs)
+    w = W.partitionBy("user_id").orderBy("t_ts", "t_id")
+    lastc = F.last("channel", ignorenulls=True).over(w)
+    last_ts = F.last(F.when(F.col("channel").isNotNull(), F.col("t_ts")), ignorenulls=True).over(w)
+    swept = timeline.select(
+        "conv_id",
+        "conv_cents",
+        "t_ts",
+        lastc.alias("attr_channel"),
+        last_ts.alias("attr_ts"),
+    ).filter(F.col("conv_id").isNotNull() & F.col("attr_channel").isNotNull())
+    within = swept.filter(
+        F.col("attr_ts") > F.col("t_ts") - F.expr("INTERVAL 7 DAY")
+    )
+    return within.groupBy(F.col("attr_channel").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.sum("conv_cents").alias("revenue_cents"),
+    )
+
+
+@register(
+    "analytics_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || e2 || '>' || e3 AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, path) AS BIGINT) AS rnk
+    FROM paths GROUP BY path
+    QUALIFY rnk <= 20
+    """,
+    doc="User-path analysis (the product-analytics 'top paths' report): "
+    "every consecutive event-type trigram along each user's timeline, "
+    "counted corpus-wide, top 20.  One window pass per user timeline "
+    "(lead x2 over a single shared (user, ts) window spec — one "
+    "shuffle), then a partial-agged count on the path string; the final "
+    "ranking runs on the k^3-bounded path table (125 rows here), so the "
+    "global ORDER BY never touches event-scale data.  Deterministic "
+    "order: (ts, event_id).",
+)
+def analytics_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = W.orderBy(F.col("n").desc(), "path")
+    return (
+        counted.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
     )

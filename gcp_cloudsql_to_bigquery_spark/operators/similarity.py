@@ -942,3 +942,62 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "approx_d2_x1e6", "rnk")
     )
+
+
+@register(
+    "embedding_label_centroid_arrow",
+    oracle="""
+    WITH v AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    el AS (
+      SELECT label, d.dim AS dim,
+             CAST(floor(v[d.dim] * 1e6 + 0.5) AS BIGINT) AS m
+      FROM v CROSS JOIN (SELECT CAST(range AS INT) + 1 AS dim FROM range(64)) d
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor((2 * sum(m) + count(*)) / (2.0 * count(*))) AS BIGINT)
+             AS centroid_micro
+    FROM el GROUP BY label, dim
+    """,
+    doc="Per-label embedding centroids via groupBy().applyInArrow — the "
+    "zero-copy grouped-kernel API (Spark 4): each label group arrives as "
+    "ONE pyarrow Table, the kernel runs a numpy column reduction, and "
+    "only (label, dim, n, centroid) rows leave the worker.  Arithmetic "
+    "is exact end-to-end: each float32 component is quantized to integer "
+    "micro-units FIRST (bit-identical in any engine), the per-dim sums "
+    "are integer (order-free — no float accumulation anywhere), and the "
+    "rounded mean is the integer floor-division (2S+n) // (2n) on both "
+    "sides.  Scale: one shuffle on label; group state = one label's "
+    "vectors (bounded); 64 output rows per label.  The class-centroid "
+    "building block behind SemDeDup / nearest-class-mean classifiers.",
+)
+def embedding_label_centroid_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def centroids(table: "pa.Table") -> "pa.Table":
+        import numpy as np
+
+        label = table.column("label")[0].as_py()
+        mat = np.stack(table.column("v").to_pylist()).astype("float64")
+        m = np.floor(mat * 1e6 + 0.5).astype("int64")
+        n = m.shape[0]
+        s = m.sum(axis=0)
+        cent = (2 * s + n) // (2 * n)  # python/numpy floor division
+        dims = np.arange(1, m.shape[1] + 1, dtype="int32")
+        return pa.table(
+            {
+                "label": pa.array([label] * m.shape[1], pa.int32()),
+                "dim": pa.array(dims, pa.int32()),
+                "n": pa.array([n] * m.shape[1], pa.int64()),
+                "centroid_micro": pa.array(cent, pa.int64()),
+            }
+        )
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return e.groupBy("label").applyInArrow(
+        centroids, schema="label int, dim int, n long, centroid_micro long"
+    )

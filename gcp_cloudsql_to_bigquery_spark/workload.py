@@ -194,6 +194,10 @@ _GATE_FRONT: tuple[str, ...] = (
     "src_binary_file",
     "elt_range_partition_layout",
     "dedup_semdedup",
+    "analytics_attribution_last_touch",
+    "analytics_top_paths",
+    "embedding_label_centroid_arrow",
+    "agg_ab_ttest",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -67,3 +67,50 @@ def test_semdedup_dup_targets_have_lower_keeper(spark):
     for r in rows:
         assert r["dup_of"] < r["vec_id"]
         assert r["best_cos_fp"] >= 400000
+
+
+def test_attribution_channels_and_conversion_bound(spark):
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+
+    rows = queries()["analytics_attribution_last_touch"](spark, SF).collect()
+    assert rows
+    assert {r["channel"] for r in rows} <= {"view", "click", "signup"}
+    n_purch = load(spark, SF, "events").filter("event_type = 'purchase'").count()
+    assert sum(r["n_conversions"] for r in rows) <= n_purch
+
+
+def test_top_paths_dense_ranks(spark):
+    rows = sorted(queries()["analytics_top_paths"](spark, SF).collect(), key=lambda r: r["rnk"])
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_ab_ttest_counts_partition_purchases(spark):
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+
+    r = queries()["agg_ab_ttest"](spark, SF).collect()[0]
+    n_purch = load(spark, SF, "events").filter("event_type = 'purchase'").count()
+    assert r["n_a"] + r["n_b"] == n_purch
+    assert (abs(r["t_stat_x1e6"]) > 1_960_000) == r["significant_95"]
+
+
+def test_label_centroid_arrow_matches_numpy(spark):
+    import numpy as np
+
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+
+    got = {
+        (r["label"], r["dim"]): (r["n"], r["centroid_micro"])
+        for r in queries()["embedding_label_centroid_arrow"](spark, SF).collect()
+    }
+    raw = load(spark, SF, "embeddings").select("label", "embedding").collect()
+    by_label = {}
+    for r in raw:
+        by_label.setdefault(r["label"], []).append(np.asarray(r["embedding"], dtype="float64"))
+    for label, vecs in by_label.items():
+        m = np.floor(np.stack(vecs) * 1e6 + 0.5).astype("int64")
+        n = m.shape[0]
+        cent = (2 * m.sum(axis=0) + n) // (2 * n)
+        for d in range(m.shape[1]):
+            assert got[(label, d + 1)] == (n, cent[d])
