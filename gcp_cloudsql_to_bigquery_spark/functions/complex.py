@@ -624,3 +624,55 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@register(
+    "fn_generators_posexplode_outer",
+    oracle="""
+    WITH s AS (SELECT s_suppkey, s_nationkey, s_acctbal, s_name
+               FROM supplier WHERE s_suppkey <= 400)
+    SELECT s_suppkey, CAST(0 AS INT) AS pos, 'acctbal_cents' AS metric,
+           CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS val
+    FROM s WHERE s_nationkey >= 5
+    UNION ALL
+    SELECT s_suppkey, 1, 'nationkey', CAST(s_nationkey AS BIGINT)
+    FROM s WHERE s_nationkey >= 5
+    UNION ALL
+    SELECT s_suppkey, 2, 'name_len', CAST(length(s_name) AS BIGINT)
+    FROM s WHERE s_nationkey >= 5
+    UNION ALL
+    SELECT s_suppkey, NULL, NULL, NULL
+    FROM s WHERE s_nationkey < 5
+    """,
+    doc="Generator functions: posexplode_outer over a per-row "
+    "array<struct> (built inline from columns) pivots each supplier into "
+    "ordered (pos, metric, value) rows — the EAV unpivot generators "
+    "express natively; the _outer variant KEEPS rows whose array is "
+    "empty (here: nationkey < 5) as a single all-NULL generator row, "
+    "exactly like LEFT JOIN LATERAL, where plain posexplode would drop "
+    "the supplier entirely.  The oracle states the row-for-row "
+    "expansion, NULL stub rows included.  Generate is a narrow operator "
+    "— rows fan out within the partition, no shuffle.",
+)
+def fn_generators_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 400)
+    metrics = F.array(
+        F.struct(
+            F.lit("acctbal_cents").alias("metric"),
+            F.floor(F.col("s_acctbal") * 100 + 0.5).cast("bigint").alias("val"),
+        ),
+        F.struct(
+            F.lit("nationkey").alias("metric"),
+            F.col("s_nationkey").cast("bigint").alias("val"),
+        ),
+        F.struct(
+            F.lit("name_len").alias("metric"),
+            F.length("s_name").cast("bigint").alias("val"),
+        ),
+    )
+    gated = F.when(F.col("s_nationkey") >= 5, metrics).otherwise(
+        F.array().cast("array<struct<metric:string,val:bigint>>")
+    )
+    return s.select(
+        "s_suppkey", F.posexplode_outer(gated).alias("pos", "m")
+    ).select("s_suppkey", "pos", F.col("m.metric").alias("metric"), F.col("m.val").alias("val"))

@@ -547,3 +547,35 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_variant",
         )
     )
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS decrypted,
+           CAST(16 * (length(c_name) // 16) + 16 AS BIGINT) AS cipher_len
+    FROM customer
+    WHERE c_custkey <= 500
+    """,
+    doc="Column-level encryption round-trip: aes_encrypt/aes_decrypt "
+    "(AES-128-ECB — the deterministic mode; GCM salts a random IV per "
+    "row and cannot be oracle-checked) over customer names, proving (a) "
+    "decrypt(encrypt(x)) == x byte-for-byte, and (b) the ciphertext is "
+    "real AES: its length is exactly the PKCS#7-padded block count "
+    "16*(len div 16)+16, which the oracle derives arithmetically from "
+    "the plaintext alone.  ECB determinism is also what makes encrypted "
+    "JOIN KEYS possible (equal plaintexts -> equal ciphertexts) — the "
+    "standard trade-off vs GCM's semantic security, stated here so users "
+    "pick deliberately.  Narrow per-row codegen expressions, zero "
+    "shuffle, no UDFs.",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = F.lit("0123456789abcdef")  # 16-byte demo key; from a KMS in prod
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    cipher = F.aes_encrypt(F.col("c_name").cast("binary"), key, F.lit("ECB"))
+    return c.select(
+        "c_custkey",
+        F.aes_decrypt(cipher, key, F.lit("ECB")).cast("string").alias("decrypted"),
+        F.length(cipher).cast("bigint").alias("cipher_len"),
+    )

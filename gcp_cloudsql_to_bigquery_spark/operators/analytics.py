@@ -601,3 +601,58 @@ def analytics_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
         .filter(F.col("rnk") <= 20)
     )
+
+
+@register(
+    "analytics_sequence_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST((length(s) - length(replace(s, 'vcp', ''))) / 3 AS BIGINT) AS n_vcp,
+           CAST((length(s) - length(replace(s, 'vp', ''))) / 2 AS BIGINT)  AS n_vp,
+           (length(s) - length(replace(s, 'vcp', ''))) / 3 > 0 AS has_conversion_path
+    FROM seq
+    """,
+    doc="MATCH_RECOGNIZE-lite sequence pattern matching (the Flink/Oracle "
+    "row-pattern feature Spark lacks, re-expressed as a symbolic scan): "
+    "each user's event timeline is folded into an ordered initial-letter "
+    "string (one char per event — v/c/p/s/e), and patterns become exact "
+    "substring counts: 'vcp' = view->click->purchase strictly "
+    "consecutive, 'vp' = view->purchase consecutive.  The count is the "
+    "replace-delta trick ((len - len(remove(pattern)))/len(pattern)) — "
+    "non-overlapping leftmost matches, bit-identical across engines "
+    "(regex engines differ in match policy; replace does not).  Scale: "
+    "ONE shuffle on user_id; per-user state is the timeline string "
+    "(bounded by session/user activity); the deterministic order inside "
+    "the fold is (ts, event_id) on both sides.  At 100 TB the same plan "
+    "runs per (user, day) to bound string length.",
+)
+def analytics_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("i")).alias(
+            "e"
+        ),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(F.array_sort(F.collect_list("e")), lambda x: x["i"]),
+        ).alias("s")
+    )
+    s = F.col("s")
+    n_vcp = ((F.length(s) - F.length(F.replace(s, F.lit("vcp"), F.lit("")))) / 3).cast("bigint")
+    n_vp = ((F.length(s) - F.length(F.replace(s, F.lit("vp"), F.lit("")))) / 2).cast("bigint")
+    return seq.select(
+        "user_id",
+        F.length(s).cast("bigint").alias("seq_len"),
+        n_vcp.alias("n_vcp"),
+        n_vp.alias("n_vp"),
+        (n_vcp > 0).alias("has_conversion_path"),
+    )

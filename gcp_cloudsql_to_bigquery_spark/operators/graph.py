@@ -402,3 +402,87 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_x1e6"),
         )
     )
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled peeling oracle for ``graph_kcore``: each round drops nodes
+    with degree < k and the edges touching them; ``rounds`` is a fixed
+    unroll both sides share (a no-op once the peel reaches fixpoint —
+    asserted at two SFs by tests)."""
+    from .dedup import _DUCK_JACPAIRS
+
+    parts = [
+        f"WITH {_DUCK_JACPAIRS},",
+        "e0 AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM jacpairs WHERE jaccard >= 0.65"
+        " UNION SELECT doc_b, doc_a FROM jacpairs WHERE jaccard >= 0.65),",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"e{i-1}"
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM {prev} GROUP BY src HAVING count(*) >= {k}),"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.src, e.dst FROM {prev} e"
+            f" JOIN k{i} a ON e.src = a.src JOIN k{i} b ON e.dst = b.src),"
+        )
+    parts.append(
+        f"core AS (SELECT src, dst FROM e{rounds})"
+    )
+    parts.append(
+        "SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_degree"
+        " FROM core GROUP BY src"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    doc="k-core decomposition (k=2) of the document near-dup graph "
+    "(Jaccard >= 0.65 edges): iteratively peel nodes of degree < k until "
+    "fixpoint — the standard dense-substructure primitive that separates "
+    "chain-like duplicate clusters (no core) from genuinely dense "
+    "near-dup families (2-core survivors), and the same peel used for "
+    "spam-farm detection on web graphs.  Spark side: 8 bounded peel "
+    "rounds, each = one degree aggregate + two semi-joins on the edge "
+    "list, with lineage truncated per round (localCheckpoint) so the "
+    "plan never grows with iterations — the PageRank discipline; the "
+    "edge list after candidate-limiting is orders smaller than the "
+    "corpus, and every round shuffles only (node, degree) pairs.  The "
+    "EXACT oracle unrolls the same 8 rounds as CTEs; both sides reach "
+    "fixpoint early and the extra rounds are no-ops.  Integer-only.",
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_ngram_jaccard
+
+    K = 2
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.65)
+        .select("doc_a", "doc_b")
+    )
+    und = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(8):
+        keep = (
+            und.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= K)
+            .select("src")
+        )
+        # lazy truncation: the plan is cut every round, but materialization
+        # happens only when the next round's aggregate first computes it —
+        # one job per round instead of two
+        und = (
+            und.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return und.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )

