@@ -14,6 +14,7 @@ constant memory) with the exact ``count_distinct`` kept for oracle parity.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -925,4 +926,102 @@ def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_b",
         F.floor(t * 1e6 + 0.5).cast("bigint").alias("t_stat_x1e6"),
         (F.abs(t) > 1.96).alias("significant_95"),
+    )
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT least(cents // 468750, 127) AS bucket, count(*) AS c
+      FROM pts GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, c, sum(c) OVER (ORDER BY bucket) AS running FROM b
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+    probe AS (
+      SELECT 50 AS p_x100 UNION ALL SELECT 95 UNION ALL SELECT 99
+    ),
+    ranks AS (
+      SELECT p_x100, CAST(ceil(n.n * p_x100 / 100.0) AS BIGINT) AS rnk
+      FROM probe CROSS JOIN n
+    ),
+    sel AS (
+      SELECT r.p_x100, r.rnk, CAST(min(cum.bucket) AS BIGINT) AS bucket
+      FROM ranks r JOIN cum ON cum.running >= r.rnk
+      GROUP BY r.p_x100, r.rnk
+    ),
+    exact AS (
+      SELECT quantile_disc(cents, 0.50) AS e50,
+             quantile_disc(cents, 0.95) AS e95,
+             quantile_disc(cents, 0.99) AS e99
+      FROM pts
+    )
+    SELECT s.p_x100, s.rnk, s.bucket,
+           CAST(s.bucket * 468750 + 234375 AS BIGINT) AS est_mid_cents,
+           CAST(CASE s.p_x100 WHEN 50 THEN e50 WHEN 95 THEN e95 ELSE e99 END
+                AS BIGINT) AS exact_cents,
+           least((CASE s.p_x100 WHEN 50 THEN e50 WHEN 95 THEN e95 ELSE e99 END)
+                 // 468750, 127) = s.bucket AS contained
+    FROM sel s CROSS JOIN exact
+    """,
+    doc="Mergeable fixed-domain quantile sketch — how distributed "
+    "percentiles actually work at 100 TB: a 128-bucket equi-width "
+    "histogram over integer cents (width 468750, domain pinned a priori "
+    "— that is what makes sketches from different partitions/days/"
+    "clusters MERGEABLE by cellwise addition, unlike any exact method), "
+    "quantile estimates read off the cumulative walk (smallest bucket "
+    "whose running count reaches rank ceil(p*n)), and the query "
+    "CERTIFIES itself: for each of p50/p95/p99 it also computes the "
+    "exact percentile_disc and emits whether the true value falls in "
+    "the selected bucket — the one-sided-error audit, same pattern as "
+    "agg_count_min_sketch.  Fact data is touched by exactly one "
+    "partial-agged groupBy; the walk runs on the 128-row sketch.  The "
+    "exact companion exists only to certify; production reads the "
+    "sketch alone.",
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W_CENTS = 468750
+    pts = load(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents")
+    )
+    b = pts.groupBy(
+        F.least(F.expr("cents div %d" % W_CENTS), F.lit(127)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    cum = b.withColumn("running", F.sum("c").over(Window.orderBy("bucket")))
+    n = pts.agg(F.count(F.lit(1)).alias("n"))
+    probe = spark.createDataFrame([(50,), (95,), (99,)], "p_x100 int")
+    ranks = probe.crossJoin(F.broadcast(n)).select(
+        "p_x100", F.ceil(F.col("n") * F.col("p_x100") / 100.0).cast("bigint").alias("rnk")
+    )
+    sel = (
+        ranks.join(F.broadcast(cum), F.col("running") >= F.col("rnk"))
+        .groupBy("p_x100", "rnk")
+        .agg(F.min("bucket").cast("bigint").alias("bucket"))
+    )
+    exact = pts.agg(
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)").alias("e50"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").alias("e95"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)").alias("e99"),
+    )
+    ex = (
+        F.when(F.col("p_x100") == 50, F.col("e50"))
+        .when(F.col("p_x100") == 95, F.col("e95"))
+        .otherwise(F.col("e99"))
+    )
+    return sel.crossJoin(F.broadcast(exact)).select(
+        "p_x100",
+        "rnk",
+        "bucket",
+        (F.col("bucket") * W_CENTS + W_CENTS // 2).cast("bigint").alias("est_mid_cents"),
+        ex.cast("bigint").alias("exact_cents"),
+        (
+            F.least(F.expr("%s div %d" % ("CAST(CASE WHEN p_x100 = 50 THEN e50 WHEN p_x100 = 95 THEN e95 ELSE e99 END AS BIGINT)", W_CENTS)), F.lit(127))
+            == F.col("bucket")
+        ).alias("contained"),
     )

@@ -718,3 +718,92 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(normalized).cast("bigint").alias("n_nfc"),
         F.substring(F.md5(normalized.cast("binary")), 1, 8).alias("fp8"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, i.i AS pos, string_split(lower(text), ' ')[i.i] AS w,
+             string_split(lower(text), ' ')[i.i + 1] AS nxt
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS i) i
+      WHERE string_split(lower(text), ' ')[i.i] <> ''
+    ),
+    uni AS (SELECT w, count(*) AS cu FROM tok GROUP BY w),
+    bi AS (SELECT w, nxt, count(*) AS cb FROM tok WHERE nxt IS NOT NULL AND nxt <> ''
+           GROUP BY w, nxt),
+    vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+    blp AS (
+      SELECT b.w, b.nxt,
+             CAST(floor(ln(CAST(b.cb + 1 AS DOUBLE) / (u.cu + v)) * 1e6 + 0.5)
+                  AS BIGINT) AS lp_fp
+      FROM bi b JOIN uni u ON u.w = b.w CROSS JOIN vocab
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(blp.lp_fp) AS BIGINT) AS sum_lp_fp,
+           CAST(floor(CAST(sum(blp.lp_fp) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             AS mean_lp_fp
+    FROM tok t JOIN blp ON blp.w = t.w AND blp.nxt = t.nxt
+    WHERE t.nxt IS NOT NULL AND t.nxt <> ''
+    GROUP BY t.doc_id
+    """,
+    doc="Bigram language-model scoring with add-one (Laplace) smoothing — "
+    "the next step up from text_unigram_logprob and the cheap fluency/"
+    "perplexity proxy used in corpus quality filtering (KenLM-style "
+    "pipelines): P(next|w) = (c(w,next)+1) / (c(w)+V), each document "
+    "scored by the mean log-probability of its observed bigrams.  Float "
+    "discipline as in DSIR: each bigram's logprob is quantized ONCE to "
+    "1e-6 fixed point, so per-document sums are exact integer additions "
+    "in any order — no sorted-fold needed.  Scale: the bigram table is "
+    "vocabulary-bounded (broadcast in the doc-score join); fact-scale "
+    "work is two partial-agged token groupBys + one broadcast join — the "
+    "same shuffle profile as TF-IDF.",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tok = (
+        d.select(
+            "doc_id", F.posexplode(toks).alias("pos0", "w"), toks.alias("all")
+        )
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            "w",
+            F.element_at("all", F.col("pos0") + 2).alias("nxt"),
+        )
+    )
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    bi = (
+        tok.filter(F.col("nxt").isNotNull() & (F.col("nxt") != ""))
+        .groupBy("w", "nxt")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    blp = (
+        bi.join(uni, "w")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w",
+            "nxt",
+            F.floor(
+                F.log((F.col("cb") + 1).cast("double") / (F.col("cu") + F.col("v")))
+                * 1e6
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("lp_fp"),
+        )
+    )
+    scored = tok.filter(F.col("nxt").isNotNull() & (F.col("nxt") != "")).join(
+        F.broadcast(blp), ["w", "nxt"]
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_fp").alias("sum_lp_fp"),
+        F.floor(F.sum("lp_fp").cast("double") / F.count(F.lit(1)) + 0.5)
+        .cast("bigint")
+        .alias("mean_lp_fp"),
+    )

@@ -414,3 +414,69 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("cents", "h").cast("bigint").alias("first_cents"),
         F.max_by("cents", "h").cast("bigint").alias("last_cents"),
     )
+
+
+@register(
+    "ts_outlier_mad",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, CAST(2 * median(cents) AS BIGINT) AS med2
+      FROM pts GROUP BY event_type
+    ),
+    dev AS (
+      SELECT p.event_type, p.cents, abs(2 * p.cents - m.med2) AS d2
+      FROM pts p JOIN med m ON m.event_type = p.event_type
+    ),
+    mad AS (
+      SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS mad4
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, m.med2, a.mad4,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(CASE WHEN 2 * d.d2 > 3 * a.mad4 THEN 1 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d
+    JOIN med m ON m.event_type = d.event_type
+    JOIN mad a ON a.event_type = d.event_type
+    GROUP BY d.event_type, m.med2, a.mad4
+    """,
+    doc="Robust outlier detection via Median Absolute Deviation — the "
+    "telemetry-quality screen that, unlike the z-score variant "
+    "(ts_anomaly_zscore), is not itself corrupted by the outliers it "
+    "hunts (50% breakdown point vs 0%).  Exactness trick: medians of "
+    "integers are half-integers, so everything is carried in DOUBLED "
+    "units — med2 = 2*median(cents), d2 = |2x - med2|, mad4 = "
+    "2*median(d2) — and the 3-sigma-equivalent cut |x-med| > 3*MAD "
+    "becomes the pure integer comparison 2*d2 > 3*mad4; no float ever "
+    "crosses an engine boundary.  Scale: two grouped exact medians over "
+    "(event_type) partitions + one broadcast join of the 5-row "
+    "median/MAD tables back onto the points; at 100 TB swap the exact "
+    "median for the mergeable quantile sketch (agg_quantile_sketch) "
+    "with the identical downstream algebra.",
+)
+def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents")
+    )
+    med = pts.groupBy("event_type").agg(
+        (2 * F.median("cents")).cast("bigint").alias("med2")
+    )
+    dev = pts.join(F.broadcast(med), "event_type").select(
+        "event_type", "cents", F.abs(2 * F.col("cents") - F.col("med2")).alias("d2")
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.median("d2")).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med2", "mad4")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(2 * F.col("d2") > 3 * F.col("mad4"), 1)).alias("n_outliers"),
+        )
+    )

@@ -23,6 +23,7 @@ import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -211,4 +212,82 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"expected >=3 incremental merges, got {state['version']}"
         )
+    return spark.read.parquet(os.path.join(base, f"v{state['version']}"))
+
+
+@register(
+    "stream_incremental_topk",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(row_number() OVER (
+             ORDER BY floor(value * 100 + 0.5) DESC, event_id) AS BIGINT) AS rnk
+    FROM events
+    WHERE event_type = 'purchase'
+    QUALIFY rnk <= 20
+    """,
+    doc="Streaming incremental top-k: a global top-20 leaderboard of "
+    "purchases maintained across micro-batches by exploiting that top-k "
+    "is a MONOID — top_k(A ∪ B) = top_k(top_k(A) ∪ top_k(B)) — so "
+    "foreachBatch folds each arriving shard's local top-20 into the "
+    "persisted leaderboard and the state NEVER exceeds k rows, no "
+    "matter how much history has streamed past (contrast with keeping "
+    "raw events in state).  Three sharded arrivals force three real "
+    "incremental folds; the oracle is the batch top-20 over everything, "
+    "which the monoid guarantees the stream converges to, independent "
+    "of delivery order.  Deterministic tie-break (cents DESC, "
+    "event_id).  The same fold shape runs per-key at 100 TB "
+    "(TakeOrderedAndProject per micro-batch; k-row state).",
+)
+def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    K = 20
+    base = _tf.mkdtemp(prefix="topk_")
+    feed_dir = os.path.join(base, "feed")
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents")
+    )
+    for shard in range(3):
+        ev.filter(F.col("event_id") % 3 == shard).write.parquet(
+            os.path.join(feed_dir, f"arr_{shard}")
+        )
+
+    state = {"version": 0}
+
+    def topk(df: DataFrame) -> DataFrame:
+        w = Window.orderBy(F.col("cents").desc(), "event_id")
+        return (
+            df.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= K)
+        )
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        merged = topk(batch.select("event_id", "user_id", "cents"))
+        prev_v, next_v = state["version"], state["version"] + 1
+        if prev_v > 0:
+            prev = sp.read.parquet(os.path.join(base, f"v{prev_v}"))
+            merged = topk(
+                prev.select("event_id", "user_id", "cents").unionByName(
+                    merged.select("event_id", "user_id", "cents")
+                )
+            )
+        merged.write.parquet(os.path.join(base, f"v{next_v}"))
+        state["version"] = next_v
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir + "/arr_*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_topk_", dir=_CKPT_DIR))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if state["version"] < 3:
+        raise RuntimeError(f"expected >=3 incremental folds, got {state['version']}")
     return spark.read.parquet(os.path.join(base, f"v{state['version']}"))

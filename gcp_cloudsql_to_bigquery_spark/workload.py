@@ -201,6 +201,10 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_sequence_match",
     "fn_aes_roundtrip",
     "fn_generators_posexplode_outer",
+    "text_bigram_logprob",
+    "ts_outlier_mad",
+    "agg_quantile_sketch",
+    "stream_incremental_topk",
     # graph_kcore intentionally LAST in the queue: ~15 s Spark side +
     # 8-round unrolled oracle — same breadth-first-then-depth policy as
     # the CC pair

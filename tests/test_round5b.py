@@ -147,3 +147,39 @@ def test_aes_roundtrip_restores_names(spark):
     for k, name in base.items():
         assert got[k]["decrypted"] == name
         assert got[k]["cipher_len"] % 16 == 0 and got[k]["cipher_len"] > len(name)
+
+
+def test_quantile_sketch_contains_exact(spark):
+    rows = queries()["agg_quantile_sketch"](spark, SF).collect()
+    assert {r["p_x100"] for r in rows} == {50, 95, 99}
+    for r in rows:
+        assert r["contained"], r  # true quantile must land in the chosen bucket
+        assert abs(r["est_mid_cents"] - r["exact_cents"]) <= 468750 // 2 + 1
+
+
+def test_mad_outliers_bounded(spark):
+    rows = queries()["ts_outlier_mad"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_outliers"] < r["n"]
+        assert r["mad4"] >= 0
+
+
+def test_incremental_topk_matches_batch(spark):
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["event_id"], r["cents"], r["rnk"])
+        for r in queries()["stream_incremental_topk"](spark, SF).collect()
+    }
+    ev = (
+        load(spark, SF, "events")
+        .filter("event_type = 'purchase'")
+        .select("event_id", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"))
+        .orderBy(F.col("cents").desc(), "event_id")
+        .limit(20)
+        .collect()
+    )
+    want = {(r["event_id"], r["cents"], i + 1) for i, r in enumerate(ev)}
+    assert got == want
