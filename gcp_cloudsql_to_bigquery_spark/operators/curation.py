@@ -504,3 +504,105 @@ def curation_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rnk") <= 100)
         .select("doc_id", "lang", "score_fp", "rnk")
     )
+
+
+@register(
+    "curation_dedup_pipeline",
+    oracle="""
+    WITH
+    s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-1, 2)),
+             i -> substr(text, i, 3))) AS sh FROM documents),
+    tok AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    jacpairs AS (
+      SELECT doc_a, doc_b,
+             round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+    ),
+    stage0 AS (SELECT doc_id, n_chars FROM documents),
+    fp AS (SELECT doc_id, n_chars,
+                  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+           FROM documents),
+    stage1 AS (
+      SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               row_number() OVER (PARTITION BY f ORDER BY doc_id) AS rn
+        FROM fp) WHERE rn = 1
+    ),
+    neardrop AS (
+      SELECT DISTINCT j.doc_b AS doc_id FROM jacpairs j
+      JOIN stage1 a ON a.doc_id = j.doc_a
+      JOIN stage1 b ON b.doc_id = j.doc_b
+      WHERE j.jaccard >= 0.65
+    ),
+    stage2 AS (
+      SELECT s1.doc_id, s1.n_chars FROM stage1 s1
+      LEFT JOIN neardrop d ON d.doc_id = s1.doc_id
+      WHERE d.doc_id IS NULL
+    ),
+    stage3 AS (
+      SELECT doc_id, n_chars FROM stage2 WHERE n_chars BETWEEN 200 AND 5000
+    )
+    SELECT 'stage0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars FROM stage0
+    UNION ALL SELECT 'stage1_exact_dedup', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM stage1
+    UNION ALL SELECT 'stage2_near_dedup', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM stage2
+    UNION ALL SELECT 'stage3_quality', count(*), CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM stage3
+    """,
+    doc="The composed training-data curation pipeline as ONE lazy plan — "
+    "raw -> exact dedup (digest keeper) -> near-dedup (greedy drop of "
+    "the higher-id side of every Jaccard>=0.65 pair among survivors) -> "
+    "quality gate (length band), reporting the survival funnel "
+    "(n_docs, total_chars) per stage.  This is the integration witness "
+    "the per-operator queries can't give: stages share scans (Catalyst "
+    "reuses the exchange under stage1 for stages 2-3), survivors of one "
+    "stage feed the next, and the whole funnel materializes in one "
+    "action.  Near-dedup here is the pair-greedy policy, not CC "
+    "clustering — at 100 TB the pair list comes from LSH candidates and "
+    "this exact plan follows it.  All counts integer.",
+)
+def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_ngram_jaccard
+
+    d = load(spark, sf_dir, "documents")
+    stage0 = d.select("doc_id", "n_chars")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary"))
+    wfp = W.partitionBy("f").orderBy("doc_id")
+    stage1 = (
+        d.select("doc_id", "n_chars", fp.alias("f"))
+        .withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_chars")
+    )
+    jac = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.65)
+    s1a = stage1.select(F.col("doc_id").alias("doc_a"))
+    s1b = stage1.select(F.col("doc_id").alias("doc_b"))
+    neardrop = (
+        jac.join(s1a, "doc_a", "left_semi")
+        .join(s1b, "doc_b", "left_semi")
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    stage2 = stage1.join(neardrop, "doc_id", "left_anti")
+    stage3 = stage2.filter(F.col("n_chars").between(200, 5000))
+
+    def funnel(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("total_chars"),
+        )
+
+    return (
+        funnel(stage0, "stage0_raw")
+        .unionByName(funnel(stage1, "stage1_exact_dedup"))
+        .unionByName(funnel(stage2, "stage2_near_dedup"))
+        .unionByName(funnel(stage3, "stage3_quality"))
+    )

@@ -486,3 +486,103 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return und.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("core_degree")
     )
+
+
+@register(
+    "graph_copurchase_similarity",
+    oracle="""
+    WITH cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_partkey % 10 = 0
+    ),
+    deg AS (SELECT p, count(*) AS n FROM cp GROUP BY p),
+    pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b, count(*) AS cooc
+      FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    sym AS (
+      SELECT part_a AS p, part_b AS q, cooc FROM pairs
+      UNION ALL SELECT part_b, part_a, cooc FROM pairs
+    ),
+    scored AS (
+      SELECT s.p, s.q, s.cooc,
+             CAST(floor(s.cooc / sqrt(CAST(da.n AS DOUBLE) * db.n) * 1e6 + 0.5)
+                  AS BIGINT) AS cos_fp
+      FROM sym s JOIN deg da ON da.p = s.p JOIN deg db ON db.p = s.q
+      WHERE s.cooc >= 2
+    )
+    SELECT p AS part, q AS similar_part, cooc, cos_fp,
+           CAST(rn AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY p ORDER BY cos_fp DESC, q) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="Bipartite co-purchase projection — the item-item collaborative-"
+    "filtering primitive ('customers who bought X also bought Y'): "
+    "project the (customer, part) bipartite graph onto parts, weight "
+    "each part pair by cosine over co-purchase counts "
+    "(cooc/sqrt(na*nb)), keep top-5 neighbors per part.  Shuffle "
+    "profile: one distinct on (customer, part); the pair enumeration is "
+    "a customer-keyed self-join bounded by basket size squared (the "
+    "analytics_frequent_pairs shape); degree table is item-sized "
+    "(broadcast); per-part ranking runs on the pair table, never on "
+    "facts.  At 100 TB add a basket-size cap (heavy hitters excluded — "
+    "a 10M-item basket is a bot) and min-support pruning, both plain "
+    "filters in this plan.  cooc >= 2 min-support; cosine in 1e-6 "
+    "fixed point from one identical expression tree.",
+)
+def graph_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a, b = cp.alias("a"), cp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("p"), F.col("part_b").alias("q"), "cooc"
+    ).unionByName(
+        pairs.select(F.col("part_b").alias("p"), F.col("part_a").alias("q"), "cooc")
+    )
+    da = deg.select(F.col("p"), F.col("n").alias("na"))
+    db = deg.select(F.col("p").alias("q"), F.col("n").alias("nb"))
+    scored = (
+        sym.filter(F.col("cooc") >= 2)
+        .join(F.broadcast(da), "p")
+        .join(F.broadcast(db), "q")
+        .select(
+            "p",
+            "q",
+            "cooc",
+            F.floor(
+                F.col("cooc") / F.sqrt(F.col("na").cast("double") * F.col("nb")) * 1e6
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("cos_fp"),
+        )
+    )
+    w = W.partitionBy("p").orderBy(F.col("cos_fp").desc(), "q")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("p").alias("part"),
+            F.col("q").alias("similar_part"),
+            "cooc",
+            "cos_fp",
+            "rnk",
+        )
+    )

@@ -303,3 +303,65 @@ def dq_reconciliation_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "partition_matches"
         ),
     )
+
+
+@register(
+    "dq_freshness_partition_audit",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             CAST(ts AS TIMESTAMP) AS ts, user_id
+      FROM events
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(count(DISTINCT d) AS BIGINT) AS n_days
+            FROM base)
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST((epoch_us(CAST(d + INTERVAL 1 DAY AS TIMESTAMP))
+                 - epoch_us(max(ts))) // 1000000 AS BIGINT)
+             AS freshness_lag_sec,
+           CAST((2 * 100 * count(*) * n_days + n_total)
+                // (2 * n_total) AS BIGINT) AS completeness_pct,
+           (epoch_us(CAST(d + INTERVAL 1 DAY AS TIMESTAMP))
+            - epoch_us(max(ts))) // 1000000 < 3600 AS fresh_within_1h
+    FROM base CROSS JOIN tot
+    GROUP BY d, n_total, n_days
+    """,
+    doc="Partition-level freshness/completeness audit — the data-SLA "
+    "check every warehouse load needs beyond row-level constraints "
+    "(dq_constraint_audit): per day partition, volume (rows, distinct "
+    "users), FRESHNESS (lag from the last event to the partition "
+    "boundary, flagged against a 1-hour SLA), and COMPLETENESS (this "
+    "partition's share vs the uniform per-day expectation, exact "
+    "rounded percent via integer (2*100*n*days + total) div "
+    "(2*total)).  One partial-agged groupBy on the partition key + a "
+    "broadcast scalar join for the totals; this is the audit that runs "
+    "after every incremental load and gates downstream consumption at "
+    "100 TB.  Integer/boolean outputs only.",
+)
+def dq_freshness_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "ts", "user_id"
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.countDistinct("d").alias("n_days"),
+    )
+    day_end = (F.col("d") + F.expr("INTERVAL 1 DAY")).cast("timestamp")
+    lag_sec = (F.unix_micros(day_end) - F.unix_micros(F.max("ts"))) / 1000000
+    return (
+        base.crossJoin(F.broadcast(tot))
+        .groupBy("d", "n_total", "n_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            lag_sec.cast("bigint").alias("freshness_lag_sec"),
+            F.expr(
+                "(2 * 100 * count(*) * n_days + n_total) div (2 * n_total)"
+            ).cast("bigint").alias("completeness_pct"),
+            (lag_sec < 3600).alias("fresh_within_1h"),
+        )
+        .drop("n_total", "n_days")
+    )

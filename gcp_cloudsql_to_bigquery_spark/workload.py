@@ -205,6 +205,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_outlier_mad",
     "agg_quantile_sketch",
     "stream_incremental_topk",
+    "graph_copurchase_similarity",
+    "dq_freshness_partition_audit",
+    "curation_dedup_pipeline",
     # graph_kcore intentionally LAST in the queue: ~15 s Spark side +
     # 8-round unrolled oracle — same breadth-first-then-depth policy as
     # the CC pair

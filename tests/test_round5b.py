@@ -183,3 +183,34 @@ def test_incremental_topk_matches_batch(spark):
     )
     want = {(r["event_id"], r["cents"], i + 1) for i, r in enumerate(ev)}
     assert got == want
+
+
+def test_dedup_pipeline_funnel_monotone(spark):
+    rows = {r["stage"]: r for r in queries()["curation_dedup_pipeline"](spark, SF).collect()}
+    order = ["stage0_raw", "stage1_exact_dedup", "stage2_near_dedup", "stage3_quality"]
+    assert set(rows) == set(order)
+    for earlier, later in zip(order, order[1:]):
+        assert rows[later]["n_docs"] <= rows[earlier]["n_docs"]
+        assert rows[later]["total_chars"] <= rows[earlier]["total_chars"]
+
+
+def test_copurchase_symmetric_and_ranked(spark):
+    rows = queries()["graph_copurchase_similarity"](spark, SF).collect()
+    pairs = {(r["part"], r["similar_part"]): r["cos_fp"] for r in rows}
+    for r in rows:
+        assert r["part"] != r["similar_part"]
+        assert 1 <= r["rnk"] <= 5
+        assert r["cooc"] >= 2
+        # symmetry of the score where both directions survived top-5
+        back = pairs.get((r["similar_part"], r["part"]))
+        if back is not None:
+            assert back == r["cos_fp"]
+
+
+def test_freshness_audit_full_month(spark):
+    rows = queries()["dq_freshness_partition_audit"](spark, SF).collect()
+    assert len(rows) == 30  # one partition per January day
+    for r in rows:
+        assert r["n_rows"] > 0 and r["n_users"] > 0
+        assert 0 <= r["freshness_lag_sec"] < 86400
+        assert r["fresh_within_1h"] == (r["freshness_lag_sec"] < 3600)
