@@ -606,3 +606,94 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(funnel(stage2, "stage2_near_dedup"))
         .unionByName(funnel(stage3, "stage3_quality"))
     )
+
+
+@register(
+    "curation_temperature_sampling",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    wts AS (
+      SELECT source, chars, pow(CAST(chars AS DOUBLE), 0.7) AS w FROM src
+    ),
+    tot AS (SELECT sum(w) AS tw, CAST(sum(chars) AS BIGINT) AS tc FROM wts),
+    plan_t AS (
+      SELECT source, chars,
+             CAST(floor(w / tw * 1e6 + 0.5) AS BIGINT) AS mix_ppm,
+             CAST(floor(least(w / tw * 0.5 * tc / chars, 1.0) * 1e6 + 0.5)
+                  AS BIGINT) AS keep_ppm
+      FROM wts CROSS JOIN tot
+    ),
+    kept AS (
+      SELECT d.source, count(*) AS n_kept,
+             CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+      FROM documents d JOIN plan_t p ON p.source = d.source
+      WHERE CAST('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 5)
+                 AS BIGINT) % 1000000 < p.keep_ppm
+      GROUP BY d.source
+    )
+    SELECT p.source, p.chars, p.mix_ppm, p.keep_ppm,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.chars_kept, 0) AS BIGINT) AS chars_kept
+    FROM plan_t p LEFT JOIN kept k ON k.source = p.source
+    """,
+    doc="Temperature-based mixture sampling — the multi-source data "
+    "recipe of the Llama/PaLM lineage: per-source sampling weight "
+    "proportional to size^alpha (alpha=0.7 flattens the natural "
+    "distribution so giant crawls stop drowning small high-quality "
+    "sources), scaled to a 50% global character budget, capped at 1.0, "
+    "then applied as a DETERMINISTIC per-document keep decision "
+    "(md5(seed, doc_id) bucket < keep rate in exact ppm — reproducible "
+    "across engines/reruns/cluster sizes, unlike rand()).  Output: the "
+    "planned mixture and the realized per-source survival.  Scale: the "
+    "plan is a 20-row broadcast; the keep pass is a narrow per-row "
+    "filter at scan speed; one group-by for the realized counts.  "
+    "Rates quantized to ppm BEFORE the compare on both sides.",
+)
+def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    wts = src.select("source", "chars", F.pow(F.col("chars").cast("double"), 0.7).alias("w"))
+    tot = wts.agg(F.sum("w").alias("tw"), F.sum("chars").alias("tc"))
+    plan = (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "chars",
+            F.floor(F.col("w") / F.col("tw") * 1e6 + 0.5).cast("bigint").alias("mix_ppm"),
+            F.floor(
+                F.least(
+                    F.col("w") / F.col("tw") * 0.5 * F.col("tc") / F.col("chars"),
+                    F.lit(1.0),
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("keep_ppm"),
+        )
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 5), 16, 10)
+        .cast("bigint")
+        % 1000000
+    )
+    kept = (
+        d.join(F.broadcast(plan.select("source", "keep_ppm")), "source")
+        .filter(bucket < F.col("keep_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
+    )
+    return (
+        plan.join(kept, "source", "left_outer")
+        .select(
+            "source",
+            "chars",
+            "mix_ppm",
+            "keep_ppm",
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            F.coalesce("chars_kept", F.lit(0)).cast("bigint").alias("chars_kept"),
+        )
+    )

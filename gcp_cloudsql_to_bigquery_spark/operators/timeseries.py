@@ -480,3 +480,73 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(2 * F.col("d2") > 3 * F.col("mad4"), 1)).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "ts_ma_decompose",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    trend AS (
+      SELECT event_type, h, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS wsum,
+             CAST(count(*) OVER w AS BIGINT) AS wn
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, CAST(extract(hour FROM h) AS INT) AS hod,
+             cents - CAST((2 * wsum + wn) // (2 * wn) AS BIGINT) AS resid
+      FROM trend WHERE wn = 25
+    )
+    SELECT event_type, hod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor((2 * sum(resid) + count(*)) / (2.0 * count(*))) AS BIGINT)
+             AS seasonal_cents
+    FROM detr GROUP BY event_type, hod
+    """,
+    doc="Classical moving-average seasonal decomposition (the additive "
+    "decompose behind every monitoring dashboard): hourly revenue series "
+    "per event_type, trend = centered 25-hour moving average (complete "
+    "windows only), seasonal = hour-of-day mean of the detrended "
+    "residual.  Exact integers: hourly sums are integer cents, the "
+    "trend is the rounded integer division (2S+n) div (2n) (positive "
+    "sums — div == floor), and the seasonal mean (residuals CAN be "
+    "negative) uses explicit floor() on an exact double.  Shuffle "
+    "profile: one partial-agg reduce to (series, hour) — the hypertable "
+    "regrain — then ONE window exchange shared by sum/count (same "
+    "frame), then a 120-group aggregate; fact rows cross the wire once.",
+)
+def ts_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-12, 12)
+    )
+    trend = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.sum("cents").over(w).alias("wsum"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == 25)
+    detr = trend.select(
+        "event_type",
+        F.hour("h").alias("hod"),
+        (F.col("cents") - F.expr("(2 * wsum + wn) div (2 * wn)")).alias("resid"),
+    )
+    return detr.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor((2 * F.sum("resid") + F.count(F.lit(1))) / (2.0 * F.count(F.lit(1))))
+        .cast("bigint")
+        .alias("seasonal_cents"),
+    )

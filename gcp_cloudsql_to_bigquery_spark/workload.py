@@ -208,6 +208,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "graph_copurchase_similarity",
     "dq_freshness_partition_audit",
     "curation_dedup_pipeline",
+    "ts_ma_decompose",
+    "curation_temperature_sampling",
     # graph_kcore intentionally LAST in the queue: ~15 s Spark side +
     # 8-round unrolled oracle — same breadth-first-then-depth policy as
     # the CC pair

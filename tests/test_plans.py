@@ -311,3 +311,34 @@ def test_interval_overlap_is_equi_join_not_nested_loop(spark):
     plan = physical_plan(df)
     assert "NestedLoop" not in plan, plan
     assert "Join" in plan, plan
+
+
+def test_dsir_bucket_tables_broadcast(spark):
+    """DSIR's log-ratio table is 1024 rows — the doc-score join must
+    broadcast it, never shuffle token-scale data onto the bucket key."""
+    df = queries()["curation_importance_resampling"](spark, "/root/testdata/sf0.001")
+    assert broadcast_join_count(df) >= 1, physical_plan(df)
+
+
+def test_bigram_lm_tables_broadcast(spark):
+    """The bigram logprob table is vocabulary-bounded; both the LM build
+    join and the doc-score join must broadcast small sides."""
+    df = queries()["text_bigram_logprob"](spark, "/root/testdata/sf0.001")
+    assert broadcast_join_count(df) >= 2, physical_plan(df)
+
+
+def test_temperature_sampling_plan_is_broadcast_filter(spark):
+    """The 20-row sampling plan must broadcast onto the document scan —
+    the keep decision is a narrow filter, not a shuffle.  (The final
+    plan-vs-realized join runs on two 20-row tables; its strategy is
+    irrelevant.)"""
+    df = queries()["curation_temperature_sampling"](spark, "/root/testdata/sf0.001")
+    assert broadcast_join_count(df) >= 1, physical_plan(df)
+
+
+def test_ma_decompose_single_window_exchange(spark):
+    """sum/count share one 25-row frame spec: exactly one exchange feeds
+    the window after the hourly regrain's aggregate exchange."""
+    df = queries()["ts_ma_decompose"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert plan.count("Window") == 1, plan
