@@ -1025,3 +1025,35 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("bucket")
         ).alias("contained"),
     )
+
+
+@register(
+    "agg_crosstab",
+    oracle="""
+    SELECT event_type,
+           CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS VARCHAR) AS dow,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, dow
+    """,
+    doc="Contingency table via DataFrameStatFunctions.crosstab — the "
+    "categorical-pair profiling call (event_type x day-of-week here), "
+    "then melted back to (row, col, n) long form so the contract is "
+    "schema-stable whatever distinct values exist.  crosstab pivots "
+    "with one partial-agged count shuffle; the melt's Expand runs on "
+    "the 5x7 pivoted table.  DuckDB's dayofweek is 0-6 (Sunday=0) vs "
+    "Spark's 1-7 (Sunday=1): the oracle shifts by +1 to Spark's "
+    "convention; parity is pinned by the hash gate.",
+)
+def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.dayofweek("ts").cast("int").cast("string").alias("dow")
+    )
+    wide = ev.stat.crosstab("event_type", "dow")
+    dows = sorted(c for c in wide.columns if c != "event_type_dow")
+    long = wide.unpivot(
+        ids=["event_type_dow"], values=dows, variableColumnName="dow", valueColumnName="n"
+    )
+    return long.select(
+        F.col("event_type_dow").alias("event_type"), "dow", F.col("n").cast("bigint").alias("n")
+    ).filter(F.col("n") > 0)

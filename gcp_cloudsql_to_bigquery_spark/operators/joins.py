@@ -714,3 +714,41 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_id",
         (F.least("e_us", "w_e_us") - F.greatest("s_us", "w_s_us")).alias("overlap_us"),
     )
+
+
+@register(
+    "join_strategy_hints",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Join strategy HINTS — the manual override lane every engine "
+    "needs when statistics mislead the optimizer: the same logical "
+    "orders-customer join is forced onto SHUFFLE_HASH (build a hash "
+    "table per partition, no sort) instead of the auto-chosen "
+    "broadcast/sort-merge.  Correctness is strategy-invariant (the "
+    "oracle states the plain join); the plan test asserts the hint is "
+    "actually honored (ShuffledHashJoin present) and that a MERGE hint "
+    "on the identical frame yields SortMergeJoin instead.  When to "
+    "force SHJ at 100 TB: both sides too big to broadcast, build side "
+    "fits per-partition memory, and the sort of SMJ is the bottleneck "
+    "— exactly the documented Spark guidance.",
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+        )
+    )

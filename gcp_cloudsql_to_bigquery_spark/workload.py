@@ -210,6 +210,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "curation_dedup_pipeline",
     "ts_ma_decompose",
     "curation_temperature_sampling",
+    "join_strategy_hints",
+    "agg_crosstab",
+    "fn_pandas_udf_iter",
     # graph_kcore intentionally LAST in the queue: ~15 s Spark side +
     # 8-round unrolled oracle — same breadth-first-then-depth policy as
     # the CC pair

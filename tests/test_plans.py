@@ -342,3 +342,19 @@ def test_ma_decompose_single_window_exchange(spark):
     df = queries()["ts_ma_decompose"](spark, "/root/testdata/sf0.001")
     plan = physical_plan(df)
     assert plan.count("Window") == 1, plan
+
+
+def test_join_hints_are_honored(spark):
+    """SHUFFLE_HASH hint must yield ShuffledHashJoin; a MERGE hint on the
+    identical frame must yield SortMergeJoin — the manual override lane
+    works in both directions."""
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+    from pyspark.sql import functions as F
+
+    df = queries()["join_strategy_hints"](spark, "/root/testdata/sf0.001")
+    assert "ShuffledHashJoin" in physical_plan(df), physical_plan(df)
+
+    o = load(spark, "/root/testdata/sf0.001", "orders")
+    c = load(spark, "/root/testdata/sf0.001", "customer").hint("MERGE")
+    merged = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
+    assert "SortMergeJoin" in physical_plan(merged), physical_plan(merged)
