@@ -33,12 +33,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from ..registry import register
@@ -93,7 +95,8 @@ class SentinelCsvReader(DataSourceReader):
             files.extend(
                 os.path.join(root, n)
                 for n in names
-                if n.endswith(".txt") or n.startswith("part-")
+                if (n.endswith(".txt") or n.startswith("part-"))
+                and not n.endswith(".tmp")
             )
         # one partition per export file — the scan parallelizes across
         # executors exactly like the built-in file sources
@@ -125,9 +128,58 @@ class SentinelCsvReader(DataSourceReader):
                     yield row
 
 
+class SentinelCsvWriter(DataSourceWriter):
+    """Write side of the export format: each task streams its partition to
+    ``part-<pid>-<uuid>.txt.tmp`` and reports the path; ``commit`` (driver,
+    all-tasks-succeeded) renames every temp file into place — the classic
+    two-phase task-commit protocol, so a failed/speculative task never
+    leaves a half-written file visible to the reader.  NULLs are encoded
+    back to the ``\"N`` sentinel, closing the write->read loop on the
+    reference's raw format."""
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> "WriterCommitMessage":
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"part-{pid}-{uuid.uuid4().hex}.txt.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                cells = [
+                    _SENTINEL if row[name] is None else str(row[name])
+                    for name, _ in _FIELDS
+                ]
+                fh.write(",".join(cells) + "\n")
+                n += 1
+        return SentinelCommitMessage(tmp=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            os.rename(m.tmp, m.tmp[: -len(".tmp")])
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+class SentinelCommitMessage(WriterCommitMessage):
+    def __init__(self, tmp: str, n_rows: int) -> None:
+        self.tmp = tmp
+        self.n_rows = n_rows
+
+
 class SentinelCsvDataSource(DataSource):
     """``spark.read.format("sentinel_csv").option("path", dir)`` over the
-    reference's raw export staging layout."""
+    reference's raw export staging layout; ``df.write.format(
+    "sentinel_csv")`` produces the same layout via the two-phase-commit
+    writer."""
 
     @classmethod
     def name(cls) -> str:
@@ -138,6 +190,9 @@ class SentinelCsvDataSource(DataSource):
 
     def reader(self, schema) -> SentinelCsvReader:
         return SentinelCsvReader(dict(self.options))
+
+    def writer(self, schema, overwrite: bool) -> SentinelCsvWriter:
+        return SentinelCsvWriter(dict(self.options))
 
 
 def read_sentinel_csv_source(spark: SparkSession, path: str) -> DataFrame:
@@ -181,6 +236,53 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     watch = os.path.join(tempfile.mkdtemp(prefix="pyds_"), "exports")
     write_arrival_files(spark, sf_dir, watch, n_files=4)
     df = read_sentinel_csv_source(spark, watch).filter(F.col("nation") < 10)
+    return df.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.count(F.when(F.col("segment_or_null").isNull(), 1)).alias("n_null_segment"),
+        F.round(F.sum("acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "src_python_datasource_write",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           count(*) AS n_cust,
+           count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS n_null_segment,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_custkey % 2 = 0
+    GROUP BY nation
+    """,
+    doc="Custom Python Data Source WRITE path (the other half of the "
+    "Spark 4 DataSource API): df.write.format('sentinel_csv') encodes "
+    "NULLs back to the raw export sentinel through a two-phase task "
+    "commit (task -> .tmp file + commit message; driver commit -> "
+    "atomic rename), then the registered reader scans the files back "
+    "and the round-tripped aggregate is checked against the pre-export "
+    "base table.  NULL fixture: segment='MACHINERY' is nulled before "
+    "the write, exercising sentinel ENCODING (the reference only ever "
+    "decodes).  The commit protocol is what makes a custom sink safe "
+    "under task retries/speculation at 100 TB — a failed task's .tmp "
+    "never becomes visible.",
+)
+def src_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    out = os.path.join(tempfile.mkdtemp(prefix="pyds_w_"), "exports")
+    spark.dataSource.register(SentinelCsvDataSource)
+    src = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            F.col("c_custkey").cast("bigint"),
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("segment_or_null"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        )
+    )
+    src.write.format("sentinel_csv").option("path", out).mode("append").save()
+    df = read_sentinel_csv_source(spark, out)
     return df.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n_cust"),
         F.count(F.when(F.col("segment_or_null").isNull(), 1)).alias("n_null_segment"),

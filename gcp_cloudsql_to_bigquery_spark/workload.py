@@ -213,6 +213,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "join_strategy_hints",
     "agg_crosstab",
     "fn_pandas_udf_iter",
+    "src_python_datasource_write",
     # graph_kcore intentionally LAST in the queue: ~15 s Spark side +
     # 8-round unrolled oracle — same breadth-first-then-depth policy as
     # the CC pair

@@ -206,3 +206,40 @@ def test_compaction_hits_target_file_count_and_sizes(spark, tmp_path):
         .collect()
     )
     assert a[0][0] == b[0][0] and abs(a[0][1] - b[0][1]) < 1e-4
+
+
+def test_sentinel_csv_writer_two_phase_commit(spark, tmp_path):
+    """The custom writer must leave only committed .txt files (no .tmp
+    stragglers) and encode NULLs back to the \"N sentinel."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+    from gcp_cloudsql_to_bigquery_spark.sources.pysource import (
+        SentinelCsvDataSource,
+        read_sentinel_csv_source,
+    )
+
+    spark.dataSource.register(SentinelCsvDataSource)
+    out = str(tmp_path / "exports")
+    src = (
+        load(spark, "/root/testdata/sf0.001", "customer")
+        .limit(40)
+        .select(
+            F.col("c_custkey").cast("bigint"),
+            F.col("c_nationkey").cast("bigint").alias("nation"),
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("segment_or_null"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+        )
+    )
+    src.write.format("sentinel_csv").option("path", out).mode("append").save()
+    names = os.listdir(out)
+    assert names and not [n for n in names if n.endswith(".tmp")], names
+    raw = "".join(open(os.path.join(out, n)).read() for n in names)
+    assert '"N' in raw, "NULL segment must be sentinel-encoded"
+    back = read_sentinel_csv_source(spark, out)
+    assert back.count() == src.count()
+    assert back.filter("segment_or_null IS NULL").count() == src.filter(
+        "segment_or_null IS NULL"
+    ).count()
