@@ -290,6 +290,29 @@ def synthesize_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
+def parse_wav_chunks(doc_id, payload):
+    """Shared RIFF/WAVE chunk walk (not fixed offsets — real files carry
+    LIST/INFO chunks): validate the container, return (fmt tuple, data
+    bytes) or raise."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"doc {doc_id}: not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
+    return fmt, data
+
+
 def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """REAL audio decode kernel: validate the RIFF/WAVE container, walk the
     chunk list (not fixed offsets — real files carry LIST/INFO chunks),
@@ -306,20 +329,7 @@ def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for k in ("doc_id", "sample_rate", "n_channels", "n_samples", "duration_sec", "rms")
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                raise ValueError(f"doc {doc_id}: not a RIFF/WAVE container")
-            pos, fmt, data = 12, None, None
-            while pos + 8 <= len(payload):
-                cid = payload[pos : pos + 4]
-                (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-                body = payload[pos + 8 : pos + 8 + clen]
-                if cid == b"fmt ":
-                    fmt = struct.unpack("<HHIIHH", body[:16])
-                elif cid == b"data":
-                    data = body
-                pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-            if fmt is None or data is None:
-                raise ValueError(f"doc {doc_id}: missing fmt/data chunk")
+            fmt, data = parse_wav_chunks(doc_id, payload)
             audio_fmt, n_ch, rate, _byterate, _align, bits = fmt
             if audio_fmt != 1 or bits != 16:
                 raise ValueError(f"doc {doc_id}: not PCM16 (fmt={audio_fmt}, bits={bits})")
@@ -495,3 +505,76 @@ def multimodal_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.mapInPandas(synthesize_wav_batch, schema="doc_id bigint, payload binary")
     small = media.mapInPandas(decimate_wav_batch, schema="doc_id bigint, payload binary")
     return small.mapInPandas(decode_wav_batch, schema=WAV_DECODED_SCHEMA)
+
+
+@register(
+    "multimodal_audio_spectral",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_chars % 2000 + 100 AS BIGINT) AS n_samples,
+           CAST(doc_id % 1000 AS BIGINT)        AS peak,
+           CAST(doc_id % 1000 AS BIGINT)        AS mean_abs,
+           CAST(CASE WHEN doc_id % 1000 = 0 THEN 0
+                     ELSE n_chars % 2000 + 100 - 1 END AS BIGINT)
+             AS zero_crossings,
+           CAST({_WAV_RATE} / 2 AS BIGINT)      AS dominant_hz
+    FROM documents
+    """,
+    doc="Spectral feature extraction over REAL audio payloads — the "
+    "second-stage kernel a training pipeline runs after decode (VAD/"
+    "music-detection features): per clip, peak amplitude, mean absolute "
+    "amplitude, zero-crossing count, and the dominant frequency implied "
+    "by the crossing rate.  The fixture square wave (amplitude "
+    "doc_id%1000 alternating +A/-A at 8 kHz) makes every feature "
+    "CLOSED-FORM: peak = mean_abs = A, crossings = n-1 (0 for silence), "
+    "dominant = Nyquist — so the oracle derives all outputs "
+    "arithmetically from the base table and any chunk-walk/endianness/"
+    "frame-math bug fails the hash.  Same mapInPandas Arrow pipeline as "
+    "decode (synthesize -> parse via the shared chunk walk -> numpy "
+    "reduction); integer outputs only.  Scale: narrow per-row kernels, "
+    "payload bytes never shuffle.",
+)
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct  # noqa: F401  (parity with decode kernel imports)
+
+    def spectral_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id",
+                    "n_samples",
+                    "peak",
+                    "mean_abs",
+                    "zero_crossings",
+                    "dominant_hz",
+                )
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                fmt, data = parse_wav_chunks(doc_id, payload)
+                audio_fmt, n_ch, rate, _br, _al, bits = fmt
+                if audio_fmt != 1 or bits != 16 or n_ch != 1:
+                    raise ValueError(f"doc {doc_id}: not mono PCM16")
+                x = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                zc = int(np.count_nonzero(x[:-1] * x[1:] < 0))
+                # sum(|x|) < 2^31 * n — exact integer; mean via floor-div
+                # rounded ((2S+n) // (2n); values non-negative)
+                s_abs = int(np.abs(x).sum())
+                n = int(x.size)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(n)
+                out["peak"].append(int(np.abs(x).max()) if n else 0)
+                out["mean_abs"].append((2 * s_abs + n) // (2 * n) if n else 0)
+                out["zero_crossings"].append(zc)
+                out["dominant_hz"].append(rate // 2)
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = docs.mapInPandas(synthesize_wav_batch, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(
+        spectral_batch,
+        schema="doc_id bigint, n_samples bigint, peak bigint, mean_abs bigint, "
+        "zero_crossings bigint, dominant_hz bigint",
+    )

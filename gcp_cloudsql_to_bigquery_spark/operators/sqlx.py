@@ -155,3 +155,40 @@ def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_shipdate >= TIMESTAMP '1998-11-01' AND l_orderkey % 7 = 0
         """
     )
+
+
+@register(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+    doc="Parameterized SQL (spark.sql named parameters, Spark 3.4+): the "
+    "query text carries :from_date / :status placeholders and values are "
+    "BOUND, not interpolated — the injection-safe templating every "
+    "application layer needs (the reference interpolates query strings "
+    "in Python; binding is the correct re-expression).  Parameter "
+    "markers are resolved at analysis time, so the bound literal "
+    "participates in constant folding and filter pushdown exactly like "
+    "an inline one — same plan, safer text.",
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM orders
+        WHERE o_orderdate >= :from_date AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"from_date": "1997-01-01 00:00:00", "status": "O"},
+    )

@@ -214,6 +214,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_crosstab",
     "fn_pandas_udf_iter",
     "src_python_datasource_write",
+    "multimodal_audio_spectral",
+    "sql_parameterized_query",
     # graph_kcore intentionally LAST in the queue: ~15 s Spark side +
     # 8-round unrolled oracle — same breadth-first-then-depth policy as
     # the CC pair
