@@ -13,6 +13,7 @@ constant memory) with the exact ``count_distinct`` kept for oracle parity.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -1057,3 +1058,70 @@ def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.select(
         F.col("event_type_dow").alias("event_type"), "dow", F.col("n").cast("bigint").alias("n")
     ).filter(F.col("n") > 0)
+
+
+@register(
+    "agg_grouped_pandas_udaf",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             event_id
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents, event_id) AS rlo,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cents DESC, event_id DESC) AS rhi
+      FROM pts
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(cents) AS BIGINT) AS trimmed_sum_cents
+    FROM ranked
+    WHERE rlo > 5 AND rhi > 5
+    GROUP BY event_type
+    """,
+    doc="Grouped-aggregate Pandas UDF (GROUPED_AGG — the UDAF form: one "
+    "pandas Series per group in, one scalar out, usable inside a normal "
+    ".agg() alongside built-ins): a 5-each-end TRIMMED SUM per "
+    "event_type, the robust statistic that needs the whole group sorted "
+    "and therefore cannot be a built-in algebraic aggregate.  "
+    "Determinism: ties at the trim boundary are broken by (cents, "
+    "event_id) — the UDAF receives (cents, event_id) pre-sorted "
+    "struct-encoded so its trim matches the oracle's dual row_number "
+    "exactly; all arithmetic integer.  Scale: grouped-agg UDFs hold ONE "
+    "group in memory per call (event_type groups here; bound the group "
+    "key at 100 TB), Arrow-transferred, JVM partial-agg NOT available — "
+    "which is exactly why the doc says prefer built-ins unless the "
+    "statistic needs the full group, as this one does.",
+)
+def agg_grouped_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("long")
+    def trimmed_sum(packed: pd.Series) -> int:
+        # packed = cents * 2^20 + event_id % 2^20: one orderable int64 so
+        # the boundary tie-break is identical to the oracle's
+        vals = packed.sort_values().to_numpy()
+        if vals.size and vals[0] < 0:
+            # arithmetic >> on negatives would floor cents-1; the fixture
+            # domain is non-negative — fail loudly rather than mis-trim
+            raise ValueError("packed trim encoding requires non-negative cents")
+        kept = vals[5:-5] if vals.size > 10 else vals[0:0]
+        return int((kept >> 20).sum())
+
+    @F.pandas_udf("long")
+    def trimmed_count(packed: pd.Series) -> int:
+        return max(int(packed.size) - 10, 0)
+
+    pts = load(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint") * (1 << 20)
+            + F.col("event_id") % (1 << 20)
+        ).alias("packed"),
+    )
+    return pts.groupBy("event_type").agg(
+        trimmed_count("packed").alias("n_kept"),
+        trimmed_sum("packed").alias("trimmed_sum_cents"),
+    )

@@ -807,3 +807,55 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_lp_fp"),
     )
+
+
+@register(
+    "text_lang_confusion",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN CAST(len(list_filter(toks, w -> w IN
+                    ('a','the','of','and','to','in','is','on','for','with')))
+                  AS DOUBLE) / len(toks) > 0.02
+                  THEN 'en' ELSE 'unknown' END AS pred_lang
+      FROM s
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pred),
+    cm AS (
+      SELECT lang AS actual, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang, pred_lang
+    )
+    SELECT actual, pred_lang, n,
+           (actual = 'en') = (pred_lang = 'en') AS correct,
+           CAST((2 * 1000000 * n + n_total) // (2 * n_total) AS BIGINT)
+             AS share_ppm
+    FROM cm CROSS JOIN tot
+    """,
+    doc="Classifier evaluation as a query — the confusion matrix of the "
+    "language-ID heuristic (text_langid) against the labeled lang "
+    "column: per (actual, predicted) cell, count, correctness under the "
+    "binary en-vs-not task, and the cell's corpus share in exact ppm.  "
+    "The eval-loop pattern every filtering model in a data pipeline "
+    "needs (measure the filter before trusting it at 100 TB); composed "
+    "from the SAME predictor expression the production query uses, so "
+    "the eval can never drift from the deployed heuristic.  One "
+    "partial-agged groupBy + a broadcast scalar total.",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = text_langid(spark, sf_dir).select("lang", "pred_lang")
+    tot = pred.agg(F.count(F.lit(1)).alias("n_total"))
+    cm = pred.groupBy(F.col("lang").alias("actual"), "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return cm.crossJoin(F.broadcast(tot)).select(
+        "actual",
+        "pred_lang",
+        "n",
+        ((F.col("actual") == "en") == (F.col("pred_lang") == "en")).alias("correct"),
+        F.expr("(2 * 1000000 * n + n_total) div (2 * n_total)")
+        .cast("bigint")
+        .alias("share_ppm"),
+    )

@@ -216,6 +216,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "src_python_datasource_write",
     "multimodal_audio_spectral",
     "sql_parameterized_query",
+    "text_lang_confusion",
+    "agg_grouped_pandas_udaf",
     # graph_kcore intentionally LAST in the queue: ~15 s Spark side +
     # 8-round unrolled oracle — same breadth-first-then-depth policy as
     # the CC pair
