@@ -313,3 +313,82 @@ def elt_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("k").cast("bigint").alias("key_checksum"),
     )
+
+
+@register(
+    "elt_early_arriving_facts",
+    oracle="""
+    WITH dim_v1 AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    facts AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    phase1 AS (
+      SELECT f.o_orderkey, f.o_custkey, f.cents, d.c_mktsegment
+      FROM facts f LEFT JOIN dim_v1 d ON d.c_custkey = f.o_custkey
+    ),
+    parked AS (SELECT o_orderkey, o_custkey, cents FROM phase1 WHERE c_mktsegment IS NULL),
+    resolved1 AS (SELECT * FROM phase1 WHERE c_mktsegment IS NOT NULL),
+    retry AS (
+      SELECT p.o_orderkey, p.o_custkey, p.cents, d.c_mktsegment
+      FROM parked p LEFT JOIN customer d ON d.c_custkey = p.o_custkey
+    )
+    SELECT c_mktsegment AS segment, 'phase1' AS resolved_in,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM resolved1 GROUP BY c_mktsegment
+    UNION ALL
+    SELECT c_mktsegment, 'retry', count(*), CAST(sum(cents) AS BIGINT)
+    FROM retry WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment
+    """,
+    doc="Early-arriving facts / late-arriving dimension — the warehouse "
+    "integration pattern the reference's fire-and-forget loads cannot "
+    "express: facts whose dimension key has no match yet are PARKED "
+    "(left join + null split), and when the completed dimension lands "
+    "the parked set alone is retried — history is never rescanned, the "
+    "retry touches exactly the unresolved rows.  Fixture: dim v1 is "
+    "missing every third customer; the full table is v2.  Output "
+    "reports per-segment resolution by phase, proving (a) phase1+retry "
+    "partition the facts, (b) the retry resolves everything here.  "
+    "Scale: two key-partitioned left joins, the second over the parked "
+    "subset only; the parked table is the standard 'suspense' table of "
+    "dimensional warehouses, bounded by dimension lag, not history.",
+)
+def elt_early_arriving_facts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load
+
+    dim_full = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim_v1 = dim_full.filter(F.col("c_custkey") % 3 != 0)
+    facts = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    phase1 = facts.join(
+        dim_v1, facts.o_custkey == dim_v1.c_custkey, "left_outer"
+    ).select("o_orderkey", "o_custkey", "cents", "c_mktsegment")
+    resolved1 = phase1.filter(F.col("c_mktsegment").isNotNull())
+    parked = phase1.filter(F.col("c_mktsegment").isNull()).drop("c_mktsegment")
+    retry = parked.join(
+        dim_full, parked.o_custkey == dim_full.c_custkey, "left_outer"
+    ).select("cents", "c_mktsegment")
+
+    out1 = resolved1.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+    ).select("segment", F.lit("phase1").alias("resolved_in"), "n", "cents")
+    out2 = (
+        retry.filter(F.col("c_mktsegment").isNotNull())
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents"))
+        .select("segment", F.lit("retry").alias("resolved_in"), "n", "cents")
+    )
+    return out1.unionByName(out2)

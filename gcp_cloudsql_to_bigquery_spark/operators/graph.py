@@ -586,3 +586,78 @@ def graph_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+def _bfs_oracle(max_depth: int = 6) -> str:
+    from .dedup import _DUCK_JACPAIRS
+
+    return f"""
+    WITH RECURSIVE {_DUCK_JACPAIRS},
+    und AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jacpairs WHERE jaccard >= 0.65
+      UNION SELECT doc_b, doc_a FROM jacpairs WHERE jaccard >= 0.65
+    ),
+    seeds AS (
+      SELECT DISTINCT src AS node FROM und WHERE src % 100 = 0
+    ),
+    walk(node, d) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT u.dst, w.d + 1 FROM walk w JOIN und u ON u.src = w.node
+      WHERE w.d < {max_depth}
+    )
+    SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS depth
+    FROM walk GROUP BY node
+    """
+
+
+@register(
+    "graph_bfs_layers",
+    oracle=_bfs_oracle(),
+    doc="Multi-source BFS over the document near-dup graph: shortest hop "
+    "distance (capped at 6) from the seed set (doc_id % 100 = 0 nodes "
+    "that have at least one dup edge) to every reachable document — the "
+    "'contamination radius' question (how far does similarity to a "
+    "flagged document propagate?) and the layer structure behind "
+    "friend-of-friend audits.  Spark side is frontier-expansion BFS: "
+    "each round joins the FRONTIER (not the visited set) to the edge "
+    "list, anti-joins already-visited nodes, unions the new layer — "
+    "per-round shuffle is frontier-sized, lineage truncated per round "
+    "(the CC/PageRank/k-core discipline).  The oracle is the textbook "
+    "recursive-CTE shortest path with UNION dedup.  Integer-only.",
+)
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_ngram_jaccard
+
+    MAX_DEPTH = 6
+    edges = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.65)
+        .select("doc_a", "doc_b")
+    )
+    und = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = (
+        und.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 100 == 0)
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for d in range(1, MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(und, frontier.node == und.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("bigint"))
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.select(F.col("node").alias("doc_id"), "depth")

@@ -218,6 +218,10 @@ _GATE_FRONT: tuple[str, ...] = (
     "sql_parameterized_query",
     "text_lang_confusion",
     "agg_grouped_pandas_udaf",
+    "elt_early_arriving_facts",
+    # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
+    # queue with the other expensive graph entries
+    "graph_bfs_layers",
     # graph_kcore intentionally LAST in the queue: ~15 s Spark side +
     # 8-round unrolled oracle — same breadth-first-then-depth policy as
     # the CC pair

@@ -214,3 +214,30 @@ def test_freshness_audit_full_month(spark):
         assert r["n_rows"] > 0 and r["n_users"] > 0
         assert 0 <= r["freshness_lag_sec"] < 86400
         assert r["fresh_within_1h"] == (r["freshness_lag_sec"] < 3600)
+
+
+def test_bfs_layers_seeds_at_depth_zero(spark):
+    rows = queries()["graph_bfs_layers"](spark, SF).collect()
+    if not rows:
+        return  # no dup edges at this SF
+    by_depth = {}
+    for r in rows:
+        by_depth.setdefault(r["depth"], set()).add(r["doc_id"])
+    assert 0 in by_depth
+    for n in by_depth[0]:
+        assert n % 100 == 0
+    assert max(by_depth) <= 6
+
+
+def test_early_arriving_facts_partition_cleanly(spark):
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+
+    rows = queries()["elt_early_arriving_facts"](spark, SF).collect()
+    total = sum(r["n"] for r in rows)
+    n_facts = (
+        load(spark, SF, "orders")
+        .filter("o_orderdate >= timestamp '1998-01-01'")
+        .count()
+    )
+    assert total == n_facts  # phase1 + retry partition the fact set exactly
+    assert {r["resolved_in"] for r in rows} == {"phase1", "retry"}
