@@ -656,3 +656,145 @@ def analytics_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_vp.alias("n_vp"),
         (n_vcp > 0).alias("has_conversion_path"),
     )
+
+
+@register(
+    "analytics_rfm_segmentation",
+    oracle="""
+    WITH tx AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT max(o_orderdate) AS now_ts FROM orders),
+    scored AS (
+      SELECT custkey,
+             CAST((epoch_us(now_ts) - epoch_us(last_order)) // 86400000000
+                  AS BIGINT) AS recency_days,
+             frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY last_order DESC, custkey)     AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC, custkey)      AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+      FROM tx CROSS JOIN anchor
+    )
+    SELECT custkey, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score = 1 AND f_score <= 2 AND m_score <= 2 THEN 'champion'
+                WHEN r_score >= 4 AND f_score <= 2                 THEN 'at_risk'
+                WHEN f_score >= 4 AND m_score >= 4                 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    WHERE custkey % 7 = 0
+    """,
+    doc="RFM customer segmentation — the canonical marketing-analytics "
+    "rollup: per customer, Recency (days since last order, integer "
+    "floor-division of epoch micros), Frequency, Monetary (integer "
+    "cents), each scored into quintiles (ntile(5) with a deterministic "
+    "(metric, custkey) total order — ntile ties are engine-defined "
+    "without it), and a rule-based segment label.  Scale note stated "
+    "honestly: the unpartitioned ntile is a single-reducer sort on the "
+    "CUSTOMER-level rollup (already 3 orders smaller than facts); at "
+    "100 TB swap ntile for boundaries from the mergeable quantile "
+    "sketch (agg_quantile_sketch) — the downstream CASE is unchanged.  "
+    "One partial-agged groupBy touches facts.",
+)
+def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    tx = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("now_ts"))
+    scored = tx.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.expr("(unix_micros(CAST(now_ts AS TIMESTAMP)) - unix_micros(CAST(last_order AS TIMESTAMP))) div 86400000000")
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(W.orderBy(F.col("last_order").desc(), "custkey")).alias("r_score"),
+        F.ntile(5).over(W.orderBy(F.col("frequency").desc(), "custkey")).alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.col("monetary_cents").desc(), "custkey"))
+        .alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") <= 2) & (F.col("m_score") <= 2), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "at_risk")
+        .when((F.col("f_score") >= 4) & (F.col("m_score") >= 4), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.filter(F.col("custkey") % 7 == 0).withColumn("segment", seg)
+
+
+@register(
+    "analytics_pareto_8020",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM cust),
+    ranked AS (
+      SELECT custkey, cents,
+             CAST(row_number() OVER (ORDER BY cents DESC, custkey) AS BIGINT) AS rnk,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, custkey) AS BIGINT) AS cum
+      FROM cust
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM cust)
+    SELECT CAST(min(rnk) AS BIGINT) AS n_top_customers,
+           n_cust,
+           CAST((2 * 1000 * min(rnk) + n_cust) // (2 * n_cust) AS BIGINT)
+             AS top_share_x1000,
+           total AS total_cents
+    FROM ranked CROSS JOIN tot CROSS JOIN n
+    WHERE 5 * cum >= 4 * total
+    GROUP BY n_cust, total
+    """,
+    doc="Pareto 80/20 concentration analysis: the smallest top-spender "
+    "prefix covering >= 80% of revenue (5*cum >= 4*total — pure integer "
+    "compare, no percentage floats), reported with the prefix's share "
+    "of the customer base in exact per-mille.  One fact-scale "
+    "partial-agg groupBy; ranking and the cumulative window run on the "
+    "customer rollup.  The unpartitioned window is single-reducer on "
+    "the rollup — same honest caveat and same sketch-based remedy as "
+    "RFM at 100 TB.  The concentration readout that drives key-account "
+    "and skew decisions (a 90%-one-key revenue table is also a SHUFFLE "
+    "skew warning — see join_salted_skew).",
+)
+def analytics_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "orders").groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias("cents")
+    )
+    tot = cust.agg(F.sum("cents").alias("total"))
+    n = cust.agg(F.count(F.lit(1)).alias("n_cust"))
+    w = W.orderBy(F.col("cents").desc(), "custkey")
+    ranked = cust.select(
+        "custkey",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n))
+        .filter(5 * F.col("cum") >= 4 * F.col("total"))
+        .groupBy("n_cust", "total")
+        .agg(F.min("rnk").alias("n_top_customers"))
+        .select(
+            "n_top_customers",
+            "n_cust",
+            F.expr("(2 * 1000 * n_top_customers + n_cust) div (2 * n_cust)")
+            .cast("bigint")
+            .alias("top_share_x1000"),
+            F.col("total").alias("total_cents"),
+        )
+    )

@@ -219,6 +219,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "text_lang_confusion",
     "agg_grouped_pandas_udaf",
     "elt_early_arriving_facts",
+    "analytics_rfm_segmentation",
+    "analytics_pareto_8020",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
