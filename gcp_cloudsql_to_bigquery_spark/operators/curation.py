@@ -471,12 +471,18 @@ def curation_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFram
             "b", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint") % 1024
         )
     )
-    tgt = tok.filter(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    # ONE token pass builds both language models: conditional counts per
+    # bucket (ct for the target pool, cr for the raw pool) in a single
+    # partial-agged groupBy — not one scan per pool
+    byb = tok.groupBy("b").agg(
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+        F.count(F.when(F.col("lang") != "en", 1)).alias("cr"),
+    )
     raw = tok.filter(F.col("lang") != "en")
-    rawb = raw.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tot = tgt.agg(F.sum("ct").alias("t")).crossJoin(rawb.agg(F.sum("cr").alias("r")))
+    tot = byb.agg(F.sum("ct").alias("t"), F.sum("cr").alias("r"))
     lr = (
-        tgt.join(rawb, "b", "full_outer")
+        byb.withColumn("ct", F.nullif("ct", F.lit(0)))
+        .withColumn("cr", F.nullif("cr", F.lit(0)))
         .crossJoin(F.broadcast(tot))
         .select(
             "b",

@@ -775,12 +775,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("all", F.col("pos0") + 2).alias("nxt"),
         )
     )
-    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    bi = (
-        tok.filter(F.col("nxt").isNotNull() & (F.col("nxt") != ""))
-        .groupBy("w", "nxt")
-        .agg(F.count(F.lit(1)).alias("cb"))
-    )
+    # ONE token pass: group by (w, nxt) keeping null/empty next markers,
+    # then derive the unigram counts by re-aggregating the (vocab^2-bounded)
+    # bigram table instead of scanning tokens again
+    bi_all = tok.groupBy("w", "nxt").agg(F.count(F.lit(1)).alias("cb"))
+    uni = bi_all.groupBy("w").agg(F.sum("cb").alias("cu"))
+    bi = bi_all.filter(F.col("nxt").isNotNull() & (F.col("nxt") != ""))
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     blp = (
         bi.join(uni, "w")
