@@ -392,3 +392,80 @@ def elt_early_arriving_facts(spark, sf_dir):
         .select("segment", F.lit("retry").alias("resolved_in"), "n", "cents")
     )
     return out1.unionByName(out2)
+
+
+@register(
+    "elt_right_to_erasure",
+    oracle="""
+    WITH requests AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0
+    ),
+    ev_after AS (
+      SELECT e.* FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM requests r WHERE r.user_id = e.user_id)
+    ),
+    ord_after AS (
+      SELECT o.* FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM requests r WHERE r.user_id = o.o_custkey)
+    )
+    SELECT 'events' AS tbl,
+           (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM ev_after) AS n_after,
+           (SELECT CAST(count(*) AS BIGINT) FROM events)
+             - (SELECT CAST(count(*) AS BIGINT) FROM ev_after) AS n_erased,
+           (SELECT CAST(count(*) AS BIGINT) FROM requests) AS n_requests
+    UNION ALL
+    SELECT 'orders',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM ord_after),
+           (SELECT count(*) FROM orders) - (SELECT count(*) FROM ord_after),
+           (SELECT count(*) FROM requests)
+    """,
+    doc="Right-to-erasure (GDPR Art.17) propagation — the compliance "
+    "delete every user-data warehouse must run: a tombstone table of "
+    "erasure requests is anti-joined against every table carrying the "
+    "subject key (events by user_id, orders by custkey), and the audit "
+    "row per table reports before/after/erased counts against the "
+    "request count.  Scale shape: the tombstone set is tiny -> "
+    "BROADCAST anti-join, so erasure is a scan-speed rewrite of each "
+    "table, never a shuffle of history; on a table format the same "
+    "anti-join drives MERGE DELETE + vacuum of dead files.  The audit "
+    "(not the rewrite) is the query here — erased counts must "
+    "reconcile exactly or the compliance job aborts.",
+)
+def elt_right_to_erasure(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load
+
+    ev = load(spark, sf_dir, "events")
+    orders = load(spark, sf_dir, "orders")
+    requests = (
+        ev.filter(F.col("user_id") % 13 == 0).select("user_id").distinct()
+    )
+    ev_after = ev.join(F.broadcast(requests), "user_id", "left_anti")
+    ord_after = orders.join(
+        F.broadcast(requests.withColumnRenamed("user_id", "o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+
+    n_req = requests.agg(F.count(F.lit(1)).alias("n_requests"))
+
+    def audit(tbl: str, before, after):
+        # fully declarative: three scalar aggregates broadcast-joined —
+        # one lazy plan, no driver-side .count() actions
+        return (
+            before.agg(F.count(F.lit(1)).alias("n_before"))
+            .crossJoin(F.broadcast(after.agg(F.count(F.lit(1)).alias("n_after"))))
+            .crossJoin(F.broadcast(n_req))
+            .select(
+                F.lit(tbl).alias("tbl"),
+                "n_before",
+                "n_after",
+                (F.col("n_before") - F.col("n_after")).alias("n_erased"),
+                "n_requests",
+            )
+        )
+
+    return audit("events", ev, ev_after).unionByName(audit("orders", orders, ord_after))

@@ -550,3 +550,81 @@ def ts_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seasonal_cents"),
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, CAST(2 * median(cents) AS BIGINT) AS med2
+      FROM pts GROUP BY event_type
+    ),
+    dev AS (
+      SELECT p.event_type, p.ts, p.event_id,
+             2 * p.cents - m.med2 AS dev2
+      FROM pts p JOIN med m ON m.event_type = p.event_type
+    ),
+    c1 AS (
+      SELECT event_type, ts, event_id,
+             CAST(sum(dev2) OVER w AS BIGINT) AS c
+      FROM dev
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    cum AS (
+      SELECT event_type, c,
+             CAST(min(c) OVER w AS BIGINT) AS floor_c
+      FROM c1
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(max(c - floor_c) AS BIGINT) AS max_cusum2,
+           CAST(count(CASE WHEN c - floor_c > 2000000 THEN 1 END) AS BIGINT)
+             AS n_alarms
+    FROM cum GROUP BY event_type
+    """,
+    doc="Change-point detection via Page's one-sided CUSUM — the "
+    "sequential drift detector (S_t = max(0, S_{t-1} + x_t - target)) "
+    "re-expressed DECLARATIVELY: the reset-at-zero recurrence equals "
+    "cumsum(dev) - running_min(cumsum(dev)), two stacked window "
+    "functions over ONE (series, time) window spec — no recursion, no "
+    "UDF, one shuffle; this identity is what makes CUSUM runnable as a "
+    "plain windowed query at 100 TB.  Target = per-series exact median "
+    "in doubled units (the ts_outlier_mad integer discipline), "
+    "deviations and statistics all exact integers, deterministic "
+    "(ts, event_id) order.  Output per series: the peak CUSUM "
+    "statistic and the alarm count above a 10k-cent threshold.",
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = load(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    med = pts.groupBy("event_type").agg(
+        (2 * F.median("cents")).cast("bigint").alias("med2")
+    )
+    dev = pts.join(F.broadcast(med), "event_type").select(
+        "event_type", "ts", "event_id", (2 * F.col("cents") - F.col("med2")).alias("dev2")
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cum = dev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("dev2").over(w).alias("c"),
+    ).select("event_type", "c", F.min("c").over(w).alias("floor_c"))
+    stat = F.col("c") - F.col("floor_c")
+    return cum.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(stat).alias("max_cusum2"),
+        F.count(F.when(stat > 2000000, 1)).alias("n_alarms"),
+    )

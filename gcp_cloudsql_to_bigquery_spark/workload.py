@@ -221,6 +221,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "elt_early_arriving_facts",
     "analytics_rfm_segmentation",
     "analytics_pareto_8020",
+    "ts_cusum_changepoint",
+    "elt_right_to_erasure",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
