@@ -693,7 +693,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M, _PQ_SUB, _PQ_K, _PQ_TOPK = 4, 16, 16, 5
 
-_PQ_ORACLE = f"""
+_PQ_CTES = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     subs AS (
       SELECT vec_id, m.m,
@@ -726,6 +726,11 @@ _PQ_ORACLE = f"""
       WHERE t.vec_id < 10 AND e.vec_id <> t.vec_id
       GROUP BY query_id, neighbor_id
     )
+    """
+
+_PQ_ORACLE = (
+    _PQ_CTES
+    + f"""
     SELECT query_id, neighbor_id, approx_d2_x1e6, rnk FROM (
       SELECT query_id, neighbor_id, approx_d2_x1e6,
              row_number() OVER (PARTITION BY query_id
@@ -733,6 +738,7 @@ _PQ_ORACLE = f"""
       FROM adc
     ) WHERE rnk <= {_PQ_TOPK}
     """
+)
 
 
 @register(
@@ -857,6 +863,11 @@ _IVFPQ_ORACLE = f"""
       JOIN d2 t ON t.vec_id = p.query_id AND t.m = e.m AND t.j = e.code
       GROUP BY p.query_id, a2.vec_id
     )
+    """
+
+_PQ_ORACLE = (
+    _PQ_CTES
+    + f"""
     SELECT query_id, neighbor_id, approx_d2_x1e6, rnk FROM (
       SELECT query_id, neighbor_id, approx_d2_x1e6,
              row_number() OVER (PARTITION BY query_id
@@ -864,6 +875,7 @@ _IVFPQ_ORACLE = f"""
       FROM adc
     ) WHERE rnk <= {_PQ_TOPK}
     """
+)
 
 
 @register(
@@ -1000,4 +1012,125 @@ def embedding_label_centroid_arrow(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return e.groupBy("label").applyInArrow(
         centroids, schema="label int, dim int, n long, centroid_micro long"
+    )
+
+
+_PQ_COARSE = 25
+
+_PQ_RERANK_ORACLE = (
+    _PQ_CTES
+    + f"""
+    , coarse AS (
+      SELECT query_id, neighbor_id, approx_d2_x1e6,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_d2_x1e6, neighbor_id) AS coarse_rank
+      FROM adc
+    )
+    SELECT query_id, neighbor_id, cosine, coarse_rank, rnk FROM (
+      SELECT c.query_id, c.neighbor_id, c.coarse_rank,
+             round(list_cosine_similarity(q.v, n.v), 6) AS cosine,
+             row_number() OVER (PARTITION BY c.query_id
+                                ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC,
+                                         c.neighbor_id) AS rnk
+      FROM coarse c
+      JOIN v q ON q.vec_id = c.query_id
+      JOIN v n ON n.vec_id = c.neighbor_id
+      WHERE c.coarse_rank <= {_PQ_COARSE}
+    ) WHERE rnk <= {_PQ_TOPK}
+    """
+)
+
+
+@register(
+    "ann_pq_rerank",
+    oracle=_PQ_RERANK_ORACLE,
+    doc=f"Two-stage retrieve-and-rerank ANN — the production vector-"
+    f"serving shape (FAISS/ScaNN default): stage 1 retrieves "
+    f"{_PQ_COARSE} candidates per query with the cheap memory-bound PQ "
+    f"asymmetric distance (integer table lookups over 4-byte codes — "
+    f"ann_pq_topk's kernel), stage 2 fetches ONLY those candidates' "
+    f"full vectors and reranks by exact cosine to the final top-"
+    f"{_PQ_TOPK}.  The two-stage split is the whole economics of "
+    f"billion-vector search: full vectors are touched for 25 rows per "
+    f"query instead of the corpus, so the exact pass costs nothing "
+    f"while repairing the quantization error of the coarse pass.  "
+    f"Exactness: coarse stage all-integer, rerank cosine round-6 from "
+    f"one identical expression tree; candidate fetch = id equi-join "
+    f"(at 100 TB a broadcast of the query x candidate id list).  The "
+    f"oracle replays both stages.",
+)
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    coarse = ann_pq_topk_candidates(spark, sf_dir, k=_PQ_COARSE)
+    q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    reranked = (
+        coarse.join(q, "query_id")
+        .join(n, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "coarse_rank",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        reranked.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id", "cosine", "coarse_rank", "rnk")
+    )
+
+
+def ann_pq_topk_candidates(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """PQ ADC candidate retrieval (stage 1 of ann_pq_rerank): identical
+    kernel to ann_pq_topk but parameterized top-k and exposing the coarse
+    rank."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    ms = F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m")
+    subs = e.select("vec_id", "v", ms).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sub"),
+    )
+    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("j"), F.col("sub").alias("cw")
+    )
+    d2_expr = (
+        dot(F.col("sub"), F.col("sub"))
+        - 2 * dot(F.col("sub"), F.col("cw"))
+        + dot(F.col("cw"), F.col("cw"))
+    )
+    d2 = subs.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "m",
+        "j",
+        F.floor(d2_expr * 1e6 + 0.5).cast("bigint").alias("q"),
+    )
+    w_enc = W.partitionBy("vec_id", "m").orderBy("q", "j")
+    enc = (
+        d2.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("j").alias("code"))
+    )
+    tbl = d2.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "m", "j", "q"
+    )
+    adc = (
+        enc.join(
+            F.broadcast(tbl),
+            (enc.m == tbl.m) & (enc.code == tbl.j) & (enc.vec_id != tbl.query_id),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("q").cast("bigint").alias("approx_d2_x1e6"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy("approx_d2_x1e6", "neighbor_id")
+    return (
+        adc.withColumn("coarse_rank", F.row_number().over(w_rank))
+        .filter(F.col("coarse_rank") <= k)
+        .select("query_id", "neighbor_id", "coarse_rank")
     )

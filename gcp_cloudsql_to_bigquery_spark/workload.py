@@ -223,6 +223,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_pareto_8020",
     "ts_cusum_changepoint",
     "elt_right_to_erasure",
+    "ann_pq_rerank",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",

@@ -215,3 +215,41 @@ def test_ivfpq_scores_match_pq_on_shared_pairs(spark):
         assert d == sorted(d) and len({r.neighbor_id for r in rows}) == len(rows)
     again = queries()["ann_ivfpq_topk"](spark, sf).collect()
     assert sorted(map(tuple, ivfpq)) == sorted(map(tuple, again))
+
+
+def test_pq_rerank_improves_or_matches_recall(spark):
+    """Reranked top-5 recall vs exact brute force must be >= the pure-PQ
+    top-5 recall — the whole point of the second stage."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+    from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+    sf = "/root/testdata/sf0.001"
+    exact = {}
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rows = e.collect()
+    import numpy as np
+
+    mat = {r["vec_id"]: np.asarray(r["v"]) for r in rows}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    for q in range(10):
+        scored = sorted(
+            ((cos(mat[q], v), i) for i, v in mat.items() if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        exact[q] = {i for _, i in scored[:5]}
+
+    def recall(name):
+        got = {}
+        for r in queries()[name](spark, sf).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & exact[q]) for q in exact)
+        return hits / (5 * len(exact))
+
+    assert recall("ann_pq_rerank") >= recall("ann_pq_topk") - 1e-9
