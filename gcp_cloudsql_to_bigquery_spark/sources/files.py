@@ -610,3 +610,90 @@ def elt_range_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "elt_format_migration_chain",
+    oracle="""
+    WITH base AS (
+      SELECT s_suppkey AS k,
+             CAST(s_nationkey AS BIGINT) AS nat,
+             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM supplier
+    ),
+    dig AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+                      CAST(nat AS VARCHAR) || '|' ||
+                      CAST(cents AS VARCHAR)), 1, 10) AS BIGINT)) AS BIGINT)
+               AS rowhash_sum
+      FROM base
+    )
+    SELECT 'csv' AS fmt, n_rows, rowhash_sum FROM dig
+    UNION ALL SELECT 'parquet', n_rows, rowhash_sum FROM dig
+    UNION ALL SELECT 'orc', n_rows, rowhash_sum FROM dig
+    """,
+    doc="Format-migration chain with per-hop reconciliation: the same "
+    "relation is written and re-read through csv -> parquet -> orc (each "
+    "hop reads the PREVIOUS hop's files, not the base table — a real "
+    "staged migration), and every hop emits the order-independent "
+    "40-bit row-digest SUM (dq_reconciliation_rowhash's commutative "
+    "fingerprint).  All three rows must carry the identical (count, "
+    "digest) pair — the oracle states exactly that from the base table "
+    "— so any hop that drops, duplicates, or mangles a row (CSV type "
+    "coercion is the classic offender) fails the hash.  This is the "
+    "audit loop for the reference's own CSV staging hop, generalized "
+    "to a multi-format chain.  Digest columns are integer-normalized "
+    "BEFORE the first write so float-text round-trips cannot flip "
+    "bits.  Scale: each hop is one distributed write + scan; digests "
+    "are per-partition partial sums.",
+)
+def elt_format_migration_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("bigint").alias("k"),
+        F.col("s_nationkey").cast("bigint").alias("nat"),
+        F.floor(F.col("s_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    root = tempfile.mkdtemp(prefix="fmt_chain_")
+    schema = "k bigint, nat bigint, cents bigint"
+
+    def digest(df: DataFrame, fmt: str) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("k").cast("string"),
+                        F.col("nat").cast("string"),
+                        F.col("cents").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.agg(
+            F.lit(fmt).alias("fmt"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h).alias("rowhash_sum"),
+        )
+
+    csv_dir = os.path.join(root, "hop1_csv")
+    base.write.option("header", "true").csv(csv_dir)
+    hop1 = spark.read.schema(schema).option("header", "true").csv(csv_dir)
+
+    pq_dir = os.path.join(root, "hop2_parquet")
+    hop1.write.parquet(pq_dir)
+    hop2 = spark.read.schema(schema).parquet(pq_dir)
+
+    orc_dir = os.path.join(root, "hop3_orc")
+    hop2.write.orc(orc_dir)
+    hop3 = spark.read.schema(schema).orc(orc_dir)
+
+    return (
+        digest(hop1, "csv")
+        .unionByName(digest(hop2, "parquet"))
+        .unionByName(digest(hop3, "orc"))
+    )

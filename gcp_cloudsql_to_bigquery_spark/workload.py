@@ -224,6 +224,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_cusum_changepoint",
     "elt_right_to_erasure",
     "ann_pq_rerank",
+    "elt_format_migration_chain",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
