@@ -859,3 +859,65 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("share_ppm"),
     )
+
+
+@register(
+    "text_chunk_sentences",
+    oracle="""
+    WITH sent AS (
+      SELECT doc_id, s.i AS sent_idx,
+             string_split(text, '. ')[s.i] AS sentence,
+             len(string_split(string_split(text, '. ')[s.i], ' ')) AS n_words
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, len(string_split(text, '. ')) + 1)) AS i) s
+      WHERE string_split(text, '. ')[s.i] <> ''
+    ),
+    placed AS (
+      SELECT doc_id, sent_idx, n_words,
+             CAST(coalesce(sum(n_words) OVER (
+               PARTITION BY doc_id ORDER BY sent_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // 50 AS BIGINT) AS chunk_id
+      FROM sent
+    )
+    SELECT doc_id, chunk_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(min(sent_idx) AS BIGINT) AS first_sentence
+    FROM placed GROUP BY doc_id, chunk_id
+    """,
+    doc="Sentence-preserving chunking for RAG/embedding pipelines: "
+    "documents split at sentence boundaries ('. '), each sentence "
+    "assigned to chunk floor(words_before / 50) — sentences are never "
+    "split mid-way (unlike the fixed-width text_chunk_overlap), chunks "
+    "target ~50 words and overshoot by at most one sentence, and the "
+    "assignment is a pure prefix-sum over one (doc, sentence-order) "
+    "window — NO greedy reset recurrence, so it stays declarative and "
+    "distributes (the same two-level-prefix-sum insight as "
+    "curation_pack_sequences).  Per-chunk stats out; integers only.  "
+    "One window shuffle on doc_id.",
+)
+def text_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sent = (
+        d.select(
+            "doc_id", F.posexplode(F.split("text", r"\. ")).alias("idx0", "sentence")
+        )
+        .filter(F.col("sentence") != "")
+        .select(
+            "doc_id",
+            (F.col("idx0") + 1).alias("sent_idx"),
+            F.size(F.split("sentence", " ")).alias("n_words"),
+        )
+    )
+    placed = sent.withColumn(
+        "chunk_id",
+        F.expr("coalesce(sum(n_words) OVER (PARTITION BY doc_id ORDER BY sent_idx "
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) div 50")
+        .cast("bigint"),
+    )
+    return placed.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.sum("n_words").alias("n_words"),
+        F.min("sent_idx").cast("bigint").alias("first_sentence"),
+    )

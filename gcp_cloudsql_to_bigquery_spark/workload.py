@@ -225,6 +225,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "elt_right_to_erasure",
     "ann_pq_rerank",
     "elt_format_migration_chain",
+    "text_chunk_sentences",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
