@@ -628,3 +628,59 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(stat).alias("max_cusum2"),
         F.count(F.when(stat > 2000000, 1)).alias("n_alarms"),
     )
+
+
+@register(
+    "ts_moving_median",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, h, cents,
+             CAST(2 * median(cents) OVER w AS BIGINT) AS med2,
+             CAST(count(*) OVER w AS BIGINT) AS wn
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    )
+    SELECT event_type, h, cents, med2
+    FROM med WHERE wn = 25
+    """,
+    doc="Moving MEDIAN smoother — the robust counterpart of the moving "
+    "average (ts_ma_decompose): a single spike pollutes a 25-hour mean "
+    "for 25 windows but a median for none, which is why monitoring "
+    "baselines prefer it.  Spark has no median-over-frame (analysis "
+    "error), so it is COMPOSED: sort_array(collect_list(x) over frame) "
+    "+ element_at picks both middle elements, and med2 = arr[(n+1) div "
+    "2] + arr[n div 2 + 1] equals 2*median for every parity in exact "
+    "integer doubled units — matching DuckDB's native windowed median "
+    "bit-for-bit.  Frame state is the 25-element array (bounded); one "
+    "window exchange after the hourly regrain, complete windows only.",
+)
+def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents"))
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    arr = F.sort_array(F.collect_list("cents").over(w))
+    out = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        arr.alias("arr"),
+    ).select(
+        "event_type",
+        "h",
+        "cents",
+        (
+            F.element_at("arr", F.expr("CAST((size(arr) + 1) div 2 AS INT)"))
+            + F.element_at("arr", F.expr("CAST(size(arr) div 2 + 1 AS INT)"))
+        ).cast("bigint").alias("med2"),
+        F.size("arr").alias("wn"),
+    )
+    return out.filter(F.col("wn") == 25).drop("wn")

@@ -226,6 +226,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "ann_pq_rerank",
     "elt_format_migration_chain",
     "text_chunk_sentences",
+    "ts_moving_median",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
