@@ -579,3 +579,102 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aes_decrypt(cipher, key, F.lit("ECB")).cast("string").alias("decrypted"),
         F.length(cipher).cast("bigint").alias("cipher_len"),
     )
+
+
+@register(
+    "fn_timestamp_parse_fallback",
+    oracle="""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CASE o_orderkey % 4
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y')
+               WHEN 2 THEN strftime(o_orderdate, '%Y%m%d')
+               ELSE 'not-a-date-' || CAST(o_orderkey AS VARCHAR)
+             END AS s
+      FROM orders WHERE o_orderkey <= 4000
+    )
+    SELECT o_orderkey, s,
+           CAST(coalesce(try_strptime(s, '%Y-%m-%d'),
+                         try_strptime(s, '%d/%m/%Y'),
+                         try_strptime(s, '%Y%m%d')) AS TIMESTAMP) AS parsed,
+           coalesce(try_strptime(s, '%Y-%m-%d'),
+                    try_strptime(s, '%d/%m/%Y'),
+                    try_strptime(s, '%Y%m%d')) IS NULL AS unparseable
+    FROM raw
+    """,
+    doc="Multi-format timestamp parsing with fallback chains — the "
+    "messy-ingest reality (ISO, EU slash, compact, and garbage rows in "
+    "one column): try_to_timestamp attempts each format and COALESCE "
+    "takes the first success, unparseable rows surfacing as NULL + a "
+    "flag instead of failing the job (the ANSI try_-family contract, "
+    "same spirit as fn_try_arithmetic).  The fixture derives all four "
+    "shapes deterministically from o_orderdate so the oracle "
+    "reconstructs every branch.  Narrow per-row codegen; NULL-flagged "
+    "rows route to quarantine at 100 TB (elt_bad_records_quarantine).",
+)
+def fn_timestamp_parse_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    d = F.col("o_orderdate")
+    s = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format(d, "dd/MM/yyyy"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format(d, "yyyyMMdd"))
+        .otherwise(F.concat(F.lit("not-a-date-"), F.col("o_orderkey").cast("string")))
+    )
+    raw = o.select("o_orderkey", s.alias("s"))
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("s"), F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp(F.col("s"), F.lit("dd/MM/yyyy")),
+        F.try_to_timestamp(F.col("s"), F.lit("yyyyMMdd")),
+    )
+    return raw.select(
+        "o_orderkey", "s", parsed.alias("parsed"), parsed.isNull().alias("unparseable")
+    )
+
+
+@register(
+    "fn_pseudonymize_consistent",
+    oracle="""
+    WITH p AS (
+      SELECT o_custkey,
+             'user_' || substr(md5('salt2026:' || CAST(o_custkey AS VARCHAR)), 1, 12)
+               AS pseud
+      FROM orders
+    )
+    SELECT pseud,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_raw_keys
+    FROM p GROUP BY pseud
+    HAVING count(*) >= 20
+    """,
+    doc="Consistent pseudonymization — the GDPR-grade de-identification "
+    "that, unlike masking (fn_mask_pii), PRESERVES JOINABILITY: every "
+    "occurrence of a key maps to the same salted-digest token "
+    "('user_' + 12 hex of md5(salt, key)), so pseudonymized tables "
+    "still join/aggregate on the token while the raw key never leaves "
+    "the trust boundary (the salt does the unlinking; rotate it to "
+    "break linkage).  The query proves the two contracts: grouping by "
+    "token reproduces per-customer order counts, and n_raw_keys == 1 "
+    "per token (no collisions at this scale — 48 bits of token space).  "
+    "Narrow per-row digest, no shuffle beyond the aggregate.",
+)
+def fn_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    pseud = F.concat(
+        F.lit("user_"),
+        F.substring(
+            F.md5(F.concat(F.lit("salt2026:"), F.col("o_custkey").cast("string")).cast("binary")),
+            1,
+            12,
+        ),
+    )
+    return (
+        o.select(pseud.alias("pseud"), "o_custkey")
+        .groupBy("pseud")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_raw_keys"),
+        )
+        .filter(F.col("n_orders") >= 20)
+    )

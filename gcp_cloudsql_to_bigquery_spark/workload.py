@@ -227,6 +227,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "elt_format_migration_chain",
     "text_chunk_sentences",
     "ts_moving_median",
+    "fn_timestamp_parse_fallback",
+    "fn_pseudonymize_consistent",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
