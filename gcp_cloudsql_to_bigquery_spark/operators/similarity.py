@@ -863,11 +863,6 @@ _IVFPQ_ORACLE = f"""
       JOIN d2 t ON t.vec_id = p.query_id AND t.m = e.m AND t.j = e.code
       GROUP BY p.query_id, a2.vec_id
     )
-    """
-
-_PQ_ORACLE = (
-    _PQ_CTES
-    + f"""
     SELECT query_id, neighbor_id, approx_d2_x1e6, rnk FROM (
       SELECT query_id, neighbor_id, approx_d2_x1e6,
              row_number() OVER (PARTITION BY query_id
@@ -875,7 +870,6 @@ _PQ_ORACLE = (
       FROM adc
     ) WHERE rnk <= {_PQ_TOPK}
     """
-)
 
 
 @register(
