@@ -684,3 +684,84 @@ def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("arr").alias("wn"),
     )
     return out.filter(F.col("wn") == 25).drop("wn")
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, l.lag AS lag, cents AS x,
+             lag(cents, l.lag) OVER (PARTITION BY event_type, l.lag ORDER BY h) AS y
+      FROM hourly CROSS JOIN (SELECT unnest([1, 24]) AS lag) l
+    ),
+    mom AS (
+      SELECT event_type, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL
+      GROUP BY event_type, lag
+    )
+    SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           CAST(floor((n * sxy - sx * sy)
+                      / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+                      * 1e6 + 0.5) AS BIGINT) AS acf_x1e6
+    FROM mom
+    """,
+    doc="Autocorrelation function at lags 1 and 24 — the seasonality "
+    "detector (a strong lag-24 ACF on hourly data IS daily seasonality; "
+    "it picks the period that ts_seasonal_profile then profiles): "
+    "Pearson r between the series and its k-shifted self, computed "
+    "ENTIRELY from integer sufficient statistics (n, Σx, Σy, Σxy, Σx², "
+    "Σy² over the aligned pairs — cents² sums < 2^53) with one "
+    "identical double expression at the end, quantized 1e-6.  Shuffle "
+    "profile: hourly regrain reduce, then ONE window exchange on "
+    "(series, lag) for the shift — the lag join is a window function, "
+    "not a self-join — then a 10-group moment aggregate.",
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents"))
+    # Spark's F.lag needs a literal offset — one branch per lag, unioned
+    # (two window passes over the tiny hourly table)
+    parts = []
+    for k in (1, 24):
+        wk = W.partitionBy("event_type").orderBy("h")
+        parts.append(
+            hourly.select(
+                "event_type",
+                F.lit(k).alias("lag"),
+                F.col("cents").alias("x"),
+                F.lag("cents", k).over(wk).alias("y"),
+            )
+        )
+    lagged = parts[0].unionByName(parts[1]).filter(F.col("y").isNotNull())
+    mom = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * 1.0
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return mom.select(
+        "event_type",
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.floor(r * 1e6 + 0.5).cast("bigint").alias("acf_x1e6"),
+    )

@@ -229,6 +229,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_moving_median",
     "fn_timestamp_parse_fallback",
     "fn_pseudonymize_consistent",
+    "ts_autocorrelation",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
