@@ -921,3 +921,65 @@ def text_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("n_words"),
         F.min("sent_idx").cast("bigint").alias("first_sentence"),
     )
+
+
+@register(
+    "text_novelty_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t
+      FROM documents WHERE length(text) > 0
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               i -> md5(array_to_string(list_slice(t, i, i + 4), ' '))
+             ))) AS s
+      FROM toks
+    ),
+    firstseen AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST((2 * 1000000 * sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 + count(*)) // (2 * count(*)) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN firstseen f ON f.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+    doc="Corpus novelty rate — the redundancy-growth curve behind "
+    "dedup ROI decisions: every word-5-gram shingle is attributed to "
+    "the FIRST document (by doc_id ingestion order) that contains it, "
+    "and each document reports what fraction of its shingles it "
+    "introduced to the corpus.  A falling novelty curve over crawl "
+    "order is the signal that additional data is re-crawl (diminishing "
+    "returns — the scaling-laws data-curation question), and per-doc "
+    "novelty is a rank signal for dedup keeper selection "
+    "(dedup_cluster_representatives keeps longest; novelty-keeper is "
+    "the alternative).  Same two fingerprint-keyed shuffles as "
+    "text_duplicate_span_fraction: one min-aggregate for first-seen, "
+    "one join back — uniform md5 keys, skew-free.  Exact ppm integers.",
+)
+def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    toks = F.split(F.lower("text"), " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, 5), " ").cast("binary")),
+        )
+    )
+    sh = d.select("doc_id", F.explode(grams).alias("s"))
+    firstseen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    joined = sh.join(firstseen, "s")
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        novel.alias("n_novel"),
+        F.expr(
+            "(2 * 1000000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)"
+            " + count(*)) div (2 * count(*))"
+        )
+        .cast("bigint")
+        .alias("novelty_ppm"),
+    )

@@ -230,6 +230,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_timestamp_parse_fallback",
     "fn_pseudonymize_consistent",
     "ts_autocorrelation",
+    "text_novelty_rate",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
