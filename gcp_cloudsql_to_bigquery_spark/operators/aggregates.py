@@ -1125,3 +1125,86 @@ def agg_grouped_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         trimmed_count("packed").alias("n_kept"),
         trimmed_sum("packed").alias("trimmed_sum_cents"),
     )
+
+
+@register(
+    "agg_ks_two_sample",
+    oracle="""
+    WITH labeled AS (
+      SELECT n_chars AS v,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4',
+                                  'src5','src6','src7','src8','src9')
+                  THEN 0 ELSE 1 END AS grp
+      FROM documents
+    ),
+    n AS (
+      SELECT CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      FROM labeled
+    ),
+    pervalue AS (
+      SELECT v,
+             CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM labeled GROUP BY v
+    ),
+    ecdf AS (
+      SELECT v,
+             CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS cum1,
+             CAST(sum(c2) OVER (ORDER BY v) AS BIGINT) AS cum2
+      FROM pervalue
+    )
+    SELECT n1, n2,
+           CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+           CAST(floor(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                      / (n1 * n2) * 1e6 + 0.5) AS BIGINT) AS ks_x1e6
+    FROM ecdf CROSS JOIN n
+    GROUP BY n1, n2
+    """,
+    doc="Two-sample Kolmogorov-Smirnov statistic — the distribution-"
+    "drift detector for data pipelines (did this batch's length "
+    "distribution shift vs the reference sources?): D = max |ECDF1 - "
+    "ECDF2|, computed EXACTLY by collapsing to per-distinct-value "
+    "group counts (one partial-agged groupBy — ECDFs are evaluated "
+    "after all ties, the right-continuous convention, automatically), "
+    "one cumulative window over the DISTINCT-VALUE table (hundreds of "
+    "rows, not documents), and the integer cross-multiplied deviation "
+    "|c1*n2 - c2*n1| so no division happens until the final 1e-6 "
+    "quantization.  This is THE monitoring statistic for feature/"
+    "quality drift at 100 TB because it reduces to (value, counts) "
+    "partials that merge across partitions.",
+)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grp = F.when(
+        F.col("source").isin(*[f"src{i}" for i in range(10)]), 0
+    ).otherwise(1)
+    labeled = d.select(F.col("n_chars").alias("v"), grp.alias("grp"))
+    n = labeled.agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    pervalue = labeled.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = pervalue.select(
+        F.sum("c1").over(w).alias("cum1"), F.sum("c2").over(w).alias("cum2")
+    )
+    dev = F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+    return (
+        ecdf.crossJoin(F.broadcast(n))
+        .groupBy("n1", "n2")
+        .agg(F.max(dev).alias("d_num"))
+        .select(
+            "n1",
+            "n2",
+            "d_num",
+            F.floor(
+                F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")) * 1e6 + 0.5
+            )
+            .cast("bigint")
+            .alias("ks_x1e6"),
+        )
+    )

@@ -365,3 +365,87 @@ def dq_freshness_partition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n_total", "n_days")
     )
+
+
+@register(
+    "elt_cell_level_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderpriority AS pri
+      FROM orders WHERE o_orderkey <= 6000
+    ),
+    b AS (  -- replica with deterministic cell corruptions
+      SELECT k,
+             CASE WHEN k % 97 = 0 THEN 'X' ELSE st END AS st,
+             cents + CASE WHEN k % 131 = 0 THEN 7 ELSE 0 END AS cents,
+             pri
+      FROM a
+    ),
+    ma AS (
+      SELECT k, 'st' AS col, st AS val FROM a
+      UNION ALL SELECT k, 'cents', CAST(cents AS VARCHAR) FROM a
+      UNION ALL SELECT k, 'pri', pri FROM a
+    ),
+    mb AS (
+      SELECT k, 'st' AS col, st AS val FROM b
+      UNION ALL SELECT k, 'cents', CAST(cents AS VARCHAR) FROM b
+      UNION ALL SELECT k, 'pri', pri FROM b
+    )
+    SELECT ma.k, ma.col, ma.val AS old_val, mb.val AS new_val
+    FROM ma JOIN mb ON mb.k = ma.k AND mb.col = ma.col
+    WHERE ma.val IS DISTINCT FROM mb.val
+    """,
+    doc="CELL-level table diff — the forensic step after "
+    "elt_snapshot_diff says a row 'changed': both table versions are "
+    "melted to (key, column, value-as-text) EAV rows (unpivot — the "
+    "Expand operator), equi-joined on (key, column), and only "
+    "null-safely-differing cells survive, yielding the exact (column, "
+    "old, new) audit trail per key.  The melt is the trick that makes "
+    "cell diffing schema-generic: adding a column changes only the "
+    "melt list, not the join.  Shuffle: one (key, column)-keyed join; "
+    "at 100 TB pre-filter with the row-level digest diff so only "
+    "changed rows melt (digests from dq_reconciliation_rowhash).  "
+    "Fixture corruptions are deterministic (k%97 status flip, k%131 "
+    "cents drift).",
+)
+def elt_cell_level_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 6000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+    )
+    b = a.select(
+        "k",
+        F.when(F.col("k") % 97 == 0, F.lit("X")).otherwise(F.col("st")).alias("st"),
+        (F.col("cents") + F.when(F.col("k") % 131 == 0, 7).otherwise(0)).alias("cents"),
+        "pri",
+    )
+
+    def melt(df: DataFrame) -> DataFrame:
+        text = df.select(
+            "k",
+            F.col("st").alias("st"),
+            F.col("cents").cast("string").alias("cents"),
+            F.col("pri").alias("pri"),
+        )
+        return text.unpivot(
+            ids=["k"], values=["st", "cents", "pri"],
+            variableColumnName="col", valueColumnName="val",
+        )
+
+    ma, mb = melt(a), melt(b)
+    return (
+        ma.join(
+            mb.withColumnsRenamed({"val": "new_val"}),
+            ["k", "col"],
+        )
+        .filter(~F.col("val").eqNullSafe(F.col("new_val")))
+        .select("k", "col", F.col("val").alias("old_val"), "new_val")
+    )

@@ -231,6 +231,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_pseudonymize_consistent",
     "ts_autocorrelation",
     "text_novelty_rate",
+    "elt_cell_level_diff",
+    "agg_ks_two_sample",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
