@@ -798,3 +798,61 @@ def analytics_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total").alias("total_cents"),
         )
     )
+
+
+@register(
+    "analytics_gini_coefficient",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+      FROM cust
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s,
+             CAST(sum((2 * i - 1) * cents) AS BIGINT) AS ws
+      FROM ranked
+    )
+    SELECT n, s AS total_cents,
+           CAST(floor((CAST(ws AS DOUBLE) / (n * CAST(s AS DOUBLE)) - 1.0)
+                      * 1e6 + 0.5) AS BIGINT) AS gini_x1e6
+    FROM agg
+    """,
+    doc="Gini coefficient of customer revenue — the inequality summary "
+    "behind the Pareto prefix (analytics_pareto_8020 gives one point "
+    "of the Lorenz curve; Gini integrates it): G = sum((2i-1)*x_(i)) / "
+    "(n*sum(x)) - 1 over ascending-sorted values, computed from ONE "
+    "ranked pass with integer weighted sums ((2i-1)*cents < 2^63 with "
+    "margin) and a single final double expression, 1e-6 quantized.  "
+    "Rank ties broken by custkey for determinism.  The sort is "
+    "single-reducer on the customer ROLLUP (not facts) — same honest "
+    "caveat as RFM, same sketch remedy at 100 TB.",
+)
+def analytics_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias("cents")
+    )
+    w = W.orderBy("cents", "o_custkey")
+    ranked = cust.select(
+        "cents", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum((2 * F.col("i") - 1) * F.col("cents")).alias("ws"),
+    )
+    gini = (
+        F.col("ws").cast("double") / (F.col("n") * F.col("s").cast("double")) - 1.0
+    )
+    return agg.select(
+        "n",
+        F.col("s").alias("total_cents"),
+        F.floor(gini * 1e6 + 0.5).cast("bigint").alias("gini_x1e6"),
+    )

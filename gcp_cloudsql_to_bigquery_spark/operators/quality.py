@@ -449,3 +449,144 @@ def elt_cell_level_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("val").eqNullSafe(F.col("new_val")))
         .select("k", "col", F.col("val").alias("old_val"), "new_val")
     )
+
+
+@register(
+    "dq_data_contract",
+    oracle="""
+    SELECT 'o_orderstatus' AS col, 'enum_domain' AS rule,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'o_totalprice', 'range_0_1e6',
+           (SELECT count(*) FROM orders
+            WHERE o_totalprice IS NULL OR o_totalprice < 0 OR o_totalprice > 1000000)
+    UNION ALL
+    SELECT 'o_orderkey', 'not_null',
+           (SELECT count(*) FROM orders WHERE o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'o_orderkey', 'unique',
+           (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                  GROUP BY o_orderkey HAVING count(*) > 1))
+    UNION ALL
+    SELECT 'o_orderpriority', 'pattern_prefix_digit',
+           (SELECT count(*) FROM orders
+            WHERE o_orderpriority NOT SIMILAR TO '[1-5]-.*')
+    """,
+    doc="Declarative DATA CONTRACT enforcement — the schema-plus-"
+    "semantics agreement between producer and consumer, expressed as a "
+    "rule table (column, rule, params) and compiled at plan-build time "
+    "into one aggregate per rule: enum domains, numeric ranges, "
+    "non-null, key uniqueness, and regex shape checks.  Differs from "
+    "dq_constraint_audit (fixed referential checks) in that the "
+    "contract is DATA — adding a rule adds a row, not code; the "
+    "compiler below maps each rule kind to a Column expression.  Every "
+    "check is one partial-agged count or one keyed group-by; "
+    "violations==0 across the board is the load gate.  Regex semantics "
+    "pinned: Spark rlike anchors via ^...$ to match SIMILAR TO.",
+)
+def dq_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    contract = [
+        ("o_orderstatus", "enum_domain", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        (
+            "o_totalprice",
+            "range_0_1e6",
+            F.col("o_totalprice").isNull()
+            | (F.col("o_totalprice") < 0)
+            | (F.col("o_totalprice") > 1000000),
+        ),
+        ("o_orderkey", "not_null", F.col("o_orderkey").isNull()),
+        (
+            "o_orderpriority",
+            "pattern_prefix_digit",
+            ~F.col("o_orderpriority").rlike("^[1-5]-.*$"),
+        ),
+    ]
+    parts = [
+        o.agg(
+            F.lit(col).alias("col"),
+            F.lit(rule).alias("rule"),
+            F.count(F.when(pred, 1)).alias("violations"),
+        )
+        for col, rule, pred in contract
+    ]
+    uniq = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.lit("o_orderkey").alias("col"),
+            F.lit("unique").alias("rule"),
+            F.count(F.lit(1)).alias("violations"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.unionByName(uniq)
+
+
+@register(
+    "profile_columns_generic",
+    oracle="""
+    WITH melted AS (
+      SELECT 'c_mktsegment' AS col, c_mktsegment AS val FROM customer
+      UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+      UNION ALL SELECT 'c_name', c_name FROM customer
+    ),
+    stats AS (
+      SELECT col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(val) AS BIGINT) AS n_non_null,
+             CAST(count(DISTINCT val) AS BIGINT) AS ndv
+      FROM melted GROUP BY col
+    ),
+    topval AS (
+      SELECT col, val AS top_value, CAST(cnt AS BIGINT) AS top_count FROM (
+        SELECT col, val, count(*) AS cnt,
+               row_number() OVER (PARTITION BY col
+                                  ORDER BY count(*) DESC, val) AS rn
+        FROM melted WHERE val IS NOT NULL GROUP BY col, val
+      ) WHERE rn = 1
+    )
+    SELECT s.col, s.n_rows, s.n_non_null, s.ndv, t.top_value, t.top_count
+    FROM stats s JOIN topval t ON t.col = s.col
+    """,
+    doc="Generic column profiler (ANALYZE TABLE ... FOR COLUMNS, "
+    "engine-side): columns are melted to (col, value-as-text) EAV rows "
+    "once (the unpivot trick of elt_cell_level_diff), then per-column "
+    "row/non-null/NDV counts plus the deterministic top value "
+    "(count-then-rank, ties to smallest value — mode() tie order is "
+    "engine-defined, agg_mode_deterministic's lesson) all come from "
+    "the SAME two aggregates regardless of how many columns are "
+    "profiled.  This is the stats feed for the optimizer decisions the "
+    "plan tests assert (broadcast thresholds, skew detection).  "
+    "Shuffles: one groupBy on (col) and one on (col, val) — both "
+    "partial-agged; the melt fan-out is width x rows but narrow.",
+)
+def profile_columns_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    melted = c.select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("string").alias("c_nationkey"),
+        "c_name",
+    ).unpivot(
+        ids=[], values=["c_mktsegment", "c_nationkey", "c_name"],
+        variableColumnName="col", valueColumnName="val",
+    )
+    stats = melted.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val").alias("n_non_null"),
+        F.countDistinct("val").alias("ndv"),
+    )
+    wtop = W.partitionBy("col").orderBy(F.col("cnt").desc(), "val")
+    topval = (
+        melted.filter(F.col("val").isNotNull())
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") == 1)
+        .select("col", F.col("val").alias("top_value"), F.col("cnt").alias("top_count"))
+    )
+    return stats.join(topval, "col")

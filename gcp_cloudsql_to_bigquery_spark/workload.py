@@ -233,6 +233,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "text_novelty_rate",
     "elt_cell_level_diff",
     "agg_ks_two_sample",
+    "dq_data_contract",
+    "profile_columns_generic",
+    "analytics_gini_coefficient",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
