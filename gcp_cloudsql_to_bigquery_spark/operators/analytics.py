@@ -856,3 +856,49 @@ def analytics_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").alias("total_cents"),
         F.floor(gini * 1e6 + 0.5).cast("bigint").alias("gini_x1e6"),
     )
+
+
+@register(
+    "analytics_new_vs_returning",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id,
+             CAST(date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS DATE) AS first_d
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    )
+    SELECT d.d,
+           CAST(count(CASE WHEN d.d = f.first_d THEN 1 END) AS BIGINT) AS new_users,
+           CAST(count(CASE WHEN d.d > f.first_d THEN 1 END) AS BIGINT)
+             AS returning_users
+    FROM daily d JOIN firstday f ON f.user_id = d.user_id
+    GROUP BY d.d
+    """,
+    doc="New-vs-returning daily active users — the first split every "
+    "growth dashboard makes: each (user, active-day) pair is classed "
+    "by whether the day is the user's FIRST-ever active day.  Two "
+    "partial-agged passes over events (first-touch min, distinct "
+    "user-days) + one user-keyed join; the first-touch table is "
+    "user-sized and at 100 TB is maintained INCREMENTALLY (min is a "
+    "monoid — merge yesterday's table with today's batch, the "
+    "agg_incremental_maintenance pattern) rather than rescanned.  "
+    "Integer counts only.",
+)
+def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    )
+    firstday = ev.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    daily = ev.distinct()
+    return (
+        daily.join(firstday, "user_id")
+        .groupBy("d")
+        .agg(
+            F.count(F.when(F.col("d") == F.col("first_d"), 1)).alias("new_users"),
+            F.count(F.when(F.col("d") > F.col("first_d"), 1)).alias("returning_users"),
+        )
+    )

@@ -752,3 +752,54 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_band_tiering",
+    oracle="""
+    WITH tiers AS (
+      SELECT 'negative' AS tier, CAST(-100000 AS DOUBLE) AS lo, CAST(0 AS DOUBLE) AS hi
+      UNION ALL SELECT 'bronze', 0, 3000
+      UNION ALL SELECT 'silver', 3000, 7000
+      UNION ALL SELECT 'gold', 7000, 100000
+    )
+    SELECT t.tier,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM customer c
+    JOIN tiers t ON c.c_acctbal >= t.lo AND c.c_acctbal < t.hi
+    GROUP BY t.tier
+    """,
+    doc="Band (inequality) join against a tier dimension — the "
+    "value-range lookup every pricing/segmentation model needs "
+    "(acctbal -> bronze/silver/gold): customers matched to the tier "
+    "whose [lo, hi) band contains their balance.  The tier table is "
+    "TINY and the bands are disjoint, so the correct plan is a "
+    "BroadcastNestedLoopJoin — the one place BNLJ is RIGHT (k rows x "
+    "n rows with k~4 is a scan-speed predicate, and no equi-key "
+    "exists); contrast with join_interval_overlap, where both sides "
+    "scale and binning restores an equi-join.  An alternative compile "
+    "is the CASE ladder (sql_unpivot's pivot style) — the join form "
+    "wins when tiers are DATA maintained by analysts, not code.  "
+    "Half-open bands pin boundary semantics exactly.",
+)
+def join_band_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiers = spark.createDataFrame(
+        [
+            ("negative", -100000.0, 0.0),
+            ("bronze", 0.0, 3000.0),
+            ("silver", 3000.0, 7000.0),
+            ("gold", 7000.0, 100000.0),
+        ],
+        "tier string, lo double, hi double",
+    )
+    c = load(spark, sf_dir, "customer")
+    joined = c.join(
+        F.broadcast(tiers),
+        (c.c_acctbal >= tiers.lo) & (c.c_acctbal < tiers.hi),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")).alias("bal_cents"),
+    )

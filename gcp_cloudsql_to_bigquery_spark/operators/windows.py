@@ -614,3 +614,64 @@ def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_run).alias("distinct_types_so_far"),
     )
+
+
+@register(
+    "window_percent_of_total",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY region, nation
+    )
+    SELECT region, nation, cents,
+           CAST((2 * 1000000 * cents + sum(cents) OVER (PARTITION BY region))
+                // (2 * sum(cents) OVER (PARTITION BY region)) AS BIGINT)
+             AS share_of_region_ppm,
+           CAST((2 * 1000000 * cents + sum(cents) OVER ())
+                // (2 * sum(cents) OVER ()) AS BIGINT) AS share_of_total_ppm
+    FROM rev
+    """,
+    doc="Percent-of-total reporting (Oracle's ratio_to_report): each "
+    "nation's revenue as an exact ppm share of its region and of the "
+    "grand total, via sum-over-window denominators — the BI staple "
+    "that needs NO self-join (the naive form joins the rollup to two "
+    "aggregate subqueries; the window form reuses one pass).  Exact "
+    "integer rounded division on both sides (all sums positive — "
+    "div == floor).  Shuffles: the fact groupBy, then one "
+    "region-keyed window over the 25-row rollup; the global window "
+    "is single-partition over the same 25 rows — trivial.",
+)
+def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("region"), F.col("c_nationkey").alias("nation")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.expr(
+            "(2 * 1000000 * cents + sum(cents) OVER (PARTITION BY region))"
+            " div (2 * sum(cents) OVER (PARTITION BY region))"
+        ).cast("bigint").alias("share_of_region_ppm"),
+        F.expr(
+            "(2 * 1000000 * cents + sum(cents) OVER ())"
+            " div (2 * sum(cents) OVER ())"
+        ).cast("bigint").alias("share_of_total_ppm"),
+    )

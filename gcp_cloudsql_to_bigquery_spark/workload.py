@@ -236,6 +236,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "dq_data_contract",
     "profile_columns_generic",
     "analytics_gini_coefficient",
+    "window_percent_of_total",
+    "join_band_tiering",
+    "analytics_new_vs_returning",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
