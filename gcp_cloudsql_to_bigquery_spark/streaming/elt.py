@@ -291,3 +291,148 @@ def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if state["version"] < 3:
         raise RuntimeError(f"expected >=3 incremental folds, got {state['version']}")
     return spark.read.parquet(os.path.join(base, f"v{state['version']}"))
+
+
+@register(
+    "stream_incremental_sessionize",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE user_id % 10 = 3
+    ),
+    marked AS (
+      SELECT user_id, ts, cents,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, cents,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT)
+               AS sess_id
+      FROM marked
+    )
+    SELECT user_id, sess_id,
+           epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts)) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM sess GROUP BY user_id, sess_id
+    """,
+    doc="INCREMENTAL sessionization across micro-batches — the hard "
+    "streaming problem the tumbling/session-window queries sidestep: "
+    "sessions SPAN batch boundaries, so each foreachBatch merge must "
+    "(a) sessionize its own slice, (b) stitch its first session onto "
+    "the carried OPEN session when the cross-batch gap <= 30 min, and "
+    "(c) re-number so final session ids equal the batch computation's.  "
+    "State carried between merges = closed sessions + at most ONE open "
+    "session per user (bounded, the applyInPandasWithState analog in "
+    "plain foreachBatch).  The feed is sharded BY TIME (3 deciles), "
+    "forcing real boundary stitches; the oracle is the one-shot batch "
+    "gaps-and-islands, which the merge provably reproduces for "
+    "time-ordered arrivals (the Kappa-architecture claim, verified by "
+    "hash).  Integer micros/cents.",
+)
+def stream_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    GAP_US = 1800000000
+    base = _tf.mkdtemp(prefix="isess_")
+    feed_dir = os.path.join(base, "feed")
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 3)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
+    )
+    # time-sharded arrivals: batch k carries the k-th time band, so open
+    # sessions genuinely cross batch boundaries
+    lo_hi = ev.agg(F.min("t_us").alias("lo"), F.max("t_us").alias("hi")).collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    band = ((F.col("t_us") - lo) * 3 / (hi - lo + 1)).cast("int")
+    for shard in range(3):
+        ev.filter(band == shard).write.parquet(os.path.join(feed_dir, f"t{shard}"))
+
+    state = {"version": 0}
+
+    def sessionize(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("t_us")
+        gap = F.col("t_us") - F.lag("t_us").over(w)
+        marked = df.withColumn(
+            "new_sess", (F.isnull(gap) | (gap > GAP_US)).cast("bigint")
+        )
+        sess_id = F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        return (
+            marked.withColumn("sid", sess_id)
+            .groupBy("user_id", "sid")
+            .agg(
+                F.min("t_us").alias("start_us"),
+                F.max("t_us").alias("end_us"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        cur = sessionize(batch.select("user_id", "t_us", "cents"))
+        prev_v, next_v = state["version"], state["version"] + 1
+        if prev_v > 0:
+            prev = sp.read.parquet(os.path.join(base, f"v{prev_v}"))
+            # stitch: a carried session and a new session merge when the
+            # gap between them is within the session gap — then re-island
+            # the per-user session LIST (tiny: sessions, not events)
+            both = prev.unionByName(cur.select(prev.columns))
+            w = Window.partitionBy("user_id").orderBy("start_us")
+            gap = F.col("start_us") - F.lag("end_us").over(w)
+            marked = both.withColumn(
+                "new_sess", (F.isnull(gap) | (gap > GAP_US)).cast("bigint")
+            )
+            sid = F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            cur = (
+                marked.withColumn("sid2", sid)
+                .groupBy("user_id", "sid2")
+                .agg(
+                    F.min("start_us").alias("start_us"),
+                    F.max("end_us").alias("end_us"),
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("cents").alias("cents"),
+                )
+                .drop("sid2")
+            )
+        else:
+            cur = cur.drop("sid")
+        cur.select("user_id", "start_us", "end_us", "n_events", "cents").write.parquet(
+            os.path.join(base, f"v{next_v}")
+        )
+        state["version"] = next_v
+
+    stream = (
+        spark.readStream.schema("user_id bigint, t_us bigint, cents bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir + "/t*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_isess_", dir=_CKPT_DIR))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if state["version"] < 3:
+        raise RuntimeError(f"expected >=3 merges, got {state['version']}")
+    final = spark.read.parquet(os.path.join(base, f"v{state['version']}"))
+    w = Window.partitionBy("user_id").orderBy("start_us")
+    return final.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("sess_id"),
+        "start_us",
+        "end_us",
+        "n_events",
+        "cents",
+    )

@@ -239,6 +239,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "window_percent_of_total",
     "join_band_tiering",
     "analytics_new_vs_returning",
+    "stream_incremental_sessionize",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
