@@ -902,3 +902,58 @@ def analytics_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("d") > F.col("first_d"), 1)).alias("returning_users"),
         )
     )
+
+
+@register(
+    "analytics_trending_decayed",
+    oracle="""
+    WITH anchor AS (
+      SELECT epoch_us(max(CAST(ts AS TIMESTAMP))) AS t_now FROM events
+    ),
+    terms AS (
+      SELECT event_type,
+             CAST(floor(pow(2.0, -(CAST(t_now - epoch_us(CAST(ts AS TIMESTAMP))
+                                        AS DOUBLE) / 604800000000.0))
+                        * 1e9 + 0.5) AS BIGINT) AS w_fp
+      FROM events CROSS JOIN anchor
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w_fp) AS BIGINT) AS decayed_count_x1e9
+    FROM terms GROUP BY event_type
+    """,
+    doc="Exponentially time-decayed counters — the trending/hotness "
+    "score of every feed and leaderboard (each event contributes "
+    "2^(-age/half-life), half-life 7 days, anchored at the newest "
+    "event): recency-weighted popularity WITHOUT windowed recompute, "
+    "because the decayed sum is a MONOID under a shared anchor — "
+    "partials merge by addition, and advancing the anchor by dt "
+    "rescales the whole counter by one multiply (2^(-dt/λ)), which is "
+    "how production systems age their counters in O(1).  Float "
+    "discipline: each event's weight is quantized ONCE to 1e-9 fixed "
+    "point (pow(2, x) on an identical double x — integer micros "
+    "difference / literal divisor), so sums are exact integers in any "
+    "order.  One partial-agged groupBy; anchor is a broadcast scalar.",
+)
+def analytics_trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us")
+    )
+    anchor = ev.agg(F.max("t_us").alias("t_now"))
+    terms = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        F.floor(
+            F.pow(
+                F.lit(2.0),
+                -((F.col("t_now") - F.col("t_us")).cast("double") / 604800000000.0),
+            )
+            * 1e9
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("w_fp"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w_fp").alias("decayed_count_x1e9"),
+    )

@@ -240,6 +240,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "join_band_tiering",
     "analytics_new_vs_returning",
     "stream_incremental_sessionize",
+    "analytics_trending_decayed",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",

@@ -358,3 +358,28 @@ def test_join_hints_are_honored(spark):
     c = load(spark, "/root/testdata/sf0.001", "customer").hint("MERGE")
     merged = o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count()
     assert "SortMergeJoin" in physical_plan(merged), physical_plan(merged)
+
+
+def test_band_tiering_uses_bnlj_by_design(spark):
+    """The 4-row tier table has no equi-key — BroadcastNestedLoopJoin is
+    the CORRECT plan here (k~4 broadcast rows = scan-speed predicate)."""
+    df = queries()["join_band_tiering"](spark, "/root/testdata/sf0.001")
+    assert "BroadcastNestedLoopJoin" in physical_plan(df), physical_plan(df)
+
+
+def test_percent_of_total_no_self_join(spark):
+    """Shares come from window denominators — the plan must contain no
+    join between the rollup and aggregate subqueries (beyond the two
+    broadcast dimension joins feeding the rollup itself)."""
+    df = queries()["window_percent_of_total"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert plan.count("Join") <= 2, plan
+    assert "Window" in plan, plan
+
+
+def test_new_vs_returning_two_fact_passes_only(spark):
+    """first-touch + distinct user-days: exactly two aggregates touch
+    event rows; the classification join keys on user_id."""
+    df = queries()["analytics_new_vs_returning"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert plan.count("FileScan") <= 2, plan
