@@ -101,3 +101,114 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum(rev10k) / 10000.0, 2).alias("revenue"),
     )
+
+
+@register(
+    "scale_bloom_filter_audit",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey % 3 = 0
+    ),
+    probes AS (
+      SELECT c_custkey AS k, (c_custkey % 3 = 0) AS is_member FROM customer
+    ),
+    mbits AS (
+      SELECT h.i,
+             CAST('0x' || substr(md5(CAST(m.k AS VARCHAR) || ':' ||
+                  CAST(h.i AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM members m CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) h
+    ),
+    filt AS (
+      SELECT CAST((hv // 63) % 64 AS BIGINT) AS lane,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(hv % 63 AS INT)) AS BIGINT)
+               AS lane_bits
+      FROM mbits GROUP BY 1
+    ),
+    pbits AS (
+      SELECT p.k, p.is_member, h.i,
+             CAST('0x' || substr(md5(CAST(p.k AS VARCHAR) || ':' ||
+                  CAST(h.i AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM probes p CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) h
+    ),
+    checked AS (
+      SELECT b.k, b.is_member,
+             count(*) = 3 AND
+             sum(CASE WHEN (f.lane_bits & (CAST(1 AS BIGINT) << CAST(b.hv % 63 AS INT)))
+                           <> 0 THEN 1 ELSE 0 END) = 3 AS maybe_present
+      FROM pbits b
+      LEFT JOIN filt f ON f.lane = CAST((b.hv // 63) % 64 AS BIGINT)
+      GROUP BY b.k, b.is_member
+    )
+    SELECT is_member, maybe_present, CAST(count(*) AS BIGINT) AS n
+    FROM checked GROUP BY is_member, maybe_present
+    """,
+    doc="Relational BLOOM FILTER with a self-auditing contract — the "
+    "data structure behind runtime join pruning (the might_contain "
+    "plan test in tests/test_scale.py uses Spark's built-in; this one "
+    "is built IN the engine so the oracle can replay it bit-for-bit): "
+    "a ~4032-bit filter as 64 lanes x 63 usable bits (bit 63 excluded: DuckDB raises on 1<<63 sign-bit shifts), k=3 md5-derived "
+    "hashes per key, built with one bit_or group-by (mergeable — lanes "
+    "OR across partitions), probed with a 64-row broadcast join.  The "
+    "output is the audit matrix: every true member MUST read "
+    "maybe_present=true (zero false negatives — the Bloom guarantee, "
+    "any other result is a bug), and the (is_member=false, "
+    "maybe_present=true) row measures the realized false-positive "
+    "rate of the sizing (~4032 bits / ~500 keys x k=3 -> a few % FP).  All integer "
+    "bit arithmetic; two's-complement << semantics identical across "
+    "engines.",
+)
+def scale_bloom_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 3 == 0)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    probes = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), (F.col("c_custkey") % 3 == 0).alias("is_member")
+    )
+    hashes = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+
+    def hv(kcol):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(kcol.cast("string"), F.lit(":"), F.col("i").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    mbits = members.select("k", hashes).select(hv(F.col("k")).alias("hv"))
+    filt = mbits.select(
+        F.expr("(hv div 63) % 64").cast("bigint").alias("lane"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hv % 63 AS INT))").alias("mask"),
+    ).groupBy("lane").agg(F.bit_or("mask").alias("lane_bits"))
+    pbits = probes.select("k", "is_member", hashes).select(
+        "k", "is_member", hv(F.col("k")).alias("hv")
+    )
+    joined = pbits.join(
+        F.broadcast(filt),
+        F.col("lane") == F.expr("CAST((hv div 63) % 64 AS BIGINT)"),
+        "left_outer",
+    )
+    bit_set = (
+        F.col("lane_bits").bitwiseAND(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hv % 63 AS INT))")
+        )
+        != 0
+    )
+    checked = joined.groupBy("k", "is_member").agg(
+        (
+            (F.count(F.lit(1)) == 3)
+            & (F.sum(F.when(bit_set, 1).otherwise(0)) == 3)
+        ).alias("maybe_present")
+    )
+    return checked.groupBy("is_member", "maybe_present").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -241,6 +241,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_new_vs_returning",
     "stream_incremental_sessionize",
     "analytics_trending_decayed",
+    "scale_bloom_filter_audit",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",

@@ -241,3 +241,10 @@ def test_early_arriving_facts_partition_cleanly(spark):
     )
     assert total == n_facts  # phase1 + retry partition the fact set exactly
     assert {r["resolved_in"] for r in rows} == {"phase1", "retry"}
+
+
+def test_bloom_filter_never_false_negative(spark):
+    rows = queries()["scale_bloom_filter_audit"](spark, SF).collect()
+    cells = {(r["is_member"], r["maybe_present"]): r["n"] for r in rows}
+    assert (True, False) not in cells, "Bloom filters must never miss a member"
+    assert cells.get((True, True), 0) > 0
