@@ -703,3 +703,56 @@ def curation_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce("chars_kept", F.lit(0)).cast("bigint").alias("chars_kept"),
         )
     )
+
+
+@register(
+    "curation_dataset_card",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(list_filter(string_split(lower(text), ' '), w -> w <> ''))
+               AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT)                   AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT)     AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT)       AS n_langs,
+           CAST(sum(n_chars) AS BIGINT)               AS total_chars,
+           CAST(sum(n_tokens) AS BIGINT)              AS total_tokens,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dup_docs,
+           CAST(min(n_chars) AS BIGINT)               AS min_chars,
+           CAST(max(n_chars) AS BIGINT)               AS max_chars,
+           CAST(2 * median(n_chars) AS BIGINT)        AS median_chars_x2
+    FROM docs
+    """,
+    doc="The DATASET CARD in one pass — the datasheet header every "
+    "released training corpus ships (Datasheets for Datasets, Gebru et "
+    "al.): document/source/language counts, exact character and "
+    "whitespace-token volumes, the exact-duplicate count (rows minus "
+    "distinct normalized fingerprints — dedup_exact's digest), and the "
+    "length distribution's min/median/max (median in exact doubled "
+    "units).  ONE aggregate over one scan computes every headline "
+    "number — the point is that corpus-release reporting needs no "
+    "pipeline, just this query on the final table.  At 100 TB the "
+    "distinct counts swap to their sketch companions "
+    "(agg_hll_sketch_rollup) with the same shape.",
+)
+def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary"))
+    docs = d.select(
+        "lang", "source", "n_chars", F.size(toks).alias("n_tokens"), fp.alias("fp")
+    )
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dup_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (2 * F.median("n_chars")).cast("bigint").alias("median_chars_x2"),
+    )

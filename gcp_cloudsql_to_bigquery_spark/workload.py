@@ -242,6 +242,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "stream_incremental_sessionize",
     "analytics_trending_decayed",
     "scale_bloom_filter_audit",
+    "curation_dataset_card",
+    "scale_hash_uniformity_chi2",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
