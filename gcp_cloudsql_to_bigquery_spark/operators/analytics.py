@@ -957,3 +957,81 @@ def analytics_trending_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("w_fp").alias("decayed_count_x1e9"),
     )
+
+
+@register(
+    "analytics_attribution_linear",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, event_type AS channel, ts, event_id FROM ev
+      WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    conv AS (SELECT user_id, ts, event_id, cents FROM ev WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT c.event_id AS conversion_id, c.cents, t.channel,
+             CAST(count(*) OVER (PARTITION BY c.event_id) AS BIGINT) AS n_touches
+      FROM conv c
+      JOIN touches t
+        ON t.user_id = c.user_id
+       AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))
+       AND t.ts > c.ts - INTERVAL 7 DAY
+    )
+    SELECT channel,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(sum((2 * 1000000 * cents + n_touches) // (2 * n_touches))
+                AS BIGINT) AS credited_microcents
+    FROM pairs GROUP BY channel
+    """,
+    doc="LINEAR multi-touch attribution — the companion policy to "
+    "analytics_attribution_last_touch: every touch inside the 7-day "
+    "lookback gets an equal 1/n share of the conversion's revenue "
+    "(exact integer micro-cents via the rounded division (2*1e6*c + n) "
+    "div (2n) per touch).  Scale shape: unlike last-touch (which "
+    "reduces to an as-of sweep), linear NEEDS the full touch set per "
+    "conversion, so the honest plan is the user-keyed range join with "
+    "the 7-day bound limiting fan-out (bin by day at 100 TB exactly as "
+    "join_interval_overlap does; the oracle states the unbinned "
+    "equivalent).  Tie semantics identical to the last-touch query "
+    "(lexicographic (ts, event_id)).",
+)
+def analytics_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click", "signup")).select(
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+    )
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        "cents",
+    )
+    pairs = conv.join(
+        touches,
+        (conv.user_id == touches.user_id)
+        & (
+            (F.col("t_ts") < F.col("c_ts"))
+            | ((F.col("t_ts") == F.col("c_ts")) & (F.col("t_id") < F.col("c_id")))
+        )
+        & (F.col("t_ts") > F.col("c_ts") - F.expr("INTERVAL 7 DAY")),
+    ).select("c_id", "cents", "channel")
+    w = W.partitionBy("c_id")
+    credited = pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
+    share = F.expr("(2 * 1000000 * cents + n_touches) div (2 * n_touches)")
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum(share).cast("bigint").alias("credited_microcents"),
+    )

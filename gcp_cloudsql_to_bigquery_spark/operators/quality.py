@@ -590,3 +590,52 @@ def profile_columns_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col", F.col("val").alias("top_value"), F.col("cnt").alias("top_count"))
     )
     return stats.join(topval, "col")
+
+
+@register(
+    "dq_sequence_gaps",
+    oracle="""
+    WITH present AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+      WHERE o_orderkey <= 8000 AND o_orderkey % 7 <> 3 AND o_orderkey % 11 <> 5
+    ),
+    marked AS (
+      SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM present
+    )
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - k - 1 AS BIGINT) AS n_missing
+    FROM marked
+    WHERE nxt IS NOT NULL AND nxt - k > 1
+    """,
+    doc="Sequence-gap detection (gaps-and-islands, the gaps half): "
+    "missing runs in a key sequence surface as (gap_start, gap_end, "
+    "count) ranges via ONE lead() pass over the distinct keys — the "
+    "completeness check for anything serially numbered (invoice ids, "
+    "kafka offsets, CDC LSNs; TPC-H order keys are deliberately "
+    "sparse, giving a rich fixture).  Emitting RANGES, not missing "
+    "keys, is the scale decision: a billion-row hole is one output "
+    "row, where the generate-and-anti-join formulation materializes "
+    "the hole.  Single-reducer on the distinct-key table here; at "
+    "100 TB partition the window by a key prefix and stitch boundary "
+    "pairs (two-level, as in curation_pack_sequences).",
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    present = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") <= 8000)
+            & (F.col("o_orderkey") % 7 != 3)
+            & (F.col("o_orderkey") % 11 != 5)
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    w = W.orderBy("k")
+    marked = present.withColumn("nxt", F.lead("k").over(w))
+    return marked.filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") - F.col("k") > 1)
+    ).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("n_missing"),
+    )

@@ -244,6 +244,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "scale_bloom_filter_audit",
     "curation_dataset_card",
     "scale_hash_uniformity_chi2",
+    "analytics_attribution_linear",
+    "dq_sequence_gaps",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
