@@ -735,3 +735,51 @@ def fn_pandas_udf_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("bigint").alias("n_toks"),
         score_iter(F.col("text")).alias("score"),
     )
+
+
+@register(
+    "fn_xpath_extract",
+    oracle="""
+    WITH x AS (
+      SELECT n_nationkey,
+             '<nation><name>' || n_name || '</name><region id="'
+               || CAST(n_regionkey AS VARCHAR) || '"/><pop>'
+               || CAST(n_nationkey * 1000 + 17 AS VARCHAR)
+               || '</pop></nation>' AS doc
+      FROM nation
+    )
+    SELECT n_nationkey,
+           regexp_extract(doc, '<name>([^<]*)</name>', 1)      AS name,
+           CAST(regexp_extract(doc, 'id="([0-9]+)"', 1) AS BIGINT) AS region_id,
+           CAST(regexp_extract(doc, '<pop>([0-9]+)</pop>', 1) AS BIGINT) AS pop
+    FROM x
+    """,
+    doc="XPath extraction functions (xpath_string / xpath_long) over "
+    "inline XML — the semi-structured column case the XML SOURCE "
+    "(src_xml_roundtrip) doesn't cover: XML arriving INSIDE a string "
+    "column of an otherwise relational feed (SOAP payloads, config "
+    "blobs), queried without a parse-to-table pass.  Spark evaluates "
+    "real XPath (attribute axes included: //region/@id); the oracle "
+    "reconstructs the same fields with anchored regexes, valid because "
+    "the fixture XML is canonical (no namespaces/CDATA — where real "
+    "XPath and regex would diverge, which is exactly why the engine "
+    "side uses XPath).  Narrow per-row codegen expressions.",
+)
+def fn_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    doc = F.concat(
+        F.lit("<nation><name>"),
+        F.col("n_name"),
+        F.lit('</name><region id="'),
+        F.col("n_regionkey").cast("string"),
+        F.lit('"/><pop>'),
+        (F.col("n_nationkey") * 1000 + 17).cast("string"),
+        F.lit("</pop></nation>"),
+    )
+    x = n.select("n_nationkey", doc.alias("doc"))
+    return x.select(
+        "n_nationkey",
+        F.xpath_string("doc", F.lit("/nation/name")).alias("name"),
+        F.xpath_long("doc", F.lit("string(//region/@id)")).alias("region_id"),
+        F.xpath_long("doc", F.lit("/nation/pop")).alias("pop"),
+    )

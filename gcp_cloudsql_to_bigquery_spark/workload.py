@@ -246,6 +246,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "scale_hash_uniformity_chi2",
     "analytics_attribution_linear",
     "dq_sequence_gaps",
+    "fn_xpath_extract",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
