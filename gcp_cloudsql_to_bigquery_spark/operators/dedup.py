@@ -786,3 +786,52 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(F.col("vec_b").alias("vec_id"), "cell").agg(
         F.min("vec_a").alias("dup_of"), F.max("cos_fp").alias("best_cos_fp")
     )
+
+
+@register(
+    "dedup_signal_agreement",
+    oracle=f"""
+    WITH {_DUCK_JACPAIRS},
+    lex AS (
+      SELECT doc_a AS a, doc_b AS b FROM jacpairs WHERE jaccard >= 0.65
+    ),
+    emb AS (
+      SELECT x.vec_id AS a, y.vec_id AS b
+      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+      WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])), 6) >= 0.4
+    ),
+    u AS (
+      SELECT coalesce(l.a, e.a) AS a, coalesce(l.b, e.b) AS b,
+             l.a IS NOT NULL AS lexical, e.a IS NOT NULL AS semantic
+      FROM lex l FULL OUTER JOIN emb e ON e.a = l.a AND e.b = l.b
+    )
+    SELECT lexical, semantic, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM u GROUP BY lexical, semantic
+    """,
+    doc="Dedup-signal AGREEMENT analysis — the validation step before "
+    "trusting any single near-dup detector: candidate pairs flagged by "
+    "the LEXICAL signal (char-3-gram Jaccard >= 0.65, "
+    "dedup_ngram_jaccard) are cross-tabulated against pairs flagged by "
+    "the SEMANTIC signal (embedding cosine >= 0.4, "
+    "dedup_embedding_cosine; vec_id == doc_id in the fixture), via a "
+    "full outer join on the pair key.  lexical-only pairs are "
+    "surface-level dups (templates/boilerplate), semantic-only pairs "
+    "are paraphrases lexical dedup misses — the quadrant sizes are "
+    "exactly what decides whether a corpus needs SemDeDup on top of "
+    "MinHash (Abbas et al.'s motivating measurement).  Both signal "
+    "plans are the documented candidate-limited shapes; the agreement "
+    "join keys on (a, b) pairs — tiny.",
+)
+def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.65).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.lit(True).alias("lex")
+    )
+    emb = dedup_embedding_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), F.lit(True).alias("sem")
+    )
+    u = lex.join(emb, ["a", "b"], "full_outer").select(
+        F.col("lex").isNotNull().alias("lexical"),
+        F.col("sem").isNotNull().alias("semantic"),
+    )
+    return u.groupBy("lexical", "semantic").agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -247,6 +247,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_attribution_linear",
     "dq_sequence_gaps",
     "fn_xpath_extract",
+    "dedup_signal_agreement",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
