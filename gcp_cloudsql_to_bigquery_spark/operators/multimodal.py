@@ -578,3 +578,62 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, n_samples bigint, peak bigint, mean_abs bigint, "
         "zero_crossings bigint, dominant_hz bigint",
     )
+
+
+@register(
+    "multimodal_image_histogram",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             n_chars % 64 + 8 AS w,
+             doc_id % 48 + 8 AS h
+      FROM documents
+    )
+    SELECT d.doc_id, b.b AS bucket,
+           CAST(least(greatest(h - 16 * b.b, 0), 16) * w AS BIGINT) AS n_px
+    FROM dims d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) b
+    WHERE least(greatest(h - 16 * b.b, 0), 16) > 0
+    """,
+    doc="Per-image intensity HISTOGRAM over real decoded pixels — the "
+    "second-stage image kernel after decode (exposure/contrast QA, the "
+    "image analog of multimodal_audio_spectral): the green plane of "
+    "each P6 image is bucketed into 16-value intensity bins with a "
+    "numpy bincount inside the same mapInPandas Arrow pipeline as the "
+    "decoder.  The fixture's green plane is the vertical gradient "
+    "y=0..h-1, so every bucket count has the CLOSED FORM "
+    "clamp(h-16b, 0, 16)*w that the oracle derives arithmetically from "
+    "the base table — any histogram-kernel bug (off-by-one bin edges, "
+    "plane confusion, reshape order) breaks the hash.  Empty buckets "
+    "are dropped on both sides.  Scale: narrow per-row kernel, "
+    "payload never shuffles; histograms are mergeable integer vectors.",
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    def hist_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "bucket": [], "n_px": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = re.match(rb"P6\n(\d+) (\d+)\n255\n", payload)
+                if not m:
+                    raise ValueError(f"doc {doc_id}: not a canonical P6 header")
+                w, h = int(m.group(1)), int(m.group(2))
+                px = np.frombuffer(payload[m.end():], dtype=np.uint8)
+                if px.size != w * h * 3:
+                    raise ValueError(f"doc {doc_id}: pixel buffer size mismatch")
+                g = px.reshape(h, w, 3)[:, :, 1]
+                counts = np.bincount(g.ravel() // 16, minlength=16)
+                for b in range(16):
+                    if counts[b] > 0:
+                        out["doc_id"].append(doc_id)
+                        out["bucket"].append(b)
+                        out["n_px"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = docs.mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
+    return media.mapInPandas(
+        hist_batch, schema="doc_id bigint, bucket int, n_px bigint"
+    )

@@ -248,6 +248,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "dq_sequence_gaps",
     "fn_xpath_extract",
     "dedup_signal_agreement",
+    "multimodal_image_histogram",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
