@@ -577,7 +577,7 @@ def ts_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cum AS (
       SELECT event_type, c,
-             CAST(min(c) OVER w AS BIGINT) AS floor_c
+             least(CAST(min(c) OVER w AS BIGINT), 0) AS floor_c
       FROM c1
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
     )
@@ -591,7 +591,7 @@ def ts_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Change-point detection via Page's one-sided CUSUM — the "
     "sequential drift detector (S_t = max(0, S_{t-1} + x_t - target)) "
     "re-expressed DECLARATIVELY: the reset-at-zero recurrence equals "
-    "cumsum(dev) - running_min(cumsum(dev)), two stacked window "
+    "cumsum(dev) - min(0, running_min(cumsum(dev))), two stacked window "
     "functions over ONE (series, time) window spec — no recursion, no "
     "UDF, one shuffle; this identity is what makes CUSUM runnable as a "
     "plain windowed query at 100 TB.  Target = per-series exact median "
@@ -621,7 +621,13 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
         F.sum("dev2").over(w).alias("c"),
-    ).select("event_type", "c", F.min("c").over(w).alias("floor_c"))
+    ).select(
+        "event_type",
+        "c",
+        # the running min must include the EMPTY prefix (0): Page's
+        # recurrence starts at S_0 = 0, so S_t = C_t - min(0, min_j C_j)
+        F.least(F.min("c").over(w), F.lit(0)).alias("floor_c"),
+    )
     stat = F.col("c") - F.col("floor_c")
     return cum.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
