@@ -107,3 +107,86 @@ def test_moving_median_matches_bruteforce(spark):
             assert got[(etype, pts[i][0])] == med2
             n_checked += 1
     assert n_checked > 0
+
+
+def test_autocorrelation_matches_numpy(spark):
+    import numpy as np
+
+    hourly = {}
+    for r in load(spark, SF, "events").select("event_type", "ts", "value").collect():
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        k = (r["event_type"], h)
+        hourly[k] = hourly.get(k, 0) + _cents(r["value"])
+    series = {}
+    for (etype, h), c in hourly.items():
+        series.setdefault(etype, []).append((h, c))
+    got = {
+        (r["event_type"], r["lag"]): r["acf_x1e6"]
+        for r in queries()["ts_autocorrelation"](spark, SF).collect()
+    }
+    for etype, pts in series.items():
+        pts.sort()
+        xs = np.array([c for _, c in pts], dtype=float)
+        for k in (1, 24):
+            if len(xs) <= k:
+                continue
+            r = np.corrcoef(xs[k:], xs[:-k])[0, 1]
+            assert abs(got[(etype, k)] - math.floor(r * 1e6 + 0.5)) <= 1, (etype, k)
+
+
+def test_trending_decayed_matches_direct_sum(spark):
+    rows = load(spark, SF, "events").select("event_type", "ts").collect()
+    t_now = max(r["ts"] for r in rows)
+    expect = {}
+    for r in rows:
+        age_us = (t_now - r["ts"]).total_seconds() * 1e6
+        w = math.floor(2.0 ** (-(age_us / 604800000000.0)) * 1e9 + 0.5)
+        expect[r["event_type"]] = expect.get(r["event_type"], 0) + w
+    got = {
+        r["event_type"]: r["decayed_count_x1e9"]
+        for r in queries()["analytics_trending_decayed"](spark, SF).collect()
+    }
+    for etype, total in expect.items():
+        # per-term quantization is exact; allow <= n ulp slack for the
+        # float age computation difference (timedelta vs unix_micros)
+        assert abs(got[etype] - total) <= 5, etype
+
+
+def test_dsir_score_replicates_for_one_doc(spark):
+    import hashlib
+
+    docs = load(spark, SF, "documents").select("doc_id", "lang", "text").collect()
+
+    def buckets(text):
+        out = []
+        for w in text.lower().split(" "):
+            if w:
+                out.append(int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 1024)
+        return out
+
+    ct, cr = {}, {}
+    for r in docs:
+        tgt = r["lang"] == "en"
+        for b in buckets(r["text"]):
+            (ct if tgt else cr)[b] = (ct if tgt else cr).get(b, 0) + 1
+    t, rsum = sum(ct.values()), sum(cr.values())
+    lr = {}
+    for b in set(ct) | set(cr):
+        lr[b] = math.floor(
+            (
+                math.log((ct.get(b, 0) + 0.5) / (t + 512.0))
+                - math.log((cr.get(b, 0) + 0.5) / (rsum + 512.0))
+            )
+            * 1e6
+            + 0.5
+        )
+    got = {r["doc_id"]: r for r in queries()["curation_importance_resampling"](spark, SF).collect()}
+    assert got, "selection must be non-empty"
+    checked = 0
+    for r in docs:
+        if r["lang"] == "en" or r["doc_id"] not in got:
+            continue
+        score = sum(lr[b] for b in buckets(r["text"]))
+        assert got[r["doc_id"]]["score_fp"] == score, r["doc_id"]
+        checked += 1
+    assert checked > 0
