@@ -639,3 +639,69 @@ def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nxt") - 1).alias("gap_end"),
         (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("n_missing"),
     )
+
+
+@register(
+    "sec_row_column_policies",
+    oracle="""
+    WITH policy AS (
+      SELECT 'tenant_a' AS tenant, 0 AS nation UNION ALL
+      SELECT 'tenant_a', 1 UNION ALL SELECT 'tenant_a', 2 UNION ALL
+      SELECT 'tenant_b', 3 UNION ALL SELECT 'tenant_b', 4
+    ),
+    visible AS (
+      SELECT p.tenant, c.c_custkey, c.c_nationkey, c.c_name, c.c_acctbal,
+             c.c_mktsegment
+      FROM customer c JOIN policy p ON p.nation = c.c_nationkey
+    )
+    SELECT tenant, c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+           CASE WHEN tenant = 'tenant_b'
+                THEN 'Customer#' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                ELSE c_name END AS name,
+           CASE WHEN tenant = 'tenant_b' THEN NULL
+                ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS bal_cents,
+           substr(c_mktsegment, 1, 2) || repeat('*', length(c_mktsegment) - 2)
+             AS segment_masked
+    FROM visible
+    WHERE c_custkey % 5 = 0
+    """,
+    doc="Row- AND column-level security policies as data — the "
+    "governance layer (Ranger/Unity-style) the reference delegates to "
+    "BigQuery IAM: a policy table grants each tenant a set of nations "
+    "(ROW filter = policy join — at scale a broadcast semi-join the "
+    "optimizer pushes below everything), and per-tenant COLUMN rules "
+    "apply pseudonymization (fn_pseudonymize_consistent's salted "
+    "digest) and nulling to the restricted tenant while the trusted "
+    "tenant sees cleartext; prefix-preserving segment masking applies to everyone.  "
+    "The same query text serves every tenant — policy changes are "
+    "row edits, not view rewrites.  All transforms deterministic.",
+)
+def sec_row_column_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    policy = spark.createDataFrame(
+        [("tenant_a", 0), ("tenant_a", 1), ("tenant_a", 2), ("tenant_b", 3), ("tenant_b", 4)],
+        "tenant string, nation int",
+    )
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 == 0)
+    visible = c.join(F.broadcast(policy), policy.nation == c.c_nationkey)
+    name = F.when(
+        F.col("tenant") == "tenant_b",
+        F.concat(
+            F.lit("Customer#"),
+            F.substring(F.md5(F.col("c_custkey").cast("string").cast("binary")), 1, 8),
+        ),
+    ).otherwise(F.col("c_name"))
+    bal = F.when(
+        F.col("tenant") == "tenant_b", F.lit(None).cast("bigint")
+    ).otherwise(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"))
+    seg = F.concat(
+        F.substring("c_mktsegment", 1, 2),
+        F.repeat(F.lit("*"), F.length("c_mktsegment") - 2),
+    )
+    return visible.select(
+        "tenant",
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("nation"),
+        name.alias("name"),
+        bal.alias("bal_cents"),
+        seg.alias("segment_masked"),
+    )

@@ -144,7 +144,12 @@ _GATE_FRONT: tuple[str, ...] = (
     # --- 6: late round-5 additions, pinned at positions 51+ — the FRONT
     # of next round's rotation (the 50-slot prefix is already full of
     # first-green candidates; these are selfcheck-green at two SFs and
-    # queue in recency order instead of module-import order) ---
+    # queue in recency order instead of module-import order).  The queue
+    # grew all session (SQL surface, DSIR/SemDeDup/containment curation,
+    # range joins, statistical kernels, streaming folds, governance) —
+    # every entry below is oracle-backed and full-selfcheck-green; the
+    # expensive graph/Jaccard entries (kcore, bfs, signal agreement,
+    # dedup pipeline) sit late so cheap first-green rows rotate first ---
     "ts_seasonal_profile",
     "analytics_cohort_ltv",
     "join_asof_nearest",
@@ -249,6 +254,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_xpath_extract",
     "dedup_signal_agreement",
     "multimodal_image_histogram",
+    "sec_row_column_policies",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
