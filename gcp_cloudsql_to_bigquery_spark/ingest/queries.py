@@ -469,3 +469,92 @@ def elt_right_to_erasure(spark, sf_dir):
         )
 
     return audit("events", ev, ev_after).unionByName(audit("orders", orders, ord_after))
+
+
+@register(
+    "elt_write_audit_publish",
+    oracle="""
+    WITH loaded AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders WHERE o_orderstatus <> 'P'
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n, cents,
+           CAST(2 AS BIGINT) AS published_version,
+           true AS audit_passed
+    FROM loaded
+    """,
+    doc="Write-Audit-Publish — the lakehouse deployment pattern (Iceberg "
+    "WAP / Delta shallow-clone promote): each load lands in an "
+    "UNPUBLISHED versioned directory, a declarative audit runs against "
+    "the staged version (row count > 0, no NULL keys, no duplicate "
+    "primary keys — dq_data_contract rules), and only on audit success "
+    "does the POINTER file atomically advance — readers resolve the "
+    "pointer and can never observe a half-loaded or audit-failing "
+    "version.  The fixture publishes v1 (full), then stages v2 (a "
+    "filtered reload) which passes audit and publishes; a deliberately "
+    "corrupt v3 (duplicated keys) FAILS audit and the pointer provably "
+    "still serves v2 — the query returns v2's aggregate with the "
+    "version stamp.  Atomicity via os.replace of the one-line pointer "
+    "(POSIX rename) — the same contract a catalog commit provides.",
+)
+def elt_write_audit_publish(spark, sf_dir):
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..catalog import load
+
+    root = tempfile.mkdtemp(prefix="wap_")
+    pointer = os.path.join(root, "CURRENT")
+
+    def publish(version: int) -> None:
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, pointer)  # atomic pointer swap
+
+    def audit(df) -> bool:
+        checks = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("null_keys"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("dup_keys"),
+        ).collect()[0]
+        return checks["n"] > 0 and checks["null_keys"] == 0 and checks["dup_keys"] == 0
+
+    def write_stage(df, version: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(root, f"v{version}"))
+
+    def stage_audit_publish(df, version: int) -> bool:
+        write_stage(df, version)
+        staged = spark.read.parquet(os.path.join(root, f"v{version}"))
+        if audit(staged):
+            publish(version)
+            return True
+        return False  # pointer untouched — readers keep the old version
+
+    o = load(spark, sf_dir, "orders")
+    ok1 = stage_audit_publish(o, 1)
+    ok2 = stage_audit_publish(o.filter(F.col("o_orderstatus") != "P"), 2)
+    corrupt = o.limit(500).unionAll(o.limit(500))  # duplicate keys on purpose
+    ok3 = stage_audit_publish(corrupt, 3)
+    if not (ok1 and ok2) or ok3:
+        raise RuntimeError(f"WAP protocol violated: {ok1}, {ok2}, {ok3}")
+
+    with open(pointer) as fh:
+        current = int(fh.read().strip())
+    published = spark.read.parquet(os.path.join(root, f"v{current}"))
+    return published.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias("cents"),
+    ).select(
+        "o_orderpriority",
+        "n",
+        "cents",
+        F.lit(current).cast("bigint").alias("published_version"),
+        F.lit(True).alias("audit_passed"),
+    )
