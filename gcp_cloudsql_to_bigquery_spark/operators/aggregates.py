@@ -1208,3 +1208,113 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_x1e6"),
         )
     )
+
+
+@register(
+    "agg_bootstrap_poisson_ci",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    reps AS (SELECT unnest(range(0, 32)) AS rep),
+    drawn AS (
+      SELECT r.rep, p.cents,
+             CASE
+               WHEN CAST('0x' || substr(md5('boot:' || CAST(r.rep AS VARCHAR)
+                    || ':' || CAST(p.event_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 1000000 < 367879 THEN 0
+               WHEN CAST('0x' || substr(md5('boot:' || CAST(r.rep AS VARCHAR)
+                    || ':' || CAST(p.event_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 1000000 < 735759 THEN 1
+               WHEN CAST('0x' || substr(md5('boot:' || CAST(r.rep AS VARCHAR)
+                    || ':' || CAST(p.event_id AS VARCHAR)), 1, 8) AS BIGINT)
+                    % 1000000 < 919699 THEN 2
+               ELSE 3
+             END AS k
+      FROM pts p CROSS JOIN reps r
+    ),
+    repmeans AS (
+      SELECT rep,
+             CAST(floor(CAST(sum(k * cents) AS DOUBLE) / sum(k) * 1000 + 0.5)
+                  AS BIGINT) AS mean_millicents
+      FROM drawn GROUP BY rep HAVING sum(k) > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+           CAST(min(mean_millicents) AS BIGINT) AS lo_extreme,
+           CAST(quantile_disc(mean_millicents, 0.05) AS BIGINT) AS ci_lo,
+           CAST(quantile_disc(mean_millicents, 0.95) AS BIGINT) AS ci_hi,
+           CAST(max(mean_millicents) AS BIGINT) AS hi_extreme
+    FROM repmeans
+    """,
+    doc="Poisson bootstrap confidence interval — THE distributed "
+    "bootstrap (Chamandy et al., Google 2012): classical resampling "
+    "needs n draws WITH replacement from the full dataset (impossible "
+    "across partitions), but drawing each row's multiplicity "
+    "independently as Poisson(1) needs only per-row randomness, so 32 "
+    "replica means materialize in ONE pass (row x replica fan-out, "
+    "partial-agged).  Randomness is md5-derived and quantized to exact "
+    "ppm thresholds of the Poisson pmf (P(0)=P(1)=.367879, "
+    "P(2)=.183940, tail folded into k=3), making every replica "
+    "deterministic and the oracle exact.  The 90% CI is read from "
+    "percentile_disc over replica means.  Per-replica means are "
+    "1e-3-quantized from exact integer sums.  The pattern every "
+    "A/B-test error bar at 100 TB actually uses.",
+)
+def agg_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"))
+    )
+    reps = spark.range(32).select(F.col("id").cast("int").alias("rep"))
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot:"),
+                        F.col("rep").cast("string"),
+                        F.lit(":"),
+                        F.col("event_id").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    k = (
+        F.when(h < 367879, 0)
+        .when(h < 735759, 1)
+        .when(h < 919699, 2)
+        .otherwise(3)
+    )
+    drawn = pts.crossJoin(F.broadcast(reps)).select("rep", "cents", k.alias("k"))
+    repmeans = (
+        drawn.groupBy("rep")
+        .agg(
+            F.sum(F.col("k") * F.col("cents")).alias("ks"),
+            F.sum("k").alias("kn"),
+        )
+        .filter(F.col("kn") > 0)
+        .select(
+            F.floor(F.col("ks").cast("double") / F.col("kn") * 1000 + 0.5)
+            .cast("bigint")
+            .alias("mean_millicents")
+        )
+    )
+    return repmeans.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.min("mean_millicents").alias("lo_extreme"),
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY mean_millicents)")
+        .cast("bigint")
+        .alias("ci_lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY mean_millicents)")
+        .cast("bigint")
+        .alias("ci_hi"),
+        F.max("mean_millicents").alias("hi_extreme"),
+    )
