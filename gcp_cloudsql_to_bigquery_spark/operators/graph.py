@@ -661,3 +661,130 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited.select(F.col("node").alias("doc_id"), "depth")
+
+
+def _walk_oracle(steps: int = 4) -> str:
+    parts = [
+        """WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_partkey % 10 = 0
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS cooc
+      FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION SELECT pb, pa FROM pairs
+    ),
+    w0 AS MATERIALIZED (
+      SELECT DISTINCT src AS walk_id, 0 AS step, src AS node
+      FROM und WHERE src % 50 = 0
+    ),"""
+    ]
+    for i in range(1, steps + 1):
+        prev = f"w{i-1}"
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+      SELECT w.walk_id, {i} AS step, u.dst AS node,
+             row_number() OVER (
+               PARTITION BY w.walk_id
+               ORDER BY md5('walk:' || CAST(w.walk_id AS VARCHAR) || ':'
+                            || CAST({i} AS VARCHAR) || ':'
+                            || CAST(u.src AS VARCHAR) || ':'
+                            || CAST(u.dst AS VARCHAR))) AS rn
+      FROM {prev} w JOIN und u ON u.src = w.node
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT walk_id, step, node FROM s{i} WHERE rn = 1
+    ),"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT walk_id, step, node FROM w{i}" for i in range(steps + 1)
+    )
+    parts.append(
+        f"""all_steps AS ({union})
+    SELECT walk_id, CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node
+    FROM all_steps"""
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_random_walk",
+    oracle=_walk_oracle(),
+    doc="Deterministic random walks (DeepWalk/node2vec data prep): one "
+    "4-step walk per seed part over the co-purchase graph, where each "
+    "step's neighbor choice is the md5-argmin over (walk, step, "
+    "current, neighbor) — a pseudo-random but REPLAYABLE policy, which "
+    "is exactly what production walk engines use (seeded per-walk "
+    "hashing) so that embeddings are reproducible and the EXACT oracle "
+    "can replay every choice.  Walk corpora feed skip-gram training — "
+    "the graph-embedding analog of the text pipeline.  Scale shape: "
+    "each step is ONE equi-join of the frontier (one row per live "
+    "walk) against the edge list keyed on the current node + a "
+    "per-walk argmin — no state beyond the frontier, lineage truncated "
+    "per step (the PageRank/BFS discipline); billions of walks are "
+    "just more frontier rows.  Dead-end walks simply stop (inner "
+    "join).  Integer node ids throughout.",
+)
+def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    STEPS = 4
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    und = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = (
+        und.select(F.col("src").alias("walk_id"))
+        .filter(F.col("walk_id") % 50 == 0)
+        .distinct()
+        .select("walk_id", F.lit(0).alias("step"), F.col("walk_id").alias("node"))
+        .localCheckpoint()
+    )
+    out = frontier
+    for i in range(1, STEPS + 1):
+        h = F.md5(
+            F.concat(
+                F.lit("walk:"),
+                F.col("walk_id").cast("string"),
+                F.lit(":"),
+                F.lit(str(i)),
+                F.lit(":"),
+                F.col("src").cast("string"),
+                F.lit(":"),
+                F.col("dst").cast("string"),
+            ).cast("binary")
+        )
+        w = W.partitionBy("walk_id").orderBy("h")
+        frontier = (
+            frontier.join(und, frontier.node == und.src)
+            .select("walk_id", "src", "dst", h.alias("h"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("walk_id", F.lit(i).alias("step"), F.col("dst").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(frontier)
+    return out.select(
+        "walk_id", F.col("step").cast("bigint").alias("step"), F.col("node").cast("bigint").alias("node")
+    )

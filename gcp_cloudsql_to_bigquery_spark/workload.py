@@ -257,6 +257,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "sec_row_column_policies",
     "elt_write_audit_publish",
     "agg_bootstrap_poisson_ci",
+    "graph_random_walk",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
