@@ -983,3 +983,75 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("novelty_ppm"),
     )
+
+
+@register(
+    "text_skipgram_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, i.i AS pos, string_split(lower(text), ' ')[i.i] AS w
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS i) i
+      WHERE doc_id % 25 = 0 AND string_split(lower(text), ' ')[i.i] <> ''
+    ),
+    pairs AS (
+      SELECT c.doc_id, c.w AS center, x.w AS context,
+             x.pos - c.pos AS offset
+      FROM tok c JOIN tok x
+        ON x.doc_id = c.doc_id AND x.pos <> c.pos
+       AND x.pos BETWEEN c.pos - 2 AND c.pos + 2
+    )
+    SELECT center, context,
+           CAST(count(*) AS BIGINT) AS n_cooc,
+           CAST('0x' || substr(md5('neg:' || center || '|' || context), 1, 4)
+                AS BIGINT) % 5 = 0 AS in_negative_shard
+    FROM pairs GROUP BY center, context
+    """,
+    doc="Skip-gram training-pair generation — word2vec/fastText data "
+    "prep, and with graph_random_walk's node sequences, DeepWalk's "
+    "too: every (center, context) token pair within a +-2 window, "
+    "aggregated to co-occurrence counts (the input to SGNS or to a "
+    "PMI/GloVe factorization), plus a DETERMINISTIC 20% negative-"
+    "sampling shard assignment via pair digest (reproducible across "
+    "epochs/engines — rand() is neither).  Scale shape: the window "
+    "pairing is a positional SELF-JOIN bounded to 4 partners per "
+    "token (never all-pairs), the count reduce is partial-agged on "
+    "the pair key, and the (vocab x window)-bounded pair table is "
+    "what ships to training.  A doc_id%25 slice keeps the gate cheap; "
+    "the plan is slice-invariant.",
+)
+def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    tok = (
+        d.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "w"))
+        .filter(F.col("w") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    )
+    c, x = tok.alias("c"), tok.alias("x")
+    pairs = c.join(
+        x,
+        (F.col("x.doc_id") == F.col("c.doc_id"))
+        & (F.col("x.pos") != F.col("c.pos"))
+        & (F.col("x.pos") >= F.col("c.pos") - 2)
+        & (F.col("x.pos") <= F.col("c.pos") + 2),
+    ).select(F.col("c.w").alias("center"), F.col("x.w").alias("context"))
+    neg = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg:"), F.col("center"), F.lit("|"), F.col("context")
+                    ).cast("binary")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 5
+        == 0
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n_cooc")
+    ).withColumn("in_negative_shard", neg)

@@ -258,6 +258,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "elt_write_audit_publish",
     "agg_bootstrap_poisson_ci",
     "graph_random_walk",
+    "text_skipgram_pairs",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
