@@ -771,3 +771,88 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_pairs"),
         F.floor(r * 1e6 + 0.5).cast("bigint").alias("acf_x1e6"),
     )
+
+
+@register(
+    "ts_anomaly_seasonal_residual",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    trend AS (
+      SELECT event_type, h, cents,
+             CAST(sum(cents) OVER w AS BIGINT) AS wsum,
+             CAST(count(*) OVER w AS BIGINT) AS wn
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    resid AS (
+      SELECT event_type, h,
+             cents - CAST((2 * wsum + wn) // (2 * wn) AS BIGINT) AS r
+      FROM trend WHERE wn = 25
+    ),
+    rmad AS (
+      SELECT event_type,
+             CAST(2 * median(r) AS BIGINT) AS rmed2
+      FROM resid GROUP BY event_type
+    ),
+    dev AS (
+      SELECT r.event_type, r.h, r.r, abs(2 * r.r - m.rmed2) AS d2
+      FROM resid r JOIN rmad m ON m.event_type = r.event_type
+    ),
+    dmad AS (
+      SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS mad4
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.h, d.r AS residual_cents
+    FROM dev d JOIN dmad a ON a.event_type = d.event_type
+    WHERE 2 * d.d2 > 6 * a.mad4
+    """,
+    doc="Seasonal-residual anomaly detection — the composition the "
+    "individual kernels exist FOR: detrend with the centered moving "
+    "average (ts_ma_decompose's trend), then flag hours whose residual "
+    "deviates from the residual median by more than 6x the residual "
+    "MAD (ts_outlier_mad's doubled-units integer discipline, threshold "
+    "doubled vs the raw-value screen because residuals are already "
+    "centered).  This is the production anomaly detector shape "
+    "(decompose -> robust threshold) that neither raw z-scores (trend "
+    "pollutes) nor raw MAD (seasonality pollutes) gets right.  One "
+    "window pass + two grouped medians + broadcast joins of 5-row "
+    "tables; all arithmetic exact integers.",
+)
+def ts_anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents"))
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(-12, 12)
+    trend = hourly.select(
+        "event_type",
+        "h",
+        "cents",
+        F.sum("cents").over(w).alias("wsum"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    ).filter(F.col("wn") == 25)
+    resid = trend.select(
+        "event_type",
+        "h",
+        (F.col("cents") - F.expr("(2 * wsum + wn) div (2 * wn)")).alias("r"),
+    )
+    rmad = resid.groupBy("event_type").agg(
+        (2 * F.median("r")).cast("bigint").alias("rmed2")
+    )
+    dev = resid.join(F.broadcast(rmad), "event_type").select(
+        "event_type", "h", "r", F.abs(2 * F.col("r") - F.col("rmed2")).alias("d2")
+    )
+    dmad = dev.groupBy("event_type").agg(
+        (2 * F.median("d2")).cast("bigint").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(dmad), "event_type")
+        .filter(2 * F.col("d2") > 6 * F.col("mad4"))
+        .select("event_type", "h", F.col("r").alias("residual_cents"))
+    )

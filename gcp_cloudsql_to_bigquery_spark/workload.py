@@ -259,6 +259,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_bootstrap_poisson_ci",
     "graph_random_walk",
     "text_skipgram_pairs",
+    "ts_anomaly_seasonal_residual",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
