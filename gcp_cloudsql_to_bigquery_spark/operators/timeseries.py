@@ -837,11 +837,15 @@ def ts_anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).alias("wsum"),
         F.count(F.lit(1)).over(w).alias("wn"),
     ).filter(F.col("wn") == 25)
+    # resid feeds THREE consumers (rmad -> dev -> dmad -> final filter);
+    # without truncation Catalyst re-expands the scan+regrain+window
+    # subtree once per consumer (4 windows in the physical plan).  The
+    # residual table is hourly-sized — checkpoint it once.
     resid = trend.select(
         "event_type",
         "h",
         (F.col("cents") - F.expr("(2 * wsum + wn) div (2 * wn)")).alias("r"),
-    )
+    ).localCheckpoint()
     rmad = resid.groupBy("event_type").agg(
         (2 * F.median("r")).cast("bigint").alias("rmed2")
     )

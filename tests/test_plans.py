@@ -383,3 +383,32 @@ def test_new_vs_returning_two_fact_passes_only(spark):
     df = queries()["analytics_new_vs_returning"](spark, "/root/testdata/sf0.001")
     plan = physical_plan(df)
     assert plan.count("FileScan") <= 2, plan
+
+
+def test_bootstrap_single_fact_scan(spark):
+    """The Poisson bootstrap's whole point: 32 replicas from ONE pass —
+    one fact scan fanned out by a broadcast replica table."""
+    df = queries()["agg_bootstrap_poisson_ci"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_skipgram_window_join_not_cartesian(spark):
+    """The +-2 window pairing must plan as an equi-join on doc_id with the
+    positional band as a post-condition — never a cartesian product."""
+    df = queries()["text_skipgram_pairs"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_seasonal_residual_computes_residuals_once(spark):
+    """The residual table feeds three consumers; it must be truncated
+    (checkpointed) so the scan+regrain+window subtree is NOT re-expanded
+    per consumer — the final plan reads the materialized hourly-sized
+    table and contains zero windows and zero file scans."""
+    df = queries()["ts_anomaly_seasonal_residual"](spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert plan.count("Window") == 0, plan
+    assert plan.count("FileScan") == 0, plan
+    assert "ExistingRDD" in plan, plan
