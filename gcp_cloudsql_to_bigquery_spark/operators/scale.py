@@ -270,3 +270,148 @@ def scale_hash_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (chi2 < 111000).alias("uniform_at_p001"),
         )
     )
+
+
+@register(
+    "scale_bloom_semi_join",
+    oracle="""
+    WITH members AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey % 5 = 1
+    ),
+    mbits AS (
+      SELECT h.i,
+             CAST('0x' || substr(md5(CAST(m.k AS VARCHAR) || ':' ||
+                  CAST(h.i AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM members m CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) h
+    ),
+    filt AS (
+      SELECT CAST((hv // 63) % 64 AS BIGINT) AS lane,
+             CAST(bit_or(CAST(1 AS BIGINT) << CAST(hv % 63 AS INT)) AS BIGINT)
+               AS lane_bits
+      FROM mbits GROUP BY 1
+    ),
+    fact AS (
+      SELECT l_orderkey, l_linenumber, o_custkey AS k,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    ),
+    fbits AS (
+      SELECT f.l_orderkey, f.l_linenumber, f.k, f.cents, h.i,
+             CAST('0x' || substr(md5(CAST(f.k AS VARCHAR) || ':' ||
+                  CAST(h.i AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+      FROM fact f CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) h
+    ),
+    survived AS (
+      SELECT b.l_orderkey, b.l_linenumber, b.k, b.cents
+      FROM fbits b
+      JOIN filt fl ON fl.lane = CAST((b.hv // 63) % 64 AS BIGINT)
+      WHERE (fl.lane_bits & (CAST(1 AS BIGINT) << CAST(b.hv % 63 AS INT))) <> 0
+      GROUP BY b.l_orderkey, b.l_linenumber, b.k, b.cents
+      HAVING count(*) = 3
+    ),
+    exact AS (
+      SELECT s.cents FROM survived s JOIN members m ON m.k = s.k
+    ),
+    truth AS (
+      SELECT f.cents FROM fact f JOIN members m ON m.k = f.k
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM fact)     AS n_fact,
+           (SELECT CAST(count(*) AS BIGINT) FROM survived) AS n_after_bloom,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact)    AS n_exact,
+           (SELECT CAST(count(*) AS BIGINT) FROM exact)
+             = (SELECT CAST(count(*) AS BIGINT) FROM truth) AS lossless,
+           (SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) FROM exact)
+             AS revenue_cents
+    FROM (SELECT 1)
+    """,
+    doc="Bloom filter APPLIED as a semi-join accelerator — the complete "
+    "two-stage pattern runtime filtering implements under the hood "
+    "(and scale_bloom_filter_audit measures in isolation): the "
+    "dimension's key set compiles to the 64-lane filter, fact rows are "
+    "pre-screened by 3 broadcast-hash-lookup bit tests (killing most "
+    "non-matches before the shuffle), and the surviving sliver still "
+    "flows through the EXACT semi-join — so the result is provably "
+    "identical to the unfiltered join (the query emits that equality "
+    "as the 'lossless' boolean; false positives only cost work, never "
+    "correctness, and false negatives cannot exist).  The output "
+    "records the funnel: |fact| -> after-bloom -> exact.  At 100 TB "
+    "the filter build is dimension-scan-sized, the probe is "
+    "scan-speed, and shuffle volume drops by the pruned fraction.",
+)
+def scale_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 5 == 1)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", F.col("o_custkey").alias("k"))
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "k", "cents"
+    )
+    hashes = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+
+    def hv(kcol):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(kcol.cast("string"), F.lit(":"), F.col("i").cast("string")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    mbits = members.select("k", hashes).select(hv(F.col("k")).alias("hv"))
+    filt = mbits.select(
+        F.expr("(hv div 63) % 64").cast("bigint").alias("lane"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hv % 63 AS INT))").alias("mask"),
+    ).groupBy("lane").agg(F.bit_or("mask").alias("lane_bits"))
+    fbits = fact.select("l_orderkey", "l_linenumber", "k", "cents", hashes).select(
+        "l_orderkey", "l_linenumber", "k", "cents", hv(F.col("k")).alias("hv")
+    )
+    probed = fbits.join(
+        F.broadcast(filt),
+        F.col("lane") == F.expr("CAST((hv div 63) % 64 AS BIGINT)"),
+    ).filter(
+        F.col("lane_bits").bitwiseAND(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(hv % 63 AS INT))")
+        )
+        != 0
+    )
+    survived = (
+        probed.groupBy("l_orderkey", "l_linenumber", "k", "cents")
+        .agg(F.count(F.lit(1)).alias("nbits"))
+        .filter(F.col("nbits") == 3)
+        .drop("nbits")
+    )
+    exact = survived.join(members, "k", "left_semi")
+    truth = fact.join(members, "k", "left_semi")
+    n_fact = fact.agg(F.count(F.lit(1)).alias("n_fact"))
+    n_bloom = survived.agg(F.count(F.lit(1)).alias("n_after_bloom"))
+    ex = exact.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("revenue_cents"),
+    )
+    tr = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        n_fact.crossJoin(F.broadcast(n_bloom))
+        .crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "n_fact",
+            "n_after_bloom",
+            "n_exact",
+            (F.col("n_exact") == F.col("n_truth")).alias("lossless"),
+            "revenue_cents",
+        )
+    )

@@ -260,6 +260,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "graph_random_walk",
     "text_skipgram_pairs",
     "ts_anomaly_seasonal_residual",
+    "scale_bloom_semi_join",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
