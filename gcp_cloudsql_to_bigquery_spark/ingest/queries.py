@@ -558,3 +558,69 @@ def elt_write_audit_publish(spark, sf_dir):
         F.lit(current).cast("bigint").alias("published_version"),
         F.lit(True).alias("audit_passed"),
     )
+
+
+@register(
+    "elt_storage_tiering_plan",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(octet_length(CAST(props AS BLOB)) + 48) AS BIGINT) AS est_bytes
+      FROM events GROUP BY d
+    ),
+    anchor AS (SELECT max(d) AS newest FROM days)
+    SELECT CASE WHEN newest - d <= 7  THEN 'hot'
+                WHEN newest - d <= 21 THEN 'warm'
+                ELSE 'cold' END AS tier,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(est_bytes) AS BIGINT) AS est_bytes,
+           CAST(min(d) AS DATE) AS oldest_day,
+           CAST(max(d) AS DATE) AS newest_day
+    FROM days CROSS JOIN anchor
+    GROUP BY tier
+    """,
+    doc="Storage-tiering plan — the lifecycle policy the reference "
+    "expresses as a blunt 32-day GCS delete rule (main.tf:72-79), "
+    "upgraded to the hot/warm/cold layout decision every lakehouse "
+    "makes: day partitions classified by age against the newest "
+    "partition (hot <= 7d on NVMe/cache, warm <= 21d on standard, "
+    "cold beyond to archive/infrequent-access), each tier reporting "
+    "partition count, rows, and estimated bytes (per-row payload "
+    "octet_length + fixed column overhead — the same arithmetic a "
+    "catalog's stats would give).  The plan table drives the actual "
+    "data movement (partition-level copy + pointer update); computing "
+    "it is one partition-grain aggregate + a broadcast anchor.  Being "
+    "DATA, the policy is auditable and replayable — the step up from "
+    "fire-and-forget bucket lifecycle rules.",
+)
+def elt_storage_tiering_plan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import load
+
+    days = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.octet_length("props") + 48).cast("bigint").alias("est_bytes"),
+        )
+    )
+    anchor = days.agg(F.max("d").alias("newest"))
+    age = F.datediff(F.col("newest"), F.col("d"))
+    tier = (
+        F.when(age <= 7, "hot").when(age <= 21, "warm").otherwise("cold")
+    )
+    return (
+        days.crossJoin(F.broadcast(anchor))
+        .groupBy(tier.alias("tier"))
+        .agg(
+            F.count(F.lit(1)).alias("n_partitions"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("est_bytes").cast("bigint").alias("est_bytes"),
+            F.min("d").alias("oldest_day"),
+            F.max("d").alias("newest_day"),
+        )
+    )

@@ -261,6 +261,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "text_skipgram_pairs",
     "ts_anomaly_seasonal_residual",
     "scale_bloom_semi_join",
+    "elt_storage_tiering_plan",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
