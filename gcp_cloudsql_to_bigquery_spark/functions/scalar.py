@@ -678,3 +678,40 @@ def fn_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 20)
     )
+
+
+@register(
+    "fn_decimal_exact_money",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2))
+                              * CAST('1.0825' AS DECIMAL(6, 4))
+                              AS DECIMAL(28, 6))) AS DECIMAL(38, 6)) AS VARCHAR)
+             AS taxed_total_decimal
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="DECIMAL-exact money arithmetic — the correctness witness that "
+    "double math cannot give: each order total is cast to "
+    "DECIMAL(18,2), multiplied by an exact DECIMAL tax factor "
+    "(1.0825 — not representable in binary floating point), and "
+    "summed in DECIMAL(28,6) — every intermediate is exact base-10, "
+    "so Spark and DuckDB must agree to the last digit, serialized as "
+    "a string so no float ever touches the comparator.  This is the "
+    "ledger-grade path (the reference's five-type mapping routes "
+    "MySQL DECIMAL to BigQuery FLOAT64, a known money-corruption "
+    "footgun its own docs warn about; ingest/types.py's strict mode "
+    "maps to DecimalType for exactly this reason).  Decimal aggregates "
+    "partial-agg like any numeric at scale.",
+)
+def fn_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    taxed = (
+        F.col("o_totalprice").cast("decimal(18,2)")
+        * F.lit("1.0825").cast("decimal(6,4)")
+    ).cast("decimal(28,6)")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(taxed).cast("decimal(38,6)").cast("string").alias("taxed_total_decimal"),
+    )

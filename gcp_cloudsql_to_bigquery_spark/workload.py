@@ -262,6 +262,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_anomaly_seasonal_residual",
     "scale_bloom_semi_join",
     "elt_storage_tiering_plan",
+    "fn_decimal_exact_money",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
