@@ -188,3 +188,73 @@ def join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist2.cast("bigint").alias("dist2"),
         )
     )
+
+
+@register(
+    "geo_morton_rollup",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             (CAST('0x' || substr(md5('x' || CAST(c_custkey AS VARCHAR)), 1, 5)
+                   AS BIGINT) % 1024) // 4 AS x,
+             (CAST('0x' || substr(md5('y' || CAST(c_custkey AS VARCHAR)), 1, 5)
+                   AS BIGINT) % 1024) // 4 AS y
+      FROM customer
+    ),
+    coded AS (
+      SELECT k, x, y,
+             (((x >> 0) & 1) << 0) | (((y >> 0) & 1) << 1)
+           | (((x >> 1) & 1) << 2) | (((y >> 1) & 1) << 3)
+           | (((x >> 2) & 1) << 4) | (((y >> 2) & 1) << 5)
+           | (((x >> 3) & 1) << 6) | (((y >> 3) & 1) << 7)
+           | (((x >> 4) & 1) << 8) | (((y >> 4) & 1) << 9)
+           | (((x >> 5) & 1) << 10) | (((y >> 5) & 1) << 11)
+           | (((x >> 6) & 1) << 12) | (((y >> 6) & 1) << 13)
+           | (((x >> 7) & 1) << 14) | (((y >> 7) & 1) << 15) AS morton
+      FROM pts
+    )
+    SELECT CAST(morton >> 8 AS BIGINT) AS cell_coarse,
+           CAST(morton >> 4 AS BIGINT) AS cell_fine,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(min(k) AS BIGINT) AS sample_key
+    FROM coded
+    GROUP BY cell_coarse, cell_fine
+    HAVING count(*) >= 3
+    """,
+    doc="Multi-resolution spatial rollup via MORTON (Z-order) codes — "
+    "the geohash-style hierarchy: (x, y) bits interleaved into one "
+    "integer whose PREFIXES are the containing cells at every coarser "
+    "resolution, so a single groupBy on two right-shifts of the same "
+    "code yields aligned coarse(4x4-cell)/fine per-cell counts with "
+    "parent-child containment free (cell_fine >> 4 == cell_coarse by "
+    "construction — asserted in tests).  This prefix property is "
+    "exactly why Z-order is also the multi-column file LAYOUT "
+    "(sources/files.py's Z-order writer): spatial locality becomes "
+    "lexicographic locality.  Bit interleave is pure integer "
+    "shift/mask expressions — identical in both engines; coordinates "
+    "are the md5-derived grid of join_geo_radius, coarsened to 8 bits "
+    "per axis.  One partial-agged shuffle.",
+)
+def geo_morton_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        F.expr("(CAST(conv(substring(md5(concat('x', CAST(c_custkey AS STRING))), 1, 5), 16, 10) AS BIGINT) % 1024) div 4").alias("x"),
+        F.expr("(CAST(conv(substring(md5(concat('y', CAST(c_custkey AS STRING))), 1, 5), 16, 10) AS BIGINT) % 1024) div 4").alias("y"),
+    )
+    morton = None
+    for i in range(8):
+        xbit = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(F.lit(1)), 2 * i)
+        ybit = F.shiftleft(F.shiftright(F.col("y"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = xbit.bitwiseOR(ybit)
+        morton = term if morton is None else morton.bitwiseOR(term)
+    coded = pts.select("k", morton.alias("morton"))
+    return (
+        coded.groupBy(
+            F.shiftright("morton", 8).cast("bigint").alias("cell_coarse"),
+            F.shiftright("morton", 4).cast("bigint").alias("cell_fine"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_points"), F.min("k").alias("sample_key"))
+        .filter(F.col("n_points") >= 3)
+    )

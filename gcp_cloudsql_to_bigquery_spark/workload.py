@@ -263,6 +263,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "scale_bloom_semi_join",
     "elt_storage_tiering_plan",
     "fn_decimal_exact_money",
+    "geo_morton_rollup",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",

@@ -248,3 +248,9 @@ def test_bloom_filter_never_false_negative(spark):
     cells = {(r["is_member"], r["maybe_present"]): r["n"] for r in rows}
     assert (True, False) not in cells, "Bloom filters must never miss a member"
     assert cells.get((True, True), 0) > 0
+
+
+def test_morton_parent_child_containment(spark):
+    rows = queries()["geo_morton_rollup"](spark, SF).collect()
+    for r in rows:
+        assert r["cell_fine"] >> 4 == r["cell_coarse"], r
