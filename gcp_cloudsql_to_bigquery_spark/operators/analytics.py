@@ -1035,3 +1035,56 @@ def analytics_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_credits"),
         F.sum(share).cast("bigint").alias("credited_microcents"),
     )
+
+
+@register(
+    "analytics_rolling_wau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+      SELECT DISTINCT u.user_id, CAST(u.d + CAST(o.off AS INT) AS DATE) AS report_d
+      FROM ud u CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+    )
+    SELECT c.report_d AS d,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN days x ON x.d = c.report_d
+    GROUP BY c.report_d
+    """,
+    doc="Rolling 7-day active users (WAU per day) — the sliding "
+    "DISTINCT-over-window aggregate SQL cannot express directly "
+    "(COUNT(DISTINCT) OVER RANGE is unsupported everywhere): each "
+    "(user, active-day) pair is EXPLODED to the 7 report days it "
+    "contributes to, then one distinct count per report day — the "
+    "standard bounded-fan-out rewrite (factor = window/granularity = "
+    "7, constant), restricted to days that exist in the data.  "
+    "Shuffles: one user-day distinct, one (report-day keyed) count-"
+    "distinct; both partial-agged.  At 100 TB the same rewrite runs "
+    "at (window x key) granularity, or swaps the exact distinct for "
+    "mergeable HLL sketches per day unioned over the window "
+    "(agg_hll_sketch_rollup) — identical contribution shape.",
+)
+def analytics_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+        )
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    offsets = F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+    contrib = (
+        ud.select("user_id", "d", offsets)
+        .select("user_id", F.date_add(F.col("d"), F.col("off")).alias("report_d"))
+        .distinct()
+    )
+    return (
+        contrib.join(days.withColumnRenamed("d", "report_d"), "report_d")
+        .groupBy(F.col("report_d").alias("d"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -860,3 +860,70 @@ def ts_anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(2 * F.col("d2") > 6 * F.col("mad4"))
         .select("event_type", "h", F.col("r").alias("residual_cents"))
     )
+
+
+@register(
+    "ts_liveness_check",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
+      FROM events WHERE user_id % 4 = 2
+    ),
+    gaps AS (
+      SELECT user_id, t_us,
+             t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us) AS g
+      FROM pts
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(t_us) AS BIGINT) AS last_us,
+             CAST(2 * median(g) AS BIGINT) AS med_gap2
+      FROM gaps GROUP BY user_id HAVING count(*) >= 3
+    ),
+    anchor AS (SELECT CAST(max(t_us) AS BIGINT) AS now_us FROM pts)
+    SELECT user_id, n_events,
+           CAST(now_us - last_us AS BIGINT) AS silence_us,
+           med_gap2,
+           2 * (now_us - last_us) > 5 * med_gap2 AS presumed_dead
+    FROM stats CROSS JOIN anchor
+    """,
+    doc="Liveness / dead-man-switch check — ABSENCE detection, the "
+    "monitoring question windowed aggregation never asks (an alert on "
+    "what DIDN'T arrive): each reporter's expected cadence is its own "
+    "median inter-event gap (robust — a reporter that was always "
+    "hourly is judged hourly), and a reporter whose current silence "
+    "exceeds 2.5x its median cadence is flagged presumed_dead.  The "
+    "comparison 2*silence > 5*med_gap2/... is carried in exact doubled "
+    "units (median of integer gaps is a half-integer).  One window "
+    "pass for gaps + one grouped median + a broadcast anchor; in "
+    "streaming this becomes the event-time timer of "
+    "transformWithState — the batch form is the nightly sweep.",
+)
+def ts_liveness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 4 == 2)
+        .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"))
+    )
+    w = W.partitionBy("user_id").orderBy("t_us")
+    gaps = pts.withColumn("g", F.col("t_us") - F.lag("t_us").over(w))
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("t_us").alias("last_us"),
+            (2 * F.median("g")).cast("bigint").alias("med_gap2"),
+        )
+        .filter(F.col("n_events") >= 3)
+    )
+    anchor = pts.agg(F.max("t_us").alias("now_us"))
+    return stats.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        "n_events",
+        (F.col("now_us") - F.col("last_us")).alias("silence_us"),
+        "med_gap2",
+        (2 * (F.col("now_us") - F.col("last_us")) > 5 * F.col("med_gap2")).alias(
+            "presumed_dead"
+        ),
+    )

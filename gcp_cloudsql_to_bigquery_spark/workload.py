@@ -264,6 +264,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "elt_storage_tiering_plan",
     "fn_decimal_exact_money",
     "geo_morton_rollup",
+    "analytics_rolling_wau",
+    "ts_liveness_check",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
