@@ -1088,3 +1088,60 @@ def analytics_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("report_d").alias("d"))
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "analytics_repurchase_intervals",
+    oracle="""
+    WITH purch AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER w) AS g_us
+      FROM purch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    bucketed AS (
+      SELECT CASE WHEN g_us < 3600000000        THEN '0_under_1h'
+                  WHEN g_us < 86400000000       THEN '1_1h_to_1d'
+                  WHEN g_us < 604800000000      THEN '2_1d_to_7d'
+                  ELSE '3_over_7d' END AS bucket,
+             g_us
+      FROM gaps WHERE g_us IS NOT NULL
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(2 * median(g_us) AS BIGINT) AS median_us_x2
+    FROM bucketed GROUP BY bucket
+    """,
+    doc="Repurchase-interval distribution — the time-to-next-purchase "
+    "histogram behind every churn model and replenishment campaign: "
+    "per-user consecutive purchase gaps (one lag() over the user "
+    "timeline — never a self-join) bucketed into behavioral bands "
+    "(impulse <1h, same-day, weekly, lapsed), each band reporting its "
+    "count and exact median gap in doubled integer microseconds.  One "
+    "user-keyed window shuffle on the purchase slice + a 4-group "
+    "aggregate.  Deterministic (ts, event_id) ordering.",
+)
+def analytics_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    purch = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = purch.select(
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag(F.col("ts").cast("timestamp")).over(w))
+        ).alias("g_us")
+    ).filter(F.col("g_us").isNotNull())
+    bucket = (
+        F.when(F.col("g_us") < 3600000000, "0_under_1h")
+        .when(F.col("g_us") < 86400000000, "1_1h_to_1d")
+        .when(F.col("g_us") < 604800000000, "2_1d_to_7d")
+        .otherwise("3_over_7d")
+    )
+    return gaps.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        (2 * F.median("g_us")).cast("bigint").alias("median_us_x2"),
+    )

@@ -756,3 +756,79 @@ def curation_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         (2 * F.median("n_chars")).cast("bigint").alias("median_chars_x2"),
     )
+
+
+@register(
+    "curation_sample_weights_export",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, source, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+      FROM documents
+    ),
+    keepers AS (
+      SELECT doc_id, source, n_chars,
+             doc_id = min(doc_id) OVER (PARTITION BY f) AS is_keeper
+      FROM fp
+    ),
+    srcw AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars FROM fp GROUP BY source
+    ),
+    tot AS (SELECT sum(pow(CAST(chars AS DOUBLE), 0.7)) AS tw FROM srcw),
+    mix AS (
+      SELECT source,
+             CAST(floor(pow(CAST(chars AS DOUBLE), 0.7) / tw * 1e6 + 0.5)
+                  AS BIGINT) AS mix_ppm
+      FROM srcw CROSS JOIN tot
+    )
+    SELECT k.doc_id,
+           CAST(CASE WHEN NOT k.is_keeper THEN 0
+                WHEN k.n_chars BETWEEN 200 AND 5000 THEN m.mix_ppm * 2
+                ELSE m.mix_ppm END AS BIGINT) AS weight_ppm2,
+           k.is_keeper,
+           k.n_chars BETWEEN 200 AND 5000 AS quality_pass
+    FROM keepers k JOIN mix m ON m.source = k.source
+    """,
+    doc="The consolidated SAMPLE-WEIGHT table — the artifact a training "
+    "loader actually consumes, folding every curation signal into one "
+    "per-document weight: exact-dup non-keepers get 0 (dedup_exact's "
+    "keeper rule), every survivor carries its source's temperature-"
+    "scaled mixture rate (curation_temperature_sampling's size^0.7 "
+    "ppm), and docs passing the quality band get a 2x boost.  "
+    "Multiplicative composition in exact integer ppm — signals stay "
+    "factored and auditable (is_keeper / quality_pass emitted "
+    "alongside), and changing a policy regenerates weights without "
+    "touching text.  One digest window + broadcast mix table; the "
+    "weight table is what curation_epoch_shuffle then orders.",
+)
+def curation_sample_weights_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary"))
+    base = d.select("doc_id", "source", "n_chars", fp.alias("f"))
+    wk = W.partitionBy("f")
+    keepers = base.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.col("doc_id") == F.min("doc_id").over(wk)).alias("is_keeper"),
+    )
+    srcw = base.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    tot = srcw.agg(F.sum(F.pow(F.col("chars").cast("double"), 0.7)).alias("tw"))
+    mix = srcw.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(F.pow(F.col("chars").cast("double"), 0.7) / F.col("tw") * 1e6 + 0.5)
+        .cast("bigint")
+        .alias("mix_ppm"),
+    )
+    quality = F.col("n_chars").between(200, 5000)
+    weight = (
+        F.when(~F.col("is_keeper"), 0)
+        .when(quality, F.col("mix_ppm") * 2)
+        .otherwise(F.col("mix_ppm"))
+    )
+    return keepers.join(F.broadcast(mix), "source").select(
+        "doc_id",
+        weight.cast("bigint").alias("weight_ppm2"),
+        "is_keeper",
+        quality.alias("quality_pass"),
+    )

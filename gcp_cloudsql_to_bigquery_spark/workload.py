@@ -266,6 +266,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "geo_morton_rollup",
     "analytics_rolling_wau",
     "ts_liveness_check",
+    "curation_sample_weights_export",
+    "elt_incremental_bookmark_extract",
+    "analytics_repurchase_intervals",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
