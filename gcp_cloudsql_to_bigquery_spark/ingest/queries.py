@@ -440,8 +440,11 @@ def elt_right_to_erasure(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     orders = load(spark, sf_dir, "orders")
+    # the tombstone set feeds both anti-joins and the request count —
+    # truncate once (tiny) so the events scan is not re-expanded per use
     requests = (
         ev.filter(F.col("user_id") % 13 == 0).select("user_id").distinct()
+        .localCheckpoint()
     )
     ev_after = ev.join(F.broadcast(requests), "user_id", "left_anti")
     ord_after = orders.join(

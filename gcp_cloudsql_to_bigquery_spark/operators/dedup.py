@@ -706,7 +706,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", F.explode(grams).alias("s"))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
-    idx = sh.join(freq.select("s"), "s")
+    # the df-capped posting list feeds both sides of the pair join —
+    # materialize it once (the classic inverted-index build step)
+    idx = sh.join(freq.select("s"), "s").localCheckpoint()
     a, b = idx.alias("a"), idx.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")))

@@ -539,10 +539,16 @@ def graph_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # cp feeds deg + both sides of the pair self-join, and pairs feeds
+    # both halves of the symmetrization — truncate each once (both are
+    # orders smaller than the fact join that builds them) so the 4-way
+    # fact join is not re-expanded per consumer (plan audit: 12 scans
+    # -> 2 without this)
     cp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint()
     )
     deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     a, b = cp.alias("a"), cp.alias("b")
@@ -550,6 +556,7 @@ def graph_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
         .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("cooc"))
+        .localCheckpoint()
     )
     sym = pairs.select(
         F.col("part_a").alias("p"), F.col("part_b").alias("q"), "cooc"
@@ -740,6 +747,7 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint()
     )
     a, b = cp.alias("a"), cp.alias("b")
     pairs = (

@@ -503,14 +503,26 @@ def dq_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ~F.col("o_orderpriority").rlike("^[1-5]-.*$"),
         ),
     ]
-    parts = [
-        o.agg(
-            F.lit(col).alias("col"),
-            F.lit(rule).alias("rule"),
-            F.count(F.when(pred, 1)).alias("violations"),
-        )
-        for col, rule, pred in contract
-    ]
+    # ALL row-local rules fold into ONE aggregate pass (one fact scan,
+    # one exchange — the plan-audit fix over one-agg-per-rule), then the
+    # wide row melts to (col, rule, violations); only the uniqueness
+    # rule needs its own keyed group-by
+    wide = o.agg(
+        *[
+            F.count(F.when(pred, 1)).alias(f"{col}|{rule}")
+            for col, rule, pred in contract
+        ]
+    )
+    melted = wide.unpivot(
+        ids=[],
+        values=[f"{col}|{rule}" for col, rule, _ in contract],
+        variableColumnName="key",
+        valueColumnName="violations",
+    ).select(
+        F.split("key", r"\|")[0].alias("col"),
+        F.split("key", r"\|")[1].alias("rule"),
+        "violations",
+    )
     uniq = (
         o.groupBy("o_orderkey")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -521,10 +533,7 @@ def dq_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("violations"),
         )
     )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.unionByName(uniq)
+    return melted.unionByName(uniq)
 
 
 @register(

@@ -459,25 +459,62 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the identical downstream algebra.",
 )
 def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE fact scan: collapse to the per-(series, value) DISTRIBUTION
+    # (value-cardinality-sized, checkpointed), then both medians become
+    # weighted medians over the collapsed table via cumulative walks —
+    # the plan-audit fix over median-on-raw-rows, which re-expanded the
+    # fact scan per consumer (5 scans -> 1).  Interpolated-median
+    # parity: med2 = rank-ceil(n/2) value + rank-(floor(n/2)+1) value.
     pts = load(spark, sf_dir, "events").select(
         "event_type", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents")
     )
-    med = pts.groupBy("event_type").agg(
-        (2 * F.median("cents")).cast("bigint").alias("med2")
+    dist = (
+        pts.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
     )
-    dev = pts.join(F.broadcast(med), "event_type").select(
-        "event_type", "cents", F.abs(2 * F.col("cents") - F.col("med2")).alias("d2")
+
+    def weighted_med2(df: DataFrame, valcol: str) -> DataFrame:
+        nn = df.groupBy("event_type").agg(F.sum("w").alias("n"))
+        wcum = W.partitionBy("event_type").orderBy(valcol).rowsBetween(
+            W.unboundedPreceding, 0
+        )
+        cum = df.withColumn("cum", F.sum("w").over(wcum)).join(
+            F.broadcast(nn), "event_type"
+        )
+        lo_rank = F.expr("(n + 1) div 2")
+        hi_rank = F.expr("n div 2 + 1")
+        return cum.groupBy("event_type").agg(
+            (
+                F.min(F.when(F.col("cum") >= lo_rank, F.col(valcol)))
+                + F.min(F.when(F.col("cum") >= hi_rank, F.col(valcol)))
+            ).alias("m2")
+        )
+
+    med = weighted_med2(dist, "cents").withColumnRenamed("m2", "med2")
+    dev = (
+        dist.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(2 * F.col("cents") - F.col("med2")).alias("d2"),
+            "w",
+        )
+        .groupBy("event_type", "d2")
+        .agg(F.sum("w").alias("w"))
     )
-    mad = dev.groupBy("event_type").agg(
-        (2 * F.median("d2")).cast("bigint").alias("mad4")
+    # m2 over the deviation distribution IS 2*median(d2) = mad4 directly
+    mad = weighted_med2(dev.withColumnRenamed("d2", "cents"), "cents").select(
+        "event_type", F.col("m2").cast("bigint").alias("mad4")
     )
     return (
         dev.join(F.broadcast(med), "event_type")
         .join(F.broadcast(mad), "event_type")
         .groupBy("event_type", "med2", "mad4")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count(F.when(2 * F.col("d2") > 3 * F.col("mad4"), 1)).alias("n_outliers"),
+            F.sum("w").alias("n"),
+            F.sum(F.when(2 * F.col("d2") > 3 * F.col("mad4"), F.col("w")).otherwise(0)).alias(
+                "n_outliers"
+            ),
         )
     )
 
