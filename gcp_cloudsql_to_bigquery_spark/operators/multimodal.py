@@ -637,3 +637,111 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         hist_batch, schema="doc_id bigint, bucket int, n_px bigint"
     )
+
+
+_PHASH_GRID = 8  # aHash grid: 8x8 block means -> 64-bit hash
+
+_PHASH_ORACLE_BYTES = " || ".join(
+    f"CASE WHEN ({i} * h) // {_PHASH_GRID} + ({i + 1} * h) // {_PHASH_GRID} > h "
+    "THEN 'ff' ELSE '00' END"
+    for i in range(_PHASH_GRID)
+)
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 48 + 8 AS h FROM documents
+    ),
+    ph AS (
+      SELECT doc_id, {_PHASH_ORACLE_BYTES} AS phash FROM dims
+    ),
+    clustered AS (
+      SELECT doc_id, phash,
+             CAST(count(*) OVER (PARTITION BY phash) AS BIGINT)    AS cluster_size,
+             CAST(min(doc_id) OVER (PARTITION BY phash) AS BIGINT) AS rep_doc_id
+      FROM ph
+    )
+    SELECT doc_id, phash, cluster_size, rep_doc_id,
+           cluster_size > 1 AND doc_id <> rep_doc_id AS is_dup
+    FROM clustered
+    """,
+    doc="Perceptual-hash (aHash) image NEAR-DUP DEDUP — the image analog of "
+    "dedup_simhash, run over real decoded pixels: each P6 payload is "
+    "decoded, reduced to grayscale (r+g+b integer sum — constants factor "
+    "out of the mean comparison), block-mean pooled onto an 8x8 grid with "
+    "floor(i*h/8) boundaries (np.add.reduceat, the real pooling kernel), "
+    "and each block's bit is mean_block > mean_image evaluated in exact "
+    "cross-multiplied integer form (block_sum * n_px > total_sum * "
+    "block_px — no division, no float).  The 64 bits pack row-major "
+    "MSB-first into a 16-hex-char hash; images then cluster by exact hash "
+    "equality (count + min-id representative over a phash-partitioned "
+    "window).  The fixture's gray plane is column-constant and row-linear "
+    "(r + y + b), so every bit has the CLOSED FORM "
+    "floor(i*h/8) + floor((i+1)*h/8) > h — identical across the 8 columns "
+    "of a grid row, making each hash byte 0x00 or 0xff — which the oracle "
+    "derives arithmetically from the base table; any pooling bug (bin "
+    "edges, reshape order, threshold tie handling) flips bytes and fails "
+    "the hash compare.  Scale: the payload never shuffles (narrow "
+    "synthesize->decode->hash pipeline, blob projected away inside the "
+    "kernel); the only exchange carries (doc_id, 8-byte hash) — the "
+    "canonical fingerprint-keyed dedup shuffle, uniform by construction. "
+    "For billion-image corpora the same hash feeds the banded Hamming "
+    "join of dedup_simhash (16-bit bands -> bit_count(xor) verify) for "
+    "near-duplicate clusters beyond exact equality.",
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from pyspark.sql import Window as W
+
+    def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        hdr = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+255\s")
+        g = _PHASH_GRID
+        for pdf in batches:
+            out = {"doc_id": [], "phash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = hdr.match(payload)
+                if not m:
+                    raise ValueError(f"doc {doc_id}: not a P6 PPM header")
+                w, h = int(m.group(1)), int(m.group(2))
+                px = np.frombuffer(payload, dtype=np.uint8, offset=m.end())
+                if px.size != w * h * 3:
+                    raise ValueError(f"doc {doc_id}: pixel buffer {px.size} != {w}x{h}x3")
+                gray = px.reshape(h, w, 3).sum(axis=2, dtype=np.int64)
+                total = int(gray.sum())
+                rb = [i * h // g for i in range(g + 1)]
+                cb = [j * w // g for j in range(g + 1)]
+                # real 2-D block-mean pooling: reduceat over rows, then cols
+                pooled = np.add.reduceat(
+                    np.add.reduceat(gray, rb[:-1], axis=0), cb[:-1], axis=1
+                )
+                hash_bytes = bytearray()
+                for i in range(g):
+                    byte = 0
+                    for j in range(g):
+                        block_px = (rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j])
+                        # exact integer threshold: mean_block > mean_image
+                        if int(pooled[i, j]) * (w * h) > total * block_px:
+                            byte |= 1 << (7 - j)
+                    hash_bytes.append(byte)
+                out["doc_id"].append(doc_id)
+                out["phash"].append(bytes(hash_bytes).hex())
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = docs.mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
+    hashed = media.mapInPandas(phash_batch, schema="doc_id bigint, phash string")
+    w = W.partitionBy("phash")
+    clustered = hashed.select(
+        "doc_id",
+        "phash",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.min("doc_id").over(w).alias("rep_doc_id"),
+    )
+    return clustered.withColumn(
+        "is_dup", (F.col("cluster_size") > 1) & (F.col("doc_id") != F.col("rep_doc_id"))
+    )
