@@ -1318,3 +1318,109 @@ def agg_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ci_hi"),
         F.max("mean_millicents").alias("hi_extreme"),
     )
+
+
+_CORR_COLS = ("qty", "price", "disc", "tax")
+
+_CORR_PAIRS = tuple(
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+)
+
+_CORR_SCALED_SQL = """
+      SELECT CAST(floor(l_quantity + 0.5) AS DECIMAL(18,0))            AS qty,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(18,0)) AS price,
+             CAST(floor(l_discount * 100 + 0.5) AS DECIMAL(18,0))      AS disc,
+             CAST(floor(l_tax * 100 + 0.5) AS DECIMAL(18,0))           AS tax
+      FROM lineitem"""
+
+_CORR_SUMS_SQL = ",\n             ".join(
+    [f"sum({a} * {b}) AS s_{a}_{b}" for a in _CORR_COLS for b in _CORR_COLS if a <= b]
+    + [f"sum({c}) AS s_{c}" for c in _CORR_COLS]
+)
+
+
+def _corr_pair_sql(a: str, b: str) -> str:
+    saa, sbb = f"s_{min(a,a)}_{a}", f"s_{b}_{b}"
+    sab = f"s_{a}_{b}" if a <= b else f"s_{b}_{a}"
+    h = "CAST({} AS HUGEINT)".format
+    num = f"{h('n')} * {h(sab)} - {h('s_' + a)} * {h('s_' + b)}"
+    dx = f"{h('n')} * {h(saa)} - {h('s_' + a)} * {h('s_' + a)}"
+    dy = f"{h('n')} * {h(sbb)} - {h('s_' + b)} * {h('s_' + b)}"
+    return f"""
+      SELECT '{a}' AS x_name, '{b}' AS y_name, CAST(n AS BIGINT) AS n_rows,
+             CAST(floor(CAST({num} AS DOUBLE)
+                        / sqrt(CAST({dx} AS DOUBLE))
+                        / sqrt(CAST({dy} AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS corr_x1e6
+      FROM s"""
+
+
+@register(
+    "agg_correlation_matrix",
+    oracle=f"""
+    WITH scaled AS ({_CORR_SCALED_SQL}
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+             {_CORR_SUMS_SQL}
+      FROM scaled
+    )
+    {" UNION ALL ".join(_corr_pair_sql(a, b) for a, b in _CORR_PAIRS)}
+    """,
+    doc="Pairwise Pearson CORRELATION MATRIX over the four lineitem measures "
+    "(quantity, extended price, discount, tax) — the multi-column "
+    "statistical-profiling pass a feature-engineering pipeline runs before "
+    "training.  Exactness: measures are scaled to integer units/cents, all "
+    "15 sufficient statistics (n, 4 sums, 10 cross/square sums) accumulate "
+    "in DECIMAL(38,0) — overflow-proof where int64 would silently WRAP on "
+    "Spark past 2^63 (sum of price-cents squared crosses 2^63 near sf0.5) "
+    "while DuckDB widens to HUGEINT — and the correlation is assembled "
+    "from the exact integers n*Sxy - Sx*Sy over sqrt(n*Sxx - Sx^2) * "
+    "sqrt(n*Syy - Sy^2) with the double conversion deferred to the final "
+    "divide (identical IEEE op order on both engines), quantized x1e6.  "
+    "Scale: ONE pass over the fact table computing all 15 statistics in a "
+    "single partial-aggregated global agg (map-side combine reduces every "
+    "partition to one 15-number state row; only those states cross the "
+    "network), then a constant-size 6-row melt via explode on the 1-row "
+    "result — no second scan, no driver loop, no per-pair job.  The same "
+    "sufficient-statistics shape extends to any column count as one pass "
+    "+ k(k+1)/2 mergeable accumulators.",
+)
+def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") + 0.5).cast("decimal(18,0)").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("decimal(18,0)").alias("price"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("decimal(18,0)").alias("disc"),
+        F.floor(F.col("l_tax") * 100 + 0.5).cast("decimal(18,0)").alias("tax"),
+    )
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    aggs += [
+        F.sum(F.col(a) * F.col(b)).cast("decimal(38,0)").alias(f"s_{a}_{b}")
+        for a in _CORR_COLS
+        for b in _CORR_COLS
+        if a <= b
+    ]
+    aggs += [F.sum(c).cast("decimal(38,0)").alias(f"s_{c}") for c in _CORR_COLS]
+    stats = li.agg(*aggs)
+
+    def pair_struct(a: str, b: str):
+        sab = f"s_{a}_{b}" if a <= b else f"s_{b}_{a}"
+        num = (F.col("n") * F.col(sab) - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+        dx = (F.col("n") * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast(
+            "double"
+        )
+        dy = (F.col("n") * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast(
+            "double"
+        )
+        r = num / F.sqrt(dx) / F.sqrt(dy)
+        return F.struct(
+            F.lit(a).alias("x_name"),
+            F.lit(b).alias("y_name"),
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.floor(r * 1e6 + 0.5).cast("bigint").alias("corr_x1e6"),
+        )
+
+    melted = stats.select(
+        F.explode(F.array(*[pair_struct(a, b) for a, b in _CORR_PAIRS])).alias("p")
+    )
+    return melted.select("p.*")

@@ -270,6 +270,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "elt_incremental_bookmark_extract",
     "analytics_repurchase_intervals",
     "multimodal_phash_dedup",
+    "agg_correlation_matrix",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
