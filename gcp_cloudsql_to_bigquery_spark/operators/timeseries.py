@@ -964,3 +964,87 @@ def ts_liveness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "presumed_dead"
         ),
     )
+
+
+@register(
+    "ts_holt_linear",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_HOURLY},
+    hr AS (
+      SELECT event_type, h, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hourly
+    ),
+    holt AS (
+      SELECT event_type, h, cents, rn,
+             CAST(cents AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+      FROM hr WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.h, n.cents, n.rn,
+             0.5 * n.cents + 0.5 * (p.l + p.b) AS l,
+             0.5 * ((0.5 * n.cents + 0.5 * (p.l + p.b)) - p.l) + 0.5 * p.b AS b
+      FROM holt p JOIN hr n ON n.event_type = p.event_type AND n.rn = p.rn + 1
+    )
+    SELECT event_type, h, cents,
+           CAST(floor(l / 100.0 * 1e4 + 0.5) AS BIGINT) AS level_x10k,
+           CAST(floor(b / 100.0 * 1e4 + 0.5) AS BIGINT) AS trend_x10k,
+           CAST(floor((l + b) / 100.0 * 1e4 + 0.5) AS BIGINT) AS forecast_next_x10k
+    FROM holt
+    """,
+    doc="Holt DOUBLE exponential smoothing (level + linear trend, "
+    "alpha=beta=1/2) per event-type hourly series, with the one-step-ahead "
+    "forecast l_t + b_t — the forecasting sibling of ts_ewma (which has no "
+    "trend term).  The recurrence l_t = x_t/2 + (l+b)/2, b_t = "
+    "(l_t - l_{{t-1}})/2 + b_{{t-1}}/2 is inherently SEQUENTIAL per series "
+    "— no finite lag-window rewrite exists (unlike EWMA's 10-term "
+    "truncation) — so the Spark side runs it as an applyInPandas grouped "
+    "recursion: parallel ACROSS series, O(1) state within one, over rows "
+    "pre-reduced to (series, hour) by a partial-aggregated groupBy.  The "
+    "oracle replays the identical recurrence as a DuckDB RECURSIVE CTE "
+    "stepping rn -> rn+1.  Cross-engine float parity: both engines execute "
+    "the SAME IEEE op sequence (0.5*x exact scaling, one rounded add per "
+    "term, b_t's l_t inlined as the identical expression), so every level/"
+    "trend double is bit-identical and the x10k fixed-point projection "
+    "cannot straddle a rounding boundary.  At 100 TB: the heavy work is "
+    "the hourly pre-reduction (one shuffle of partial-agg state); the "
+    "recursion touches one tiny row-per-bucket table with bounded "
+    "per-series state — the same shape transformWithState runs "
+    "incrementally in streaming.",
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        x = pdf["cents"].astype("float64").to_numpy()
+        n = len(x)
+        lv = [0.0] * n
+        tr = [0.0] * n
+        if n:
+            lv[0] = float(x[0])
+            tr[0] = 0.0
+        for t in range(1, n):
+            lt = 0.5 * float(x[t]) + 0.5 * (lv[t - 1] + tr[t - 1])
+            bt = 0.5 * (lt - lv[t - 1]) + 0.5 * tr[t - 1]
+            lv[t] = lt
+            tr[t] = bt
+        q = lambda v: math.floor(v / 100.0 * 1e4 + 0.5)  # noqa: E731
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "h": pdf["h"],
+                "cents": pdf["cents"],
+                "level_x10k": [q(v) for v in lv],
+                "trend_x10k": [q(v) for v in tr],
+                "forecast_next_x10k": [q(lv[i] + tr[i]) for i in range(n)],
+            }
+        )
+
+    hourly = _hourly_cents(spark, sf_dir)
+    return hourly.groupBy("event_type").applyInPandas(
+        holt,
+        schema="event_type string, h timestamp, cents bigint, level_x10k bigint, "
+        "trend_x10k bigint, forecast_next_x10k bigint",
+    )

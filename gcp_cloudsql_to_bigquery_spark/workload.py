@@ -271,6 +271,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_repurchase_intervals",
     "multimodal_phash_dedup",
     "agg_correlation_matrix",
+    "ts_holt_linear",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
