@@ -641,11 +641,67 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PHASH_GRID = 8  # aHash grid: 8x8 block means -> 64-bit hash
 
-_PHASH_ORACLE_BYTES = " || ".join(
-    f"CASE WHEN ({i} * h) // {_PHASH_GRID} + ({i + 1} * h) // {_PHASH_GRID} > h "
-    "THEN 'ff' ELSE '00' END"
-    for i in range(_PHASH_GRID)
-)
+def _phash_sql(hexpr: str) -> str:
+    """Closed-form phash of the fixture image with height ``hexpr`` (SQL
+    expression): each grid-row bit is floor(i*h/8)+floor((i+1)*h/8) > h,
+    identical across the 8 columns, so each hash byte is 0x00 or 0xff."""
+    return " || ".join(
+        f"CASE WHEN ({i} * ({hexpr})) // {_PHASH_GRID} "
+        f"+ ({i + 1} * ({hexpr})) // {_PHASH_GRID} > ({hexpr}) "
+        "THEN 'ff' ELSE '00' END"
+        for i in range(_PHASH_GRID)
+    )
+
+
+_PHASH_ORACLE_BYTES = _phash_sql("h")
+
+
+def phash_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL aHash kernel: P6 parse, grayscale (r+g+b integer sum), 8x8
+    block-mean pooling via a 2-D integral image (the classic O(1)-per-block
+    summed-area table), exact cross-multiplied integer threshold against
+    the image mean, 64-bit row-major MSB-first pack.  Images smaller than
+    the grid in either dimension yield empty blocks (floor boundaries
+    coincide); an empty block's bit is 0 (0 > 0 is false) — well-defined
+    for thumbnails down to 1px."""
+    import re
+
+    import numpy as np
+
+    hdr = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+255\s")
+    g = _PHASH_GRID
+    for pdf in batches:
+        out = {"doc_id": [], "phash": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            m = hdr.match(payload)
+            if not m:
+                raise ValueError(f"doc {doc_id}: not a P6 PPM header")
+            w, h = int(m.group(1)), int(m.group(2))
+            px = np.frombuffer(payload, dtype=np.uint8, offset=m.end())
+            if px.size != w * h * 3:
+                raise ValueError(f"doc {doc_id}: pixel buffer {px.size} != {w}x{h}x3")
+            gray = px.reshape(h, w, 3).sum(axis=2, dtype=np.int64)
+            integral = np.zeros((h + 1, w + 1), dtype=np.int64)
+            integral[1:, 1:] = gray.cumsum(axis=0).cumsum(axis=1)
+            total = int(integral[h, w])
+            rb = [i * h // g for i in range(g + 1)]
+            cb = [j * w // g for j in range(g + 1)]
+            hash_bytes = bytearray()
+            for i in range(g):
+                byte = 0
+                a, b = rb[i], rb[i + 1]
+                for j in range(g):
+                    c, d = cb[j], cb[j + 1]
+                    s = int(
+                        integral[b, d] - integral[a, d] - integral[b, c] + integral[a, c]
+                    )
+                    # exact integer threshold: mean_block > mean_image
+                    if s * (w * h) > total * ((b - a) * (d - c)):
+                        byte |= 1 << (7 - j)
+                hash_bytes.append(byte)
+            out["doc_id"].append(doc_id)
+            out["phash"].append(bytes(hash_bytes).hex())
+        yield pd.DataFrame(out)
 
 
 @register(
@@ -692,49 +748,11 @@ _PHASH_ORACLE_BYTES = " || ".join(
     "near-duplicate clusters beyond exact equality.",
 )
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re
-
     from pyspark.sql import Window as W
-
-    def phash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        hdr = re.compile(rb"^P6\s+(\d+)\s+(\d+)\s+255\s")
-        g = _PHASH_GRID
-        for pdf in batches:
-            out = {"doc_id": [], "phash": []}
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                m = hdr.match(payload)
-                if not m:
-                    raise ValueError(f"doc {doc_id}: not a P6 PPM header")
-                w, h = int(m.group(1)), int(m.group(2))
-                px = np.frombuffer(payload, dtype=np.uint8, offset=m.end())
-                if px.size != w * h * 3:
-                    raise ValueError(f"doc {doc_id}: pixel buffer {px.size} != {w}x{h}x3")
-                gray = px.reshape(h, w, 3).sum(axis=2, dtype=np.int64)
-                total = int(gray.sum())
-                rb = [i * h // g for i in range(g + 1)]
-                cb = [j * w // g for j in range(g + 1)]
-                # real 2-D block-mean pooling: reduceat over rows, then cols
-                pooled = np.add.reduceat(
-                    np.add.reduceat(gray, rb[:-1], axis=0), cb[:-1], axis=1
-                )
-                hash_bytes = bytearray()
-                for i in range(g):
-                    byte = 0
-                    for j in range(g):
-                        block_px = (rb[i + 1] - rb[i]) * (cb[j + 1] - cb[j])
-                        # exact integer threshold: mean_block > mean_image
-                        if int(pooled[i, j]) * (w * h) > total * block_px:
-                            byte |= 1 << (7 - j)
-                    hash_bytes.append(byte)
-                out["doc_id"].append(doc_id)
-                out["phash"].append(bytes(hash_bytes).hex())
-            yield pd.DataFrame(out)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
-    hashed = media.mapInPandas(phash_batch, schema="doc_id bigint, phash string")
+    hashed = media.mapInPandas(phash_ppm_batch, schema="doc_id bigint, phash string")
     w = W.partitionBy("phash")
     clustered = hashed.select(
         "doc_id",
@@ -744,4 +762,230 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return clustered.withColumn(
         "is_dup", (F.col("cluster_size") > 1) & (F.col("doc_id") != F.col("rep_doc_id"))
+    )
+
+
+def synthesize_ppm_striped_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Striped variant of the PPM fixture: same constant r/b planes and
+    vertical-gradient g plane, but with a BRIGHT STRIPE (g=255) across the
+    grid-row band ``doc_id % 8`` — rows [ceil(k*h/8), ceil((k+1)*h/8)).
+    The stripe position survives 2x decimation, giving the perceptual-hash
+    operators a corpus with genuinely DIVERSE hashes (stripe x boundary
+    effects) instead of the gradient's two."""
+    import numpy as np
+
+    for pdf in batches:
+        payloads = []
+        for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            w = int(n_chars) % 64 + 8
+            h = int(doc_id) % 48 + 8
+            k = int(doc_id) % 8
+            lo, hi = (k * h + 7) // 8, ((k + 1) * h + 7) // 8
+            g = (np.arange(h, dtype=np.int64) % 256).astype(np.uint8)
+            g[lo:hi] = 255
+            px = np.empty((h, w, 3), dtype=np.uint8)
+            px[:, :, 0] = int(doc_id) % 256
+            px[:, :, 1] = g[:, None]
+            px[:, :, 2] = (int(doc_id) * 31) % 256
+            payloads.append(f"P6\n{w} {h}\n255\n".encode() + px.tobytes())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _tri(x: str) -> str:
+    """Triangular number sum(0..x-1) = x*(x-1)/2, exact integer SQL."""
+    return f"(({x}) * (({x}) - 1) // 2)"
+
+
+def _nib_sql(ww: str, js: range) -> str:
+    """Nibble of column-block-nonempty bits for grid cols ``js`` (weights
+    8,4,2,1): column block j is empty iff floor(j*w/8)==floor((j+1)*w/8)."""
+    return " + ".join(
+        f"(CASE WHEN ({j} * {ww}) // 8 < ({j + 1} * {ww}) // 8 "
+        f"THEN {1 << (3 - idx)} ELSE 0 END)"
+        for idx, j in enumerate(js)
+    )
+
+
+def _phash_striped_sql(scale: int) -> str:
+    """Closed-form phash of a striped fixture image (or its 2x decimation
+    when scale=2), as a SELECT producing (doc_id, phash) from CTE ``p1``
+    (columns doc_id, h, w, lo, hi — stripe bounds on ORIGINAL rows).
+
+    Derivation: gray(y) = r + g(y) + b with constant r/b planes and
+    column-uniform g, so in the block-vs-image mean comparison the
+    constants AND the column extent cancel, leaving per grid row [a,b):
+    bit = b > a AND RG(a,b) * H > RG(0,H) * (b-a), where RG is the g-plane
+    row sum — scale*(tri(b)-tri(a)) with the stripe-overlapped rows'
+    gradient values swapped for 255s.  The decimated image's row y' is
+    original row 2y' (g = 2y' or 255; stripe range [ceil(lo/2),
+    ceil(hi/2))).  A grid row/column whose floor boundaries coincide is
+    empty -> bit 0, mirroring the integral-image kernel; empty column
+    blocks zero that bit in every byte via the nib0/nib1 masks."""
+    if scale == 1:
+        hh, ww, flo, fhi = "h", "w", "lo", "hi"
+    else:
+        hh, ww = "((h + 1) // 2)", "((w + 1) // 2)"
+        flo, fhi = "((lo + 1) // 2)", "((hi + 1) // 2)"
+    rgtot = (
+        f"{scale} * ({_tri('hh2')} - ({_tri('fhi2')} - {_tri('flo2')}))"
+        " + 255 * (fhi2 - flo2)"
+    )
+    rg = (
+        f"{scale} * ({_tri('b')} - {_tri('a')})"
+        " - CASE WHEN least(b, fhi2) - greatest(a, flo2) > 0"
+        f" THEN {scale} * ({_tri('least(b, fhi2)')} - {_tri('greatest(a, flo2)')})"
+        " - 255 * (least(b, fhi2) - greatest(a, flo2))"
+        " ELSE 0 END"
+    )
+    return f"""
+      SELECT doc_id, string_agg(byte_hex, '' ORDER BY i) AS phash
+      FROM (
+        SELECT doc_id, i,
+               CASE WHEN b > a AND ({rg}) * hh2 > rgtot * (b - a)
+                    THEN substr('0123456789abcdef', nib0 + 1, 1)
+                         || substr('0123456789abcdef', nib1 + 1, 1)
+                    ELSE '00' END AS byte_hex
+        FROM (
+          SELECT doc_id, i, hh2, flo2, fhi2, rgtot, nib0, nib1,
+                 (i * hh2) // 8 AS a, ((i + 1) * hh2) // 8 AS b
+          FROM (
+            SELECT doc_id, hh2, flo2, fhi2, nib0, nib1, {rgtot} AS rgtot
+            FROM (
+              SELECT doc_id, {hh} AS hh2, {flo} AS flo2, {fhi} AS fhi2,
+                     {_nib_sql(ww, range(0, 4))} AS nib0,
+                     {_nib_sql(ww, range(4, 8))} AS nib1
+              FROM p1
+            )
+          ) CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i)
+        )
+      )
+      GROUP BY doc_id
+    """
+
+
+_PHASH_HAMMING_SQL = " + ".join(
+    f"bit_count(xor(CAST('0x' || substr(o.phash, {i * 4 + 1}, 4) AS INTEGER), "
+    f"CAST('0x' || substr(t.phash, {i * 4 + 1}, 4) AS INTEGER)))"
+    for i in range(4)
+)
+
+
+@register(
+    "multimodal_phash_thumbnail_match",
+    oracle=f"""
+    WITH p1 AS (
+      SELECT doc_id,
+             doc_id % 48 + 8 AS h,
+             n_chars % 64 + 8 AS w,
+             ((doc_id % 8) * (doc_id % 48 + 8) + 7) // 8 AS lo,
+             ((doc_id % 8 + 1) * (doc_id % 48 + 8) + 7) // 8 AS hi
+      FROM documents
+    ),
+    ph_o AS ({_phash_striped_sql(1)}),
+    ph_t AS ({_phash_striped_sql(2)}),
+    t_counts AS (
+      SELECT phash, CAST(count(*) AS BIGINT) AS n_thumb
+      FROM ph_t GROUP BY phash
+    ),
+    o_dist AS (SELECT DISTINCT phash FROM ph_o),
+    pairs AS (
+      SELECT o.phash AS phash_o, t.n_thumb,
+             CAST({_PHASH_HAMMING_SQL} AS INTEGER) AS hamming
+      FROM o_dist o CROSS JOIN t_counts t
+    ),
+    matched AS (
+      SELECT phash_o, CAST(min(hamming) AS INTEGER) AS best_hamming,
+             CAST(sum(n_thumb) AS BIGINT) AS n_thumb_matches
+      FROM pairs WHERE hamming <= 8 GROUP BY phash_o
+    )
+    SELECT p.doc_id, p.phash, m.best_hamming,
+           coalesce(m.n_thumb_matches, 0) AS n_thumb_matches
+    FROM ph_o p LEFT JOIN matched m ON p.phash = m.phash_o
+    """,
+    doc="Scale-invariant THUMBNAIL DETECTION via banded Hamming join over "
+    "perceptual hashes — the cross-collection image near-dup search: hash "
+    "every striped-fixture original (synthesize -> aHash) and every "
+    "2x-decimated thumbnail (synthesize -> REAL nearest-neighbor resize -> "
+    "aHash) with the same integral-image pooling kernel, then for each "
+    "original report whether a perceptually-matching thumbnail exists "
+    "(Hamming <= 8 of 64 bits), the best distance, and how many "
+    "thumbnails match.  The striped fixture (bright band at grid row "
+    "doc_id%8) yields a genuinely diverse hash corpus (dozens of distinct "
+    "hashes, stripe position preserved under decimation) and the oracle "
+    "derives BOTH hash sets arithmetically — gradient + stripe row sums "
+    "in exact triangular-number form, empty-block semantics for "
+    "sub-grid thumbnails included — so any kernel bug (pooling bounds, "
+    "integral-image indexing, threshold ties, byte packing) flips hex "
+    "chars and fails the hash compare.  The match runs at the "
+    "DISTINCT-HASH level, LSH-banded: each 64-bit hash splits into four "
+    "16-bit bands (conv on 4-hex-char slices), candidates equi-join on "
+    "(band_idx, band_value), survivors verify with bit_count(xor) summed "
+    "over the bands — never an all-pairs scan of the corpus.  The DuckDB "
+    "oracle computes ground truth from the UNbanded distinct-hash cross "
+    "join, so any recall loss in the banding is a red row — at Hamming "
+    "<= 8 a miss requires all four bands touched, impossible for the "
+    "row-structured differences these images produce.  Scale: payload "
+    "bytes stay in narrow synthesize/resize/hash stages; the exchanges "
+    "carry (doc_id, 8-byte hash); the distinct-hash match tables "
+    "(corpus-bounded) broadcast back onto per-doc rows.",
+)
+def multimodal_phash_thumbnail_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    media = docs.mapInPandas(
+        synthesize_ppm_striped_batch, schema="doc_id bigint, payload binary"
+    )
+    orig = media.mapInPandas(phash_ppm_batch, schema="doc_id bigint, phash string")
+    thumbs = media.mapInPandas(
+        resize_ppm_batch, schema="doc_id bigint, payload binary"
+    ).mapInPandas(phash_ppm_batch, schema="doc_id bigint, phash string")
+
+    t_counts = thumbs.groupBy("phash").agg(F.count(F.lit(1)).alias("n_thumb"))
+    o_dist = orig.select("phash").distinct()
+
+    def band(col: str, i: int):
+        return F.conv(F.substring(col, i * 4 + 1, 4), 16, 10).cast("int")
+
+    def bands(df: DataFrame, side: str) -> DataFrame:
+        renamed = df.withColumnRenamed("phash", f"phash_{side}")
+        return renamed.select(
+            "*",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_idx"),
+                            band(f"phash_{side}", i).alias("band_val"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("b"),
+        ).select(*renamed.columns, "b.band_idx", "b.band_val")
+
+    cand = (
+        bands(o_dist, "o")
+        .join(F.broadcast(bands(t_counts, "t")), ["band_idx", "band_val"])
+        .select("phash_o", "phash_t", "n_thumb")
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(band("phash_o", i).bitwiseXOR(band("phash_t", i)))
+        for i in range(4)
+    ).cast("int")
+    matched = (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 8)
+        .groupBy("phash_o")
+        .agg(
+            F.min("hamming").cast("int").alias("best_hamming"),
+            F.sum("n_thumb").alias("n_thumb_matches"),
+        )
+    )
+    return orig.join(
+        F.broadcast(matched), orig["phash"] == matched["phash_o"], "left"
+    ).select(
+        "doc_id",
+        "phash",
+        "best_hamming",
+        F.coalesce(F.col("n_thumb_matches"), F.lit(0)).alias("n_thumb_matches"),
     )

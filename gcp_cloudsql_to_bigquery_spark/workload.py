@@ -272,6 +272,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "multimodal_phash_dedup",
     "agg_correlation_matrix",
     "ts_holt_linear",
+    "multimodal_phash_thumbnail_match",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",

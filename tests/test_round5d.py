@@ -124,3 +124,59 @@ def test_holt_two_exchanges(spark):
     # applyInPandas grouping — recursion itself adds no shuffle
     df = queries()["ts_holt_linear"](spark, SF)
     assert inspect.exchange_count(df) <= 2, inspect.physical_plan(df)
+
+
+def _brute_phash(px_rows):
+    """Independent aHash: explicit per-block pixel loops (no numpy, no
+    integral image) over a row-major [[(r,g,b), ...], ...] image."""
+    h, w = len(px_rows), len(px_rows[0])
+    gray = [[sum(p) for p in row] for row in px_rows]
+    total = sum(sum(row) for row in gray)
+    out = []
+    for i in range(8):
+        a, b = i * h // 8, (i + 1) * h // 8
+        byte = 0
+        for j in range(8):
+            c, d = j * w // 8, (j + 1) * w // 8
+            s = sum(gray[y][x] for y in range(a, b) for x in range(c, d))
+            if s * (h * w) > total * ((b - a) * (d - c)):
+                byte |= 1 << (7 - j)
+        out.append(byte)
+    return bytes(out).hex()
+
+
+def _striped_image(doc_id, n_chars):
+    w, h, k = n_chars % 64 + 8, doc_id % 48 + 8, doc_id % 8
+    lo, hi = (k * h + 7) // 8, ((k + 1) * h + 7) // 8
+    return [
+        [(doc_id % 256, 255 if lo <= y < hi else y, (doc_id * 31) % 256)] * w
+        for y in range(h)
+    ]
+
+
+def test_phash_thumbnail_match_matches_bruteforce(spark):
+    docs = load(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    oh, th = {}, {}
+    import collections
+
+    t_counts = collections.Counter()
+    for r in docs:
+        img = _striped_image(r["doc_id"], r["n_chars"])
+        oh[r["doc_id"]] = _brute_phash(img)
+        thumb = [row[::2] for row in img[::2]]
+        t = _brute_phash(thumb)
+        th[r["doc_id"]] = t
+        t_counts[t] += 1
+
+    def ham(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    got = {r["doc_id"]: r for r in queries()["multimodal_phash_thumbnail_match"](spark, SF).collect()}
+    assert len(got) == len(docs)
+    assert len(set(oh.values())) > 5, "fixture should give a diverse hash corpus"
+    for doc_id, phash in oh.items():
+        near = [(ham(phash, t), n) for t, n in t_counts.items() if ham(phash, t) <= 8]
+        r = got[doc_id]
+        assert r["phash"] == phash, doc_id
+        assert r["n_thumb_matches"] == sum(n for _, n in near), doc_id
+        assert r["best_hamming"] == (min(d for d, _ in near) if near else None), doc_id
