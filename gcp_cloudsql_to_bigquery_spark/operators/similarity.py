@@ -1128,3 +1128,138 @@ def ann_pq_topk_candidates(spark: SparkSession, sf_dir: str, k: int) -> DataFram
         .filter(F.col("coarse_rank") <= k)
         .select("query_id", "neighbor_id", "coarse_rank")
     )
+
+
+_MRL_D0 = 16  # coarse prefix dims (Matryoshka truncation)
+_MRL_C = 20  # coarse candidates per query
+_MRL_K = 5  # final top-k
+
+
+@register(
+    "ann_matryoshka_rerank",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+    coarse AS (
+      SELECT query_id, neighbor_id, crnk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            q.v[1:{_MRL_D0}], c.v[1:{_MRL_D0}]), 6) DESC,
+                          c.vec_id) AS crnk
+        FROM q JOIN c ON q.vec_id <> c.vec_id
+      ) WHERE crnk <= {_MRL_C}
+    ),
+    rer AS (
+      SELECT co.query_id, co.neighbor_id,
+             CAST(co.crnk AS INTEGER) AS coarse_rnk,
+             round(list_cosine_similarity(q.v, c.v), 6) AS cosine
+      FROM coarse co
+      JOIN q ON q.vec_id = co.query_id
+      JOIN c ON c.vec_id = co.neighbor_id
+    )
+    SELECT query_id, neighbor_id, coarse_rnk, cosine, rnk FROM (
+      SELECT *, CAST(row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rnk
+      FROM rer
+    ) WHERE rnk <= {_MRL_K}
+    """,
+    doc="MATRYOSHKA two-stage retrieval: stage 1 scores the corpus with "
+    f"only the first {_MRL_D0} of 64 embedding dims (MRL-style prefix "
+    "truncation — the cheap representation a 100 TB deployment stores "
+    "as its own column/index so the coarse scan reads 1/4 of the "
+    f"bytes), keeping the top {_MRL_C} candidates per query; stage 2 "
+    "re-scores ONLY those candidates with the full 64-dim cosine and "
+    f"emits the top {_MRL_K}.  Stage 1 is the proven broadcast-queries "
+    "shape (per-partition numpy GEMM on the sliced matrix + local "
+    "top-C inside mapInPandas, corpus never shuffled, then a tiny "
+    "global top-C reduce); stage 2 joins the candidate list back to "
+    "the corpus (broadcast — C*Q rows) and computes the exact cosine "
+    "JVM-side with zip_with/aggregate higher-order expressions, no "
+    "Python in the rerank.  Both stages rank on round(cos, 6) with "
+    "vec_id tiebreaks so Spark and the DuckDB oracle (which replays "
+    "the identical two-stage plan with list_slice/"
+    "list_cosine_similarity) agree exactly; coarse_rnk in the output "
+    "exposes how the full-dim rerank reorders the truncated-dim "
+    "candidates.  At 100 TB: coarse cost scales with D0/D, rerank "
+    "cost with C*Q — both knobs explicit.",
+)
+def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    qrows = sorted(
+        (r["vec_id"], r["v"]) for r in e.filter(F.col("vec_id") < 10).collect()
+    )
+    q_ids = np.array([i for i, _ in qrows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(v) for _, v in qrows])[:, :_MRL_D0]
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    bc = e.sparkSession.sparkContext.broadcast((q_ids, q_mat, q_norm))
+
+    def part_coarse(batches):
+        ids_q, mat_q, norm_q = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy()
+            c_mat = np.stack(pdf["v"].to_numpy())[:, :_MRL_D0]
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            cos = np.round(mat_q @ c_mat.T / np.outer(norm_q, c_norm), 6)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(len(ids_q)):
+                mask = c_ids != ids_q[qi]
+                cand_ids, cand_cos = c_ids[mask], cos[qi][mask]
+                order = np.lexsort((cand_ids, -cand_cos))[:_MRL_C]
+                out_q.extend([ids_q[qi]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_c.extend(cand_cos[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "ccos": out_c}
+            )
+
+    local = e.mapInPandas(
+        part_coarse, schema="query_id long, neighbor_id long, ccos double"
+    )
+    wc = W.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        local.withColumn("crnk", F.row_number().over(wc))
+        .filter(F.col("crnk") <= _MRL_C)
+        .select("query_id", "neighbor_id", F.col("crnk").cast("int").alias("coarse_rnk"))
+    )
+
+    qv = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in qrows], "query_id long, qv array<double>"
+    )
+
+    def dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    rer = (
+        F.broadcast(cand)
+        .join(e.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+    )
+    cosine = F.round(
+        dot("qv", "v") / (F.sqrt(dot("qv", "qv")) * F.sqrt(dot("v", "v"))), 6
+    )
+    wr = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("cosine", cosine)
+        .withColumn("rnk", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rnk") <= _MRL_K)
+        .select("query_id", "neighbor_id", "coarse_rnk", "cosine", "rnk")
+    )
