@@ -835,3 +835,86 @@ def curation_sample_weights_export(spark: SparkSession, sf_dir: str) -> DataFram
         "is_keeper",
         quality.alias("quality_pass"),
     )
+
+
+_SPLIT_TEST_BUCKETS = 26  # of 256 -> ~10.2% test fraction
+
+
+@register(
+    "curation_leakage_safe_split",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             md5(substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                        1, 32)) AS fp
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, fp,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                       AS INTEGER) < {_SPLIT_TEST_BUCKETS}
+                  THEN 'test' ELSE 'train' END AS split_naive,
+             CASE WHEN CAST('0x' || substr(md5(fp), 1, 2)
+                       AS INTEGER) < {_SPLIT_TEST_BUCKETS}
+                  THEN 'test' ELSE 'train' END AS split_safe
+      FROM docs
+    )
+    SELECT doc_id, fp,
+           CAST(count(*) OVER c AS BIGINT) AS cluster_size,
+           split_naive, split_safe,
+           max(split_naive) OVER c <> min(split_naive) OVER c AS naive_leak
+    FROM assigned
+    WINDOW c AS (PARTITION BY fp)
+    """,
+    doc="LEAKAGE-SAFE train/test split — the contamination guard a "
+    "training-data pipeline needs before any evaluation: documents that "
+    "are near-duplicates of each other must never straddle the split, or "
+    "the test set leaks into training.  Cluster key = md5 of the first 32 "
+    "normalized chars (the cheap prefix/boilerplate dedup key; at scale "
+    "the same shape runs on MinHash connected-component representatives, "
+    "see dedup_connected_components).  The NAIVE split hashes doc_id — "
+    "and the naive_leak column proves per cluster whether it tears "
+    "duplicates apart (max!=min of the assigned side over the cluster "
+    "window); the SAFE split hashes the cluster fingerprint itself, so "
+    "every member lands on one side BY CONSTRUCTION — same hash, same "
+    "side, no coordination needed.  Both assignments are pure md5-bucket "
+    "arithmetic (first byte < 26/256 ~ 10.2% test), deterministic and "
+    "engine-portable.  Scale: one digest-keyed exchange for the cluster "
+    "window (the canonical dedup shuffle); the split decision itself is "
+    "a narrow scan-speed expression — no global state, no sampling "
+    "coordination, reproducible across reruns and engines.",
+)
+def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.substring(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 1, 32
+        ).cast("binary")
+    )
+
+    def bucket(col):
+        return F.conv(F.substring(F.md5(col), 1, 2), 16, 10).cast("int")
+
+    split_of = lambda col: F.when(  # noqa: E731
+        bucket(col) < _SPLIT_TEST_BUCKETS, "test"
+    ).otherwise("train")
+    assigned = d.select(
+        "doc_id",
+        fp.alias("fp"),
+    ).select(
+        "doc_id",
+        "fp",
+        split_of(F.col("doc_id").cast("string").cast("binary")).alias("split_naive"),
+        split_of(F.col("fp").cast("binary")).alias("split_safe"),
+    )
+    c = W.partitionBy("fp")
+    return assigned.select(
+        "doc_id",
+        "fp",
+        F.count(F.lit(1)).over(c).alias("cluster_size"),
+        "split_naive",
+        "split_safe",
+        (F.max("split_naive").over(c) != F.min("split_naive").over(c)).alias(
+            "naive_leak"
+        ),
+    )

@@ -274,6 +274,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_holt_linear",
     "multimodal_phash_thumbnail_match",
     "ann_matryoshka_rerank",
+    "curation_leakage_safe_split",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
