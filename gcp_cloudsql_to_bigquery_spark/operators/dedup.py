@@ -837,3 +837,131 @@ def dedup_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sem").isNotNull().alias("semantic"),
     )
     return u.groupBy("lexical", "semantic").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "dedup_url_canonical",
+    oracle=r"""
+    WITH raw AS (
+      SELECT doc_id, doc_id // 4 AS base,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://s' || CAST(doc_id // 4 % 7 AS VARCHAR)
+                 || '.example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+                 || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&p=1'
+               WHEN 1 THEN 'HTTPS://S' || CAST(doc_id // 4 % 7 AS VARCHAR)
+                 || '.EXAMPLE.COM:443/page/' || CAST(doc_id // 4 AS VARCHAR)
+                 || '?id=' || CAST(doc_id // 4 AS VARCHAR) || '&p=1'
+               WHEN 2 THEN 'https://s' || CAST(doc_id // 4 % 7 AS VARCHAR)
+                 || '.example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+                 || '?p=1&utm_source=news&id=' || CAST(doc_id // 4 AS VARCHAR)
+               ELSE 'https://s' || CAST(doc_id // 4 % 7 AS VARCHAR)
+                 || '.example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+                 || '?utm_campaign=x&id=' || CAST(doc_id // 4 AS VARCHAR)
+                 || '&p=1#sec2'
+             END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM raw
+    ),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(nofrag, '^([A-Za-z]+)://', 1)) || '://'
+             || regexp_replace(
+                  lower(regexp_extract(nofrag, '^[A-Za-z]+://([^/?]+)', 1)),
+                  ':443$', '')
+             || regexp_extract(nofrag, '^[A-Za-z]+://[^/?]+([^?]*)', 1)
+             || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url
+      FROM (
+        SELECT doc_id, nofrag,
+               array_to_string(
+                 list_sort(list_filter(
+                   string_split(regexp_extract(nofrag, '\?(.*)$', 1), '&'),
+                   x -> x <> '' AND NOT starts_with(x, 'utm_'))),
+                 '&') AS cq
+        FROM parts
+      )
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           min(doc_id)              AS keeper
+    FROM canon
+    GROUP BY canonical_url
+    """,
+    doc="URL-CANONICALIZATION DEDUP — the first dedup pass of any web "
+    "corpus: the same page arrives under scheme/host case variants, "
+    "explicit default ports, tracking parameters, shuffled query order, "
+    "and fragments.  Canonicalize (lowercase scheme+host, strip :443, "
+    "drop the fragment, remove utm_* params, SORT the surviving query "
+    "params) and group — here four synthetic variants per page collapse "
+    "to one canonical URL with keeper = min(doc_id).  The pipeline is "
+    "pure narrow string expressions (regexp component extraction + "
+    "filter/array_sort/concat_ws higher-order array ops — all "
+    "whole-stage-codegen JVM, no UDF), then the canonical dedup shape: "
+    "ONE exchange keyed on the canonical-URL digest-equivalent.  The "
+    "oracle replays the identical canonicalization with DuckDB's "
+    "regexes and list lambdas, so a divergence in any normalization "
+    "rule (port regex, param filter, sort order, fragment strip) splits "
+    "a cluster and flips the hash.  At 100 TB this runs at scan speed "
+    "before the heavier content dedups (exact digest -> MinHash).",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    base = (F.col("doc_id") / 4).cast("bigint")
+    bs = base.cast("string")
+    host_l = F.concat(F.lit("s"), (base % 7).cast("string"), F.lit(".example.com"))
+    host_u = F.upper(host_l)
+    variant = F.col("doc_id") % 4
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(F.lit("https://"), host_l, F.lit("/page/"), bs,
+                     F.lit("?id="), bs, F.lit("&p=1")),
+        )
+        .when(
+            variant == 1,
+            F.concat(F.lit("HTTPS://"), host_u, F.lit(":443/page/"), bs,
+                     F.lit("?id="), bs, F.lit("&p=1")),
+        )
+        .when(
+            variant == 2,
+            F.concat(F.lit("https://"), host_l, F.lit("/page/"), bs,
+                     F.lit("?p=1&utm_source=news&id="), bs),
+        )
+        .otherwise(
+            F.concat(F.lit("https://"), host_l, F.lit("/page/"), bs,
+                     F.lit("?utm_campaign=x&id="), bs, F.lit("&p=1#sec2")),
+        )
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    nofrag = F.regexp_replace(F.col("url"), r"#.*$", "")
+    parts = raw.select("doc_id", nofrag.alias("nofrag"))
+    query = F.regexp_extract(F.col("nofrag"), r"\?(.*)$", 1)
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    scheme = F.lower(F.regexp_extract(F.col("nofrag"), r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(F.col("nofrag"), r"^[A-Za-z]+://([^/?]+)", 1)),
+        r":443$",
+        "",
+    )
+    path = F.regexp_extract(F.col("nofrag"), r"^[A-Za-z]+://[^/?]+([^?]*)", 1)
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(cq != "", F.concat(F.lit("?"), cq)).otherwise(F.lit("")),
+    )
+    return (
+        parts.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).alias("n_variants"), F.min("doc_id").alias("keeper"))
+    )

@@ -714,3 +714,46 @@ def sec_row_column_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
         bal.alias("bal_cents"),
         seg.alias("segment_masked"),
     )
+
+
+_K_ANON = 5
+
+
+@register(
+    "sec_k_anonymity_audit",
+    oracle=f"""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT)     AS bal_band,
+           CAST(count(*) AS BIGINT)                    AS class_size,
+           count(*) >= {_K_ANON}                       AS meets_k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, bal_band
+    """,
+    doc="K-ANONYMITY AUDIT over the quasi-identifier tuple (nation, "
+    "market segment, account-balance band): every equivalence class with "
+    f"fewer than k={_K_ANON} members is a re-identification risk — the "
+    "release gate a privacy-preserving export runs before publishing "
+    "per-customer data (complements sec_row_column_policies' masking and "
+    "fn_pseudonymize_consistent's key mapping: policies control WHO sees "
+    "a column, this measures WHETHER the visible columns identify).  "
+    "Banding acctbal to $1000 buckets is the generalization step of "
+    "classic k-anonymity (coarser quasi-identifiers -> larger classes).  "
+    "Scale: one partial-aggregated groupBy on the quasi-identifier key — "
+    "class sizes reduce map-side, only (tuple, count) states shuffle; "
+    "the audit output is bounded by the quasi-identifier domain, not the "
+    "row count.",
+)
+def sec_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            (F.count(F.lit(1)) >= _K_ANON).alias("meets_k"),
+        )
+    )

@@ -275,6 +275,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "multimodal_phash_thumbnail_match",
     "ann_matryoshka_rerank",
     "curation_leakage_safe_split",
+    "sec_k_anonymity_audit",
+    "dedup_url_canonical",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
