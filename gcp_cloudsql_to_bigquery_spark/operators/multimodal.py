@@ -989,3 +989,114 @@ def multimodal_phash_thumbnail_match(spark: SparkSession, sf_dir: str) -> DataFr
         "best_hamming",
         F.coalesce(F.col("n_thumb_matches"), F.lit(0)).alias("n_thumb_matches"),
     )
+
+
+@register(
+    "multimodal_shot_boundaries",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             doc_id % 6 + 4                              AS nf,
+             doc_id % 24 + 8                             AS h,
+             doc_id % 256 + (doc_id * 31) % 256          AS cc
+      FROM documents
+    )
+    SELECT doc_id, CAST(nf // 3 AS INT) AS cut_frame,
+           CAST(2 * (cc + 10) + (h - 1) AS BIGINT)       AS mean_before_x2,
+           CAST(2 * (cc + 70) + (h - 1) AS BIGINT)       AS mean_after_x2
+    FROM p
+    UNION ALL
+    SELECT doc_id, CAST((2 * nf) // 3 AS INT) AS cut_frame,
+           CAST(2 * (cc + 70) + (h - 1) AS BIGINT)       AS mean_before_x2,
+           CAST(2 * (cc + 130) + (h - 1) AS BIGINT)      AS mean_after_x2
+    FROM p
+    """,
+    doc="VIDEO SHOT-BOUNDARY DETECTION over a real multi-frame container: "
+    "each document synthesizes a 4-9 frame 'video' as CONCATENATED P6 PPM "
+    "frames (the MJPEG-style frame-sequence layout), with two scene cuts "
+    "at frames floor(F/3) and floor(2F/3) where the g-plane base jumps by "
+    "60; the detector then genuinely WALKS the container — parsing each "
+    "variable-length frame header at its byte offset, validating the "
+    "pixel-buffer length, advancing past it — decodes every frame to its "
+    "exact doubled mean intensity ((2*graysum) // npx, integer-exact "
+    "because w*h | 2*w*tri(h)), and flags frame pairs whose doubled-mean "
+    "delta exceeds 60 (true cuts differ by exactly 120, within-scene "
+    "pairs by 0).  A wrong header regex, frame offset, or buffer stride "
+    "desynchronizes the walk and produces missing/spurious cuts against "
+    "the closed-form oracle (cut positions AND both scene means derived "
+    "arithmetically).  Scale: the whole detect is ONE narrow mapInPandas "
+    "stage — frame bytes never leave their partition, and only "
+    "(doc_id, cut_frame, two means) rows emerge; the shape that must "
+    "hold when each video is gigabytes.",
+)
+def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    def synth_video_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                nf = doc_id % 6 + 4
+                w, h = n_chars % 32 + 8, doc_id % 24 + 8
+                c1, c2 = nf // 3, (2 * nf) // 3
+                frames = []
+                for f in range(nf):
+                    scene = (f >= c1) + (f >= c2)
+                    g = (10 + 60 * scene + np.arange(h, dtype=np.int64)).astype(
+                        np.uint8
+                    )
+                    px = np.empty((h, w, 3), dtype=np.uint8)
+                    px[:, :, 0] = doc_id % 256
+                    px[:, :, 1] = g[:, None]
+                    px[:, :, 2] = (doc_id * 31) % 256
+                    frames.append(f"P6\n{w} {h}\n255\n".encode() + px.tobytes())
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def detect_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        hdr = re.compile(rb"P6\s+(\d+)\s+(\d+)\s+255\s")
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "cut_frame": [],
+                "mean_before_x2": [],
+                "mean_after_x2": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pos, means = 0, []
+                while pos < len(payload):
+                    m = hdr.match(payload, pos)
+                    if not m:
+                        raise ValueError(f"doc {doc_id}: bad frame header at {pos}")
+                    w, h = int(m.group(1)), int(m.group(2))
+                    npx = w * h
+                    start, end = m.end(), m.end() + 3 * npx
+                    if end > len(payload):
+                        raise ValueError(f"doc {doc_id}: truncated frame at {pos}")
+                    gray = (
+                        np.frombuffer(payload[start:end], dtype=np.uint8)
+                        .reshape(npx, 3)
+                        .sum(axis=1, dtype=np.int64)
+                    )
+                    means.append(int(2 * int(gray.sum())) // npx)
+                    pos = end
+                for f in range(1, len(means)):
+                    if abs(means[f] - means[f - 1]) > 60:
+                        out["doc_id"].append(doc_id)
+                        out["cut_frame"].append(f)
+                        out["mean_before_x2"].append(means[f - 1])
+                        out["mean_after_x2"].append(means[f])
+            yield pd.DataFrame(out)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    video = docs.mapInPandas(synth_video_batch, schema="doc_id bigint, payload binary")
+    return video.mapInPandas(
+        detect_batch,
+        schema="doc_id bigint, cut_frame int, mean_before_x2 bigint, "
+        "mean_after_x2 bigint",
+    )

@@ -277,6 +277,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "curation_leakage_safe_split",
     "sec_k_anonymity_audit",
     "dedup_url_canonical",
+    "multimodal_shot_boundaries",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
