@@ -715,3 +715,56 @@ def fn_decimal_exact_money(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(taxed).cast("decimal(38,6)").cast("string").alias("taxed_total_decimal"),
     )
+
+
+@register(
+    "fn_calendar_edge_semantics",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey,
+             CAST(date_trunc('day', o_orderdate) AS DATE) AS od
+      FROM orders WHERE o_orderkey < 400
+    )
+    SELECT o_orderkey, od,
+           last_day(od)                                          AS eom,
+           CAST(last_day(od) + INTERVAL 1 MONTH AS DATE)         AS eom_plus_month,
+           CAST(od + INTERVAL 1 MONTH AS DATE)                   AS plus_month,
+           CAST(date_trunc('quarter', od) AS DATE)               AS quarter_start,
+           CAST(datediff('month', od, DATE '2026-01-01') AS INT) AS months_to_2026,
+           day(last_day(od)) = 29 AND month(od) = 2              AS leap_feb,
+           CAST(dayofweek(od) + 1 AS INT)                        AS dow,
+           CAST(last_day(od) - od AS INT)                        AS days_to_eom
+    FROM d
+    """,
+    doc="CALENDAR EDGE SEMANTICS witness — the month-end/leap-year rules "
+    "every billing or cohort pipeline silently depends on, pinned "
+    "cross-engine: Spark add_months CLAMPS (Jan 31 + 1m = Feb 29 in a "
+    "leap year, Feb 28 otherwise) exactly like DuckDB's + INTERVAL 1 "
+    "MONTH; last_day, quarter truncation, dayofweek (Spark Sunday=1 vs DuckDB Sunday=0, offset stated), and "
+    "month-boundary counting ((y2-y1)*12 + (m2-m1), the engine-neutral "
+    "form of DuckDB's datediff('month')) all stated by both engines on "
+    "the same 400 order dates.  A divergence in any clamp/truncation "
+    "rule flips dates in the hash.  Pure narrow projection — codegen, "
+    "zero shuffle, scan pruned to two columns.",
+)
+def fn_calendar_edge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    od = F.to_date(F.date_trunc("day", F.col("o_orderdate")))
+    d = o.select("o_orderkey", od.alias("od"))
+    months_to_2026 = (
+        (F.lit(2026) - F.year("od")) * 12 + (F.lit(1) - F.month("od"))
+    ).cast("int")
+    return d.select(
+        "o_orderkey",
+        "od",
+        F.last_day("od").alias("eom"),
+        F.add_months(F.last_day("od"), 1).alias("eom_plus_month"),
+        F.add_months("od", 1).alias("plus_month"),
+        F.to_date(F.date_trunc("quarter", F.col("od"))).alias("quarter_start"),
+        months_to_2026.alias("months_to_2026"),
+        ((F.dayofmonth(F.last_day("od")) == 29) & (F.month("od") == 2)).alias(
+            "leap_feb"
+        ),
+        F.dayofweek("od").cast("int").alias("dow"),
+        F.datediff(F.last_day("od"), F.col("od")).cast("int").alias("days_to_eom"),
+    )

@@ -278,6 +278,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "sec_k_anonymity_audit",
     "dedup_url_canonical",
     "multimodal_shot_boundaries",
+    "fn_calendar_edge_semantics",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
