@@ -468,3 +468,69 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = dedup.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
     return run_to_completion(agg, spark)
+
+
+@register(
+    "stream_session_window_dynamic_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(ts AS TIMESTAMP)
+               + CASE WHEN event_type = 'click' THEN INTERVAL '5 minutes'
+                      ELSE INTERVAL '20 minutes' END AS ev_end
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, ev_end,
+             CASE WHEN max(ev_end) OVER prior IS NULL
+                       OR ts >= max(ev_end) OVER prior
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM g
+      WINDOW prior AS (PARTITION BY user_id ORDER BY ts, ev_end
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sess AS (
+      SELECT user_id, ts, ev_end,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, ev_end
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS sess_start, max(ev_end) AS sess_end,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+    doc="DYNAMIC-GAP session window: each event extends its user's session "
+    "by an EVENT-DEPENDENT gap (clicks 5 min — a click mid-browse holds "
+    "the session briefly; other events 20 min), via session_window(ts, "
+    "CASE ...) with a gap EXPRESSION — the Spark-native form of "
+    "per-event-type session policies that fixed-gap sessionization "
+    "(stream_session_window) cannot express.  Spark merges the per-event "
+    "windows [ts, ts+gap) transitively; the oracle replays that as the "
+    "generalized gaps-and-islands rewrite — a session breaks exactly "
+    "where ts >= running max of prior (ts + gap) (running MAX, not lag: "
+    "a long-gap event can outlive several short-gap successors) — and "
+    "checks start, END (max ts+gap, the merged-window upper bound), and "
+    "size of every session.  availableNow drains fully so the streaming "
+    "result equals the batch closure.  Scale: state is one open session "
+    "window per active user (same bound as fixed-gap), watermark-evicted; "
+    "the gap expression is evaluated per event, no extra shuffle.",
+)
+def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    # gap must be CalendarIntervalType: make_interval, not ANSI day-time
+    # interval literals (those are DayTimeIntervalType and are rejected)
+    gap = F.when(
+        F.col("event_type") == "click", F.expr("make_interval(0,0,0,0,0,5,0)")
+    ).otherwise(F.expr("make_interval(0,0,0,0,0,20,0)"))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(agg, spark)
+    return out.select(
+        "user_id",
+        F.col("session_window.start").alias("sess_start"),
+        F.col("session_window.end").alias("sess_end"),
+        "n_events",
+    )

@@ -279,6 +279,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "dedup_url_canonical",
     "multimodal_shot_boundaries",
     "fn_calendar_edge_semantics",
+    "stream_session_window_dynamic_gap",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
