@@ -697,3 +697,111 @@ def elt_format_migration_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(digest(hop2, "parquet"))
         .unionByName(digest(hop3, "orc"))
     )
+
+
+@register(
+    "src_fixed_width_trailer",
+    oracle="""
+    SELECT c_custkey                                 AS custkey,
+           c_name                                    AS name,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+           c_mktsegment                              AS segment,
+           CAST(c_custkey % 8 AS BIGINT)             AS shard,
+           TRUE                                      AS count_ok,
+           TRUE                                      AS checksum_ok
+    FROM customer
+    """,
+    doc="FIXED-WIDTH batch-feed ROUNDTRIP with header/trailer framing — "
+    "the mainframe/banking export format every ELT tool must ingest: "
+    "each of 8 shards renders customers into 50-char fixed-width D "
+    "records (zero-padded key, space-padded name/segment, sign+11-digit "
+    "cents) framed by an H header and a T trailer declaring the record "
+    "COUNT and cents CHECKSUM of its shard (applyInPandas per shard — "
+    "the write side is Python formatting, like a real feed producer).  "
+    "The READ side is pure Spark-native narrow SQL: split lines, "
+    "posexplode, classify by record type, substring/cast every field at "
+    "its fixed offset, then verify each shard's trailer against the "
+    "parsed body (count_ok / checksum_ok emitted per row) — a framing "
+    "or offset bug mis-parses values or fails the trailer audit, and "
+    "the oracle (the original customer columns) catches either.  "
+    "Scale: shards parse independently (shard-keyed exchange only); "
+    "trailer verification is a per-shard partial aggregate joined back "
+    "broadcast — corrupt shards are isolated, not poison for the whole "
+    "load.",
+)
+def src_fixed_width_trailer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def render_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("c_custkey")
+        lines = [f"H{int(pdf['shard'].iloc[0]):09d}" if len(pdf) else "H000000000"]
+        total = 0
+        for _, r in pdf.iterrows():
+            cents = int(r["cents"])
+            total += cents
+            sign = "-" if cents < 0 else "+"
+            lines.append(
+                "D"
+                + f"{int(r['c_custkey']):09d}"
+                + f"{r['c_name']:<18.18}"
+                + sign
+                + f"{abs(cents):011d}"
+                + f"{r['c_mktsegment']:<10.10}"
+            )
+        tsign = "-" if total < 0 else "+"
+        lines.append(f"T{len(pdf) - 0:09d}{tsign}{abs(total):015d}")
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "content": ["\n".join(lines)]}
+        )
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+        (F.col("c_custkey") % 8).cast("int").alias("shard"),
+    )
+    files = c.groupBy("shard").applyInPandas(
+        render_shard, schema="shard int, content string"
+    )
+
+    lines = files.select(
+        "shard", F.explode(F.split("content", "\n")).alias("line")
+    )
+    body = lines.filter(F.substring("line", 1, 1) == "D").select(
+        "shard",
+        F.substring("line", 2, 9).cast("bigint").alias("custkey"),
+        F.rtrim(F.substring("line", 11, 18)).alias("name"),
+        (
+            F.when(F.substring("line", 29, 1) == "-", -1).otherwise(1)
+            * F.substring("line", 30, 11).cast("bigint")
+        ).alias("bal_cents"),
+        F.rtrim(F.substring("line", 41, 10)).alias("segment"),
+    )
+    trailer = lines.filter(F.substring("line", 1, 1) == "T").select(
+        "shard",
+        F.substring("line", 2, 9).cast("bigint").alias("n_declared"),
+        (
+            F.when(F.substring("line", 11, 1) == "-", -1).otherwise(1)
+            * F.substring("line", 12, 15).cast("bigint")
+        ).alias("sum_declared"),
+    )
+    stats = body.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_parsed"), F.sum("bal_cents").alias("sum_parsed")
+    )
+    audit = F.broadcast(
+        stats.join(trailer, "shard").select(
+            "shard",
+            (F.col("n_parsed") == F.col("n_declared")).alias("count_ok"),
+            (F.col("sum_parsed") == F.col("sum_declared")).alias("checksum_ok"),
+        )
+    )
+    return body.join(audit, "shard").select(
+        "custkey",
+        "name",
+        "bal_cents",
+        "segment",
+        F.col("shard").cast("bigint").alias("shard"),
+        "count_ok",
+        "checksum_ok",
+    )

@@ -280,6 +280,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "multimodal_shot_boundaries",
     "fn_calendar_edge_semantics",
     "stream_session_window_dynamic_gap",
+    "src_fixed_width_trailer",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
