@@ -757,3 +757,203 @@ def sec_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) >= _K_ANON).alias("meets_k"),
         )
     )
+
+_L_DIV = 3
+
+
+@register(
+    "sec_l_diversity_audit",
+    oracle=f"""
+    WITH cls AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS sens,
+             count(*) AS n
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, sens
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(sum(n) AS BIGINT)                                  AS class_size,
+           CAST(count(*) AS BIGINT)                                AS l_distinct,
+           count(*) >= {_L_DIV}                                    AS meets_l,
+           CAST(floor(max(n) * 1000000.0 / sum(n) + 0.5) AS BIGINT) AS top_share_ppm
+    FROM cls
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    doc="L-DIVERSITY AUDIT — the attack k-anonymity misses: a class can "
+    f"have {_K_ANON}+ members (k-anonymous) yet leak the sensitive value "
+    "anyway when every member SHARES it (homogeneity attack).  Quasi-"
+    "identifiers here are (nation, segment); the sensitive attribute is "
+    "the $1000 balance band.  Per class we report the number of DISTINCT "
+    f"sensitive values (distinct-l, gate l>={_L_DIV}) and the modal "
+    "share in ppm (the skew the entropy/recursive variants bound) — "
+    "together the release gate run AFTER sec_k_anonymity_audit passes.  "
+    "Scale: two stacked partial aggregates on prefixes of the same key "
+    "(QI+sens, then QI) — the second groupBy re-uses the first shuffle's "
+    "partitioning, and output is bounded by the QI domain.  The modal "
+    "share is max()/sum() inside one aggregate, no window or self-join.",
+)
+def sec_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    cls = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("sens"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "sens")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return cls.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("n").alias("class_size"),
+        F.count(F.lit(1)).alias("l_distinct"),
+        (F.count(F.lit(1)) >= _L_DIV).alias("meets_l"),
+        F.floor(F.max("n") * 1000000.0 / F.sum("n") + 0.5)
+        .cast("bigint")
+        .alias("top_share_ppm"),
+    )
+
+
+# Truncated geometric mechanism (Ghosh–Roughgarden–Sundararajan): discrete
+# Laplace with alpha = 1/2 (epsilon = ln 2), support [-6, 6].  Scaled
+# weights 64/2^|k| over a total of 190 make every CDF breakpoint an exact
+# integer — noise inversion is pure bigint compares, no ln()/float parity
+# risk between JVM and DuckDB libm.
+_DP_M = 16**12  # md5 12-hex-digit draw space
+_DP_CUM = [1, 3, 7, 15, 31, 63, 127, 159, 175, 183, 187, 189, 190]  # k=-6..6
+
+
+def _dp_case_sql(u190: str) -> str:
+    arms = " ".join(
+        f"WHEN {u190} < {c} * {_DP_M} THEN {k - 6}" for k, c in enumerate(_DP_CUM[:-1])
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+@register(
+    "sec_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS true_count,
+             CAST(CAST('0x' || substr(md5('dp:' || CAST(c_nationkey AS VARCHAR)
+                                          || ':' || c_mktsegment), 1, 12)
+                       AS UBIGINT) AS BIGINT) * 190 AS u190
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, true_count,
+           CAST({_dp_case_sql('u190')} AS BIGINT)              AS noise,
+           true_count + CAST({_dp_case_sql('u190')} AS BIGINT) AS noisy_count
+    FROM g
+    """,
+    doc="DIFFERENTIALLY-PRIVATE NOISY COUNTS via the truncated geometric "
+    "mechanism (discrete Laplace, alpha=1/2 i.e. epsilon=ln2, the "
+    "Ghosh-Roughgarden-Sundararajan universally-optimal mechanism for "
+    "counts): per-(nation, segment) customer counts are released with "
+    "integer noise drawn by inverting an exact-integer CDF against a "
+    "per-group md5 draw — the seeded-noise discipline that makes a DP "
+    "release REPLAYABLE for audit (same release every run), and makes "
+    "the oracle exact where float Laplace (ln of a uniform) would be at "
+    "the mercy of cross-engine libm parity.  CDF breakpoints are scaled "
+    "integers (weights 64/2^|k| over 190), so noise inversion is a "
+    "bigint CASE ladder — zero float ops end-to-end.  Scale: one "
+    "partial-agg groupBy; the hash draw and CASE ladder are per-GROUP "
+    "whole-stage-codegen expressions on the bounded aggregate output.",
+)
+def sec_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    u190 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("dp:"),
+                        F.col("c_nationkey").cast("string"),
+                        F.lit(":"),
+                        F.col("c_mktsegment"),
+                    ).cast("binary")
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        * 190
+    )
+    noise = F.lit(6)
+    for k in range(len(_DP_CUM) - 2, -1, -1):
+        noise = F.when(u190 < _DP_CUM[k] * _DP_M, F.lit(k - 6)).otherwise(noise)
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "true_count",
+        noise.cast("bigint").alias("noise"),
+        (F.col("true_count") + noise.cast("bigint")).alias("noisy_count"),
+    )
+
+
+@register(
+    "dq_benford_law",
+    oracle="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS digit
+      FROM orders
+    ),
+    obs AS (
+      SELECT CAST(digit AS BIGINT) AS digit, count(*) AS n_obs
+      FROM d GROUP BY digit
+    )
+    SELECT digit,
+           CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(floor(n_obs * 1000000.0 / sum(n_obs) OVER () + 0.5) AS BIGINT)
+               AS obs_ppm,
+           CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000.0 + 0.5)
+                AS BIGINT) AS exp_ppm,
+           CAST(floor(n_obs * 1000000.0 / sum(n_obs) OVER () + 0.5) AS BIGINT)
+             - CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS dev_ppm
+    FROM obs
+    """,
+    doc="BENFORD'S-LAW FIRST-DIGIT AUDIT over order totals — the classic "
+    "forensic-accounting / data-fabrication tripwire: naturally occurring "
+    "multiplicative amounts put digit d first with probability "
+    "log10(1+1/d), and a generator or tamper that draws uniformly (as "
+    "this synthetic fixture does) lights up as large per-digit deviation "
+    "in ppm.  The first digit is taken from the INTEGER cents rendering "
+    "(never from float formatting, which differs across engines); the "
+    "only transcendental is log10 of nine exact small constants, "
+    "ppm-quantized with verified >=1e-8 margin to every rounding "
+    "boundary.  Scale: a 9-group partial-aggregated count; the share "
+    "window runs over the 9-row aggregate, not the data.",
+)
+def dq_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    obs = (
+        o.select(
+            F.substring(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").cast("string"),
+                1,
+                1,
+            )
+            .cast("bigint")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    total = F.sum("n_obs").over(W.partitionBy())
+    exp_ppm = F.floor(
+        F.log10(1.0 + 1.0 / F.col("digit").cast("double")) * 1000000.0 + 0.5
+    ).cast("bigint")
+    obs_ppm = F.floor(F.col("n_obs") * 1000000.0 / total + 0.5).cast("bigint")
+    return obs.select(
+        "digit",
+        "n_obs",
+        obs_ppm.alias("obs_ppm"),
+        exp_ppm.alias("exp_ppm"),
+        (obs_ppm - exp_ppm).alias("dev_ppm"),
+    )

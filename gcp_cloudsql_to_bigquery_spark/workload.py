@@ -281,6 +281,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_calendar_edge_semantics",
     "stream_session_window_dynamic_gap",
     "src_fixed_width_trailer",
+    "sec_l_diversity_audit",
+    "sec_dp_noisy_counts",
+    "dq_benford_law",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries
     "graph_bfs_layers",
