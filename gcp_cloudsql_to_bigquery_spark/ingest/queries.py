@@ -700,3 +700,98 @@ def elt_incremental_bookmark_extract(spark, sf_dir):
         )
 
     return audit(pull1, "pull1").unionByName(audit(pull2, "pull2"))
+
+
+@register(
+    "elt_backfill_planner",
+    oracle="""
+    WITH days AS (
+      SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+      FROM orders GROUP BY d
+    ),
+    bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM days),
+    spine AS (
+      SELECT CAST(g AS DATE) AS d
+      FROM bounds, LATERAL unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                                  CAST(hi AS TIMESTAMP),
+                                                  INTERVAL 1 DAY)) AS t(g)
+    ),
+    present AS (
+      SELECT d FROM days
+      WHERE substr(md5('bf:' || strftime(d, '%Y-%m-%d')), 1, 1) <> '0'
+    ),
+    missing AS (
+      SELECT s.d, COALESCE(days.n, 0) AS n
+      FROM spine s
+      LEFT JOIN days ON days.d = s.d
+      WHERE s.d NOT IN (SELECT d FROM present)
+    ),
+    isl AS (
+      SELECT d, n,
+             d - CAST(row_number() OVER (ORDER BY d) AS INTEGER) AS grp
+      FROM missing
+    )
+    SELECT min(d)                 AS start_date,
+           max(d)                 AS end_date,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(n) AS BIGINT)   AS est_rows
+    FROM isl GROUP BY grp
+    """,
+    doc="BACKFILL PLANNER — the scheduling query every incremental "
+    "warehouse load needs after an outage: diff the expected calendar "
+    "(day spine from min to max order date) against the partitions that "
+    "actually LANDED (simulated deterministically: a day is 'landed' "
+    "when md5('bf:'||day) doesn't start with '0', dropping ~1/16 of days "
+    "like a flaky upstream), then coalesce the missing days into "
+    "CONTIGUOUS backfill jobs via gaps-and-islands (date minus "
+    "row_number is constant within a run), each sized by the source row "
+    "count it would re-pull — one job per range beats one job per day "
+    "because scan setup amortizes over the range.  Extends "
+    "dq_freshness_partition_audit (which flags staleness) into an "
+    "actionable work list; complements elt_incremental_bookmark_extract "
+    "(forward deltas) with the repair direction.  Scale: the fact table "
+    "is touched ONCE by a partial-agg per-day count; everything after "
+    "operates on the calendar-bounded day set (~2.4k rows for 7 years), "
+    "so the single-partition island window is bounded by the calendar, "
+    "never the data.",
+)
+def elt_backfill_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    days = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    present = days.filter(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("bf:"), F.date_format("d", "yyyy-MM-dd")).cast("binary")
+            ),
+            1,
+            1,
+        )
+        != "0"
+    ).select("d")
+    missing = (
+        spine.join(days, "d", "left")
+        .join(present, "d", "left_anti")
+        .select("d", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    isl = missing.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(W.orderBy("d")))
+    )
+    return (
+        isl.groupBy("grp")
+        .agg(
+            F.min("d").alias("start_date"),
+            F.max("d").alias("end_date"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("est_rows"),
+        )
+        .drop("grp")
+    )

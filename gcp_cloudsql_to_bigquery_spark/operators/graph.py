@@ -796,3 +796,124 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "walk_id", F.col("step").cast("bigint").alias("step"), F.col("node").cast("bigint").alias("node")
     )
+
+
+_HITS_ITERS = 3
+
+
+def _hits_oracle(iters: int = _HITS_ITERS) -> str:
+    """Unrolled HITS oracle: h0 = 1; each round computes authority raw
+    scores as sum(h*w) per dst, MAX-normalizes (max is order-independent,
+    unlike an L1 sum), micro-quantizes, then the hub step mirrors it on
+    src — decision-for-decision the Spark loop.  The e CTE is pinned
+    MATERIALIZED: six half-rounds reference it, and letting DuckDB inline
+    it re-runs the 4-way fact join per round (~9 s -> ~1 s at sf0.01)."""
+    parts = [
+        "WITH "
+        + _EDGE_SQL.replace("e AS (", "e AS MATERIALIZED (")
+        + ",",
+        "h0 AS (SELECT node, 1.0 AS h FROM nodes),",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i}raw AS (SELECT e.dst AS node, sum(h.h * e.w) AS raw"
+            f" FROM e JOIN h{i-1} h ON h.node = e.src GROUP BY e.dst),"
+            f" a{i}m AS (SELECT max(raw) AS m FROM a{i}raw),"
+            f" a{i} AS (SELECT nodes.node,"
+            f" floor(coalesce(r.raw, 0) / m.m * 1e9 + 0.5) / 1e9 AS a"
+            f" FROM nodes CROSS JOIN a{i}m m"
+            f" LEFT JOIN a{i}raw r ON r.node = nodes.node),"
+        )
+        parts.append(
+            f"h{i}raw AS (SELECT e.src AS node, sum(a.a * e.w) AS raw"
+            f" FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src),"
+            f" h{i}m AS (SELECT max(raw) AS m FROM h{i}raw),"
+            f" h{i} AS (SELECT nodes.node,"
+            f" floor(coalesce(r.raw, 0) / m.m * 1e9 + 0.5) / 1e9 AS h"
+            f" FROM nodes CROSS JOIN h{i}m m"
+            f" LEFT JOIN h{i}raw r ON r.node = nodes.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT n.n_nationkey, n.n_name,"
+        f" CAST(floor(a.a * 1e9 + 0.5) AS BIGINT) AS auth_x1e9,"
+        f" CAST(floor(h.h * 1e9 + 0.5) AS BIGINT) AS hub_x1e9"
+        f" FROM a{iters} a JOIN h{iters} h ON h.node = a.node"
+        f" JOIN nation n ON n.n_nationkey = a.node"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "graph_hits",
+    oracle=_hits_oracle(),
+    doc="HITS HUBS & AUTHORITIES (Kleinberg, 3 iterations) over the "
+    "weighted nation trade graph — the asymmetric complement to "
+    "graph_pagerank: customer nations that ROUTE volume score as hubs, "
+    "supplier nations that RECEIVE it score as authorities, and unlike "
+    "PageRank the two roles don't collapse into one rank.  Each "
+    "half-round is one edge join + one hash aggregate (authority: "
+    "dst-keyed sum of hub*w; hub: src-keyed sum of auth*w) with "
+    "MAX-normalization — max is ORDER-INDEPENDENT where the textbook L1/"
+    "L2 norm would hang bit-replicability on float summation order — "
+    "and micro-quantization (1e-9) before the next half-round, so the "
+    "DuckDB oracle replays the identical rounds as unrolled CTEs.  "
+    "Scale: identical to PageRank's — the edge list shuffles once per "
+    "half-round on its join key, score vectors are one row per node, "
+    "the loop count is the only driver-side state.",
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+
+    def quant(col):
+        return F.floor(col * 1e9 + 0.5) / 1e9
+
+    def half_round(score: DataFrame, in_col: str, from_key: str, to_key: str,
+                   out_col: str) -> DataFrame:
+        raw = (
+            edges.join(score.withColumnRenamed("node", from_key), from_key)
+            .groupBy(F.col(to_key).alias("node"))
+            .agg(F.sum(F.col(in_col) * F.col("w")).alias("raw"))
+        )
+        m = raw.agg(F.max("raw").alias("m"))
+        # 25-row score vector: truncate lineage each half-round, else the
+        # final a⋈h join re-executes every earlier round's joins (the same
+        # re-expansion random_walk's frontier checkpoint prevents)
+        return (
+            nodes.crossJoin(F.broadcast(m))
+            .join(raw, "node", "left")
+            .select(
+                "node",
+                quant(F.coalesce("raw", F.lit(0.0)) / F.col("m")).alias(out_col),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    h = nodes.withColumn("h", F.lit(1.0))
+    for _ in range(_HITS_ITERS):
+        a = half_round(h, "h", "src", "dst", "a")
+        h = half_round(a, "a", "dst", "src", "h")
+    return (
+        a.join(h, "node")
+        .join(n, a.node == n.n_nationkey)
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.floor(F.col("a") * 1e9 + 0.5).cast("bigint").alias("auth_x1e9"),
+            F.floor(F.col("h") * 1e9 + 0.5).cast("bigint").alias("hub_x1e9"),
+        )
+    )

@@ -284,8 +284,11 @@ _GATE_FRONT: tuple[str, ...] = (
     "sec_l_diversity_audit",
     "sec_dp_noisy_counts",
     "dq_benford_law",
+    "elt_backfill_planner",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
-    # queue with the other expensive graph entries
+    # queue with the other expensive graph entries; hits is 6 chained
+    # half-round jobs (~10 s) — same late-queue policy
+    "graph_hits",
     "graph_bfs_layers",
     # graph_kcore intentionally LAST in the queue: ~15 s Spark side +
     # 8-round unrolled oracle — same breadth-first-then-depth policy as
