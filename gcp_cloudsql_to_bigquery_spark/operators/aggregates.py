@@ -1424,3 +1424,184 @@ def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[pair_struct(a, b) for a, b in _CORR_PAIRS])).alias("p")
     )
     return melted.select("p.*")
+
+
+_KMV_K = 64
+_KMV_M = 16**12  # md5 12-hex-digit draw space
+
+
+@register(
+    "agg_kmv_theta_sketch",
+    oracle=f"""
+    WITH base AS (
+      SELECT DISTINCT c.c_mktsegment AS seg, l.l_partkey AS pk
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    hashed AS (
+      SELECT seg, pk,
+             CAST(CAST('0x' || substr(md5('kmv:' || CAST(pk AS VARCHAR)), 1, 12)
+                       AS UBIGINT) AS BIGINT) AS u
+      FROM base
+    ),
+    sk AS (
+      SELECT seg, u FROM (
+        SELECT seg, u, row_number() OVER (PARTITION BY seg ORDER BY u) AS rn
+        FROM hashed
+      ) WHERE rn <= {_KMV_K}
+    ),
+    est AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS filled, max(u) AS uk,
+             CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS BIGINT)
+                  ELSE ({_KMV_K} - 1) * {_KMV_M} // max(u) END AS est
+      FROM sk GROUP BY seg
+    ),
+    exact AS (SELECT seg, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY seg),
+    pairs AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b
+      FROM exact a JOIN exact b ON a.seg < b.seg
+    ),
+    merged AS (
+      SELECT p.seg_a, p.seg_b, s.u,
+             row_number() OVER (PARTITION BY p.seg_a, p.seg_b ORDER BY s.u) AS rn
+      FROM pairs p
+      JOIN (SELECT DISTINCT seg, u FROM sk) s ON s.seg IN (p.seg_a, p.seg_b)
+      QUALIFY rn <= {_KMV_K}
+    ),
+    uest AS (
+      SELECT seg_a, seg_b,
+             CASE WHEN count(DISTINCT u) < {_KMV_K} THEN CAST(count(DISTINCT u) AS BIGINT)
+                  ELSE ({_KMV_K} - 1) * {_KMV_M} // max(u) END AS est_union
+      FROM merged GROUP BY seg_a, seg_b
+    ),
+    xint AS (
+      SELECT p.seg_a, p.seg_b, CAST(count(*) AS BIGINT) AS exact_intersect
+      FROM pairs p
+      JOIN base a ON a.seg = p.seg_a
+      JOIN base b ON b.seg = p.seg_b AND b.pk = a.pk
+      GROUP BY p.seg_a, p.seg_b
+    )
+    SELECT p.seg_a, p.seg_b,
+           ea.est AS est_a, eb.est AS est_b, u.est_union,
+           ea.est + eb.est - u.est_union            AS est_intersect,
+           na.n + nb.n - x.exact_intersect          AS exact_union,
+           x.exact_intersect
+    FROM pairs p
+    JOIN est ea ON ea.seg = p.seg_a
+    JOIN est eb ON eb.seg = p.seg_b
+    JOIN uest u ON u.seg_a = p.seg_a AND u.seg_b = p.seg_b
+    JOIN exact na ON na.seg = p.seg_a
+    JOIN exact nb ON nb.seg = p.seg_b
+    JOIN xint x ON x.seg_a = p.seg_a AND x.seg_b = p.seg_b
+    """,
+    doc="KMV / THETA DISTINCT SKETCH with MERGEABLE set algebra — the "
+    "sketch family warehouse engines (DataSketches, BigQuery "
+    "APPROX_COUNT_DISTINCT internals) use when distinct counts must "
+    f"compose across segments: keep the k={_KMV_K} MINIMUM md5 draws per "
+    "segment's distinct part set, estimate cardinality as "
+    "(k-1)*M/u_k (exact-INTEGER division — no float anywhere, unlike "
+    "HLL), merge two sketches by re-minning the union (the theta-union), "
+    "and derive intersections by inclusion-exclusion — per segment-pair "
+    "we emit sketch AND exact union/intersection so the error is "
+    "auditable in-row.  Degenerate sketches (fewer than k distinct) "
+    "fall back to their exact fill count on both sides.  Complements "
+    "agg_hll_sketch_rollup (additive rollup, float estimator) with the "
+    "set-ALGEBRA sketch.  Scale: sketches reduce per segment via one "
+    "top-k window over hashed distincts (map-side partial top-k under "
+    "the hood), merges touch only k-row sketches — the exact columns "
+    "are the sf0.01 audit, the sketch path is the 100 TB path.",
+)
+def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("seg"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    hashed = base.select(
+        "seg",
+        "pk",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("pk").cast("string")).cast("binary")),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(W.partitionBy("seg").orderBy("u")))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("seg", "u")
+        .localCheckpoint()
+    )
+
+    # bigint `div`, never float `/`: (k-1)*M ≈ 1.77e16 exceeds 2^53, so
+    # double division would silently diverge from the oracle's exact //
+    _EST = (
+        f"CASE WHEN filled < {_KMV_K} THEN CAST(filled AS BIGINT)"
+        f" ELSE CAST({(_KMV_K - 1) * _KMV_M} AS BIGINT) div uk END"
+    )
+
+    est = (
+        sk.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("filled"), F.max("u").alias("uk"))
+        .select("seg", F.expr(_EST).alias("est"))
+    )
+    exact = base.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        exact.select(F.col("seg").alias("seg_a"))
+        .join(exact.select(F.col("seg").alias("seg_b")))
+        .filter(F.col("seg_a") < F.col("seg_b"))
+    )
+    merged = (
+        pairs.join(
+            sk.select("seg", "u").distinct(),
+            F.col("seg").isin(F.col("seg_a"), F.col("seg_b")),
+        )
+        .select("seg_a", "seg_b", "u")
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("seg_a", "seg_b").orderBy("u"))
+        )
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    uest = (
+        merged.groupBy("seg_a", "seg_b")
+        .agg(F.count_distinct("u").alias("filled"), F.max("u").alias("uk"))
+        .select("seg_a", "seg_b", F.expr(_EST).alias("est_union"))
+    )
+    b2 = base.select(F.col("seg").alias("sb2"), F.col("pk").alias("pk2"))
+    xint = (
+        pairs.join(base.withColumnRenamed("seg", "seg_a"), ["seg_a"])
+        .join(b2, (F.col("sb2") == F.col("seg_b")) & (F.col("pk2") == F.col("pk")))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    return (
+        pairs.join(est.withColumnRenamed("seg", "seg_a").withColumnRenamed("est", "est_a"), "seg_a")
+        .join(est.withColumnRenamed("seg", "seg_b").withColumnRenamed("est", "est_b"), "seg_b")
+        .join(uest, ["seg_a", "seg_b"])
+        .join(exact.withColumnRenamed("seg", "seg_a").withColumnRenamed("n", "n_a"), "seg_a")
+        .join(exact.withColumnRenamed("seg", "seg_b").withColumnRenamed("n", "n_b"), "seg_b")
+        .join(xint, ["seg_a", "seg_b"])
+        .select(
+            "seg_a",
+            "seg_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("est_intersect"),
+            (F.col("n_a") + F.col("n_b") - F.col("exact_intersect")).alias("exact_union"),
+            "exact_intersect",
+        )
+    )

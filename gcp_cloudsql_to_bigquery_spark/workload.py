@@ -285,6 +285,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "sec_dp_noisy_counts",
     "dq_benford_law",
     "elt_backfill_planner",
+    "agg_kmv_theta_sketch",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
