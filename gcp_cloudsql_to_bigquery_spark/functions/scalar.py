@@ -768,3 +768,122 @@ def fn_calendar_edge_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("od").cast("int").alias("dow"),
         F.datediff(F.last_day("od"), F.col("od")).cast("int").alias("days_to_eom"),
     )
+
+
+@register(
+    "fn_ip_cidr_lookup",
+    oracle="""
+    WITH ips AS (
+      SELECT user_id,
+             CAST(CAST('0x' || substr(md5('ip:' || CAST(user_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) AS BIGINT) AS ip
+      FROM events
+    ),
+    quad AS (
+      SELECT user_id, ip,
+             CAST((ip >> 24) & 255 AS VARCHAR) || '.' ||
+             CAST((ip >> 16) & 255 AS VARCHAR) || '.' ||
+             CAST((ip >>  8) & 255 AS VARCHAR) || '.' ||
+             CAST( ip        & 255 AS VARCHAR) AS ip_str
+      FROM ips
+    ),
+    parsed AS (
+      SELECT user_id, ip,
+             CAST(string_split(ip_str, '.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(ip_str, '.')[2] AS BIGINT) * 65536
+           + CAST(string_split(ip_str, '.')[3] AS BIGINT) * 256
+           + CAST(string_split(ip_str, '.')[4] AS BIGINT) AS ip2
+      FROM quad
+    ),
+    blocks AS (
+      SELECT n_name,
+             CAST(n_nationkey AS BIGINT) * 134217728 AS lo,
+             CAST(n_nationkey AS BIGINT) * 134217728
+               + CAST(pow(2, 27 - n_nationkey % 4) AS BIGINT) - 1 AS hi
+      FROM nation
+    )
+    SELECT COALESCE(b.n_name, 'unrouted') AS net_name,
+           CAST(count(*) AS BIGINT)                 AS n_events,
+           CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+           bool_and(p.ip2 = p.ip)                   AS parse_ok
+    FROM parsed p
+    LEFT JOIN blocks b ON p.ip BETWEEN b.lo AND b.hi
+    GROUP BY net_name
+    """,
+    doc="IP / CIDR ROUTING LOOKUP — the classic log-enrichment join: "
+    "synthesize a deterministic IPv4 per user (md5 top 32 bits), render "
+    "it dotted-quad and RE-PARSE it (split + positional recompose, "
+    "parse_ok audited in-row — the octet math every clickstream ETL "
+    "gets wrong once), then geolocate against a 25-block CIDR table of "
+    "VARYING prefix length (nation k owns a 2^(27-k%4)-address block at "
+    "k*2^27, so most address space is unrouted — the realistic case).  "
+    "Scale: the block table is a broadcast range join (each IP probes "
+    "the tiny sorted dim; no shuffle of the fact side beyond the final "
+    "bounded groupBy); octet extraction is bit-shift codegen, no UDF.  "
+    "At production scale the same shape holds for full GeoIP tables "
+    "(~4M blocks): broadcast stays viable to ~100 MB, past that the "
+    "longest-prefix join switches to the banded range-bucket pattern "
+    "join_band_tiering demonstrates.",
+)
+def fn_ip_cidr_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("user_id")
+    ips = ev.select(
+        "user_id",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ip:"), F.col("user_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("ip"),
+    )
+    quad = ips.select(
+        "user_id",
+        "ip",
+        F.concat_ws(
+            ".",
+            F.shiftright("ip", 24).bitwiseAND(F.lit(255)).cast("string"),
+            F.shiftright("ip", 16).bitwiseAND(F.lit(255)).cast("string"),
+            F.shiftright("ip", 8).bitwiseAND(F.lit(255)).cast("string"),
+            F.col("ip").bitwiseAND(F.lit(255)).cast("string"),
+        ).alias("ip_str"),
+    )
+    oct_ = F.split("ip_str", r"\.")
+    parsed = quad.select(
+        "user_id",
+        "ip",
+        (
+            oct_.getItem(0).cast("bigint") * 16777216
+            + oct_.getItem(1).cast("bigint") * 65536
+            + oct_.getItem(2).cast("bigint") * 256
+            + oct_.getItem(3).cast("bigint")
+        ).alias("ip2"),
+    )
+    n = load(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("bigint")
+    blocks = n.select(
+        "n_name",
+        (nk * 134217728).alias("lo"),
+        (
+            nk * 134217728
+            + F.pow(F.lit(2.0), 27 - nk % 4).cast("bigint")
+            - 1
+        ).alias("hi"),
+    )
+    return (
+        parsed.join(
+            F.broadcast(blocks),
+            (F.col("ip") >= F.col("lo")) & (F.col("ip") <= F.col("hi")),
+            "left",
+        )
+        .groupBy(F.coalesce("n_name", F.lit("unrouted")).alias("net_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.bool_and(F.col("ip2") == F.col("ip")).alias("parse_ok"),
+        )
+    )

@@ -918,3 +918,78 @@ def curation_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "naive_leak"
         ),
     )
+
+
+_RES_K = 40
+_RES_M = float(16**12)  # 2^48 — md5 12-hex draw space, power of two
+
+
+@register(
+    "curation_weighted_reservoir",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             least(3, n_chars // 500) AS tier,
+             CAST(CAST('0x' || substr(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                       AS UBIGINT) AS DOUBLE) / {_RES_M} AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, CAST(tier AS BIGINT) AS tier,
+             CASE tier WHEN 0 THEN u
+                       WHEN 1 THEN sqrt(u)
+                       WHEN 2 THEN sqrt(sqrt(u))
+                       ELSE sqrt(sqrt(sqrt(u))) END AS k
+      FROM d
+    )
+    SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, tier FROM (
+      SELECT source, doc_id, tier,
+             row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rnk
+      FROM keyed
+    ) WHERE rnk <= {_RES_K}
+    """,
+    doc="WEIGHTED RESERVOIR SAMPLE (Efraimidis-Spirakis A-ES) — k="
+    f"{_RES_K} docs per source, sampled without replacement with "
+    "probability proportional to a length-tier weight, in ONE pass: "
+    "each doc draws u from md5 and keeps key u^(1/w); the top-k keys "
+    "per stratum ARE the weighted sample.  The trick that makes this "
+    "EXACTLY oracle-checkable: weights are powers of two (tier 0-3 -> "
+    "w in 1,2,4,8), so u^(1/w) is a chain of sqrt calls — IEEE 754 "
+    "requires sqrt be correctly rounded, so keys are bit-identical "
+    "across Spark and DuckDB where a pow()/exp(ln(u)/w) key would hang "
+    "selection on libm parity; u itself divides by 2^48, also exact.  "
+    "Complements curation_quality_sample (Bernoulli by hash threshold) "
+    "and curation_importance_resampling (DSIR): this is the "
+    "fixed-BUDGET weighted variant loaders use for per-source caps.  "
+    "Scale: keys are codegen expressions; top-k per stratum is a "
+    "rank-filtered window (map-side partial top-k), shuffling only "
+    "(source, key) — one pass, no global sort, no driver state.",
+)
+def curation_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("res:"), F.col("doc_id").cast("string")).cast("binary")),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(_RES_M)
+    tier = F.least(F.lit(3), (F.col("n_chars") / 500).cast("bigint")).alias("tier")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        tier,
+        F.when(F.col("tier") == 0, u)
+        .when(F.col("tier") == 1, F.sqrt(u))
+        .when(F.col("tier") == 2, F.sqrt(F.sqrt(u)))
+        .otherwise(F.sqrt(F.sqrt(F.sqrt(u))))
+        .alias("k"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _RES_K)
+        .select("source", F.col("rnk").cast("bigint").alias("rnk"), "doc_id", "tier")
+    )

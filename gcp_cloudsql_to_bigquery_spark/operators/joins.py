@@ -803,3 +803,85 @@ def join_band_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cust"),
         F.sum(F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint")).alias("bal_cents"),
     )
+
+
+# Allen's 13 interval relations as one CASE ladder over (as_, ae, bs, be).
+# ONE source string feeds Spark (F.expr) and the DuckDB oracle verbatim —
+# classification parity by construction.  Ladder order makes arms mutually
+# exclusive without compound negations.
+_ALLEN_CASE = """
+    CASE WHEN ae <  bs THEN 'before'
+         WHEN ae =  bs THEN 'meets'
+         WHEN as_ >  be THEN 'after'
+         WHEN as_ =  be THEN 'met_by'
+         WHEN as_ = bs AND ae = be THEN 'equals'
+         WHEN as_ = bs AND ae < be THEN 'starts'
+         WHEN as_ = bs            THEN 'started_by'
+         WHEN ae = be AND as_ > bs THEN 'finishes'
+         WHEN ae = be             THEN 'finished_by'
+         WHEN as_ > bs AND ae < be THEN 'during'
+         WHEN as_ < bs AND ae > be THEN 'contains'
+         WHEN as_ < bs            THEN 'overlaps'
+         ELSE 'overlapped_by'
+    END
+"""
+
+
+@register(
+    "join_allen_intervals",
+    oracle=f"""
+    WITH iv AS (
+      SELECT o_custkey AS ck, o_orderkey AS ok,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + CAST(o_orderkey % 20 + 3 AS INTEGER) AS e
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.s AS as_, a.e AS ae, b.s AS bs, b.e AS be
+      FROM iv a JOIN iv b ON a.ck = b.ck AND a.ok < b.ok
+    )
+    SELECT {_ALLEN_CASE} AS relation,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY relation
+    """,
+    doc="ALLEN'S INTERVAL ALGEBRA classifier — the full 13-relation "
+    "taxonomy (before/meets/overlaps/starts/during/finishes, their six "
+    "inverses, equals) over same-customer order-fulfilment windows "
+    "(span o_orderkey%20+3 days, deterministic from the key).  Where "
+    "join_interval_overlap answers only 'do they intersect', temporal "
+    "reasoning (contract overlap audits, process-mining conformance, "
+    "temporal-DB coalescing) needs WHICH relation holds; the ladder is "
+    "ONE shared CASE string evaluated verbatim by Spark (F.expr) and "
+    "the oracle, so classification parity holds by construction, and "
+    "ladder order (strict disjunctions first, equalities before "
+    "containment) makes the 13 arms exhaustive and mutually exclusive "
+    "over day-granular dates.  Scale: the pair join is key-equi on "
+    "custkey (one shuffle, quadratic only within a customer's own "
+    "orders, ~10 each), and classification is whole-stage-codegen "
+    "date compares — no UDF, no range join.",
+)
+def join_allen_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 20 + 3).cast("int"),
+        ).alias("e"),
+    )
+    a = iv.select("ck", "ok", F.col("s").alias("as_"), F.col("e").alias("ae"))
+    b = iv.select(
+        F.col("ck").alias("ck2"),
+        F.col("ok").alias("ok2"),
+        F.col("s").alias("bs"),
+        F.col("e").alias("be"),
+    )
+    pairs = a.join(b, (F.col("ck2") == F.col("ck")) & (F.col("ok") < F.col("ok2")))
+    return (
+        pairs.select(F.expr(_ALLEN_CASE).alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1048,3 +1048,122 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, h timestamp, cents bigint, level_x10k bigint, "
         "trend_x10k bigint, forecast_next_x10k bigint",
     )
+
+
+@register(
+    "ts_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
+      FROM events GROUP BY event_type, d
+    ),
+    pts AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x,
+             CAST(y AS DOUBLE) AS y
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.event_type, (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS v
+      FROM pts a JOIN pts b ON a.event_type = b.event_type AND b.x > a.x
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+             count(*)    OVER (PARTITION BY event_type)             AS n
+      FROM slopes
+    ),
+    med AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_pairs,
+             floor((sum(CASE WHEN rn = (n + 1) // 2 THEN v END)
+                    + sum(CASE WHEN rn = n // 2 + 1 THEN v END)) / 2
+                   * 1e9 + 0.5) / 1e9 AS slope
+      FROM ranked GROUP BY event_type
+    ),
+    resid AS (
+      SELECT p.event_type, p.y - m.slope * p.x AS r
+      FROM pts p JOIN med m ON m.event_type = p.event_type
+    ),
+    rranked AS (
+      SELECT event_type, r,
+             row_number() OVER (PARTITION BY event_type ORDER BY r) AS rn,
+             count(*)    OVER (PARTITION BY event_type)             AS n
+      FROM resid
+    ),
+    icept AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n_points,
+             floor((sum(CASE WHEN rn = (n + 1) // 2 THEN r END)
+                    + sum(CASE WHEN rn = n // 2 + 1 THEN r END)) / 2
+                   * 1e9 + 0.5) / 1e9 AS intercept
+      FROM rranked GROUP BY event_type
+    )
+    SELECT m.event_type, i.n_points, m.n_pairs,
+           CAST(floor(m.slope * 1e9 + 0.5) AS BIGINT)     AS slope_x1e9,
+           CAST(floor(i.intercept * 1e9 + 0.5) AS BIGINT) AS intercept_x1e9
+    FROM med m JOIN icept i ON i.event_type = m.event_type
+    """,
+    doc="THEIL-SEN ROBUST TREND over per-type daily event counts — the "
+    "estimator monitoring systems prefer to least squares because a 29% "
+    "outlier fraction (incident spikes, backfill bursts) cannot move it: "
+    "slope = MEDIAN of all pairwise (y_j-y_i)/(x_j-x_i), intercept = "
+    "median residual at that slope (complements agg_stats_regression's "
+    "OLS fit and ts_outlier_mad, which shares its breakdown-point "
+    "philosophy).  Medians are rank-picked from a row_number window — "
+    "never a percentile builtin, whose even-count interpolation "
+    "(a+(b-a)/2 vs (a+b)/2) differs across engines — and the slope is "
+    "micro-quantized before it feeds the residual pass so both engines "
+    "run the identical second median.  Scale: the fact table reduces to "
+    "per-(type, day) counts FIRST (partial-agg), so the quadratic "
+    "pairwise join is over the bounded calendar (30 points -> 435 "
+    "pairs), never the raw events; both windows partition by type.  At "
+    "longer horizons the pair join stays calendar-bounded (a year is "
+    "66k pairs per series) and types parallelize independently.",
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    pts = daily.select(
+        "event_type",
+        F.datediff("d", F.lit("1970-01-01").cast("date")).cast("bigint").alias("x"),
+        F.col("y").cast("double").alias("y"),
+    )
+    a = pts.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = pts.select(F.col("event_type").alias("et2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    slopes = a.join(
+        b, (F.col("et2") == F.col("event_type")) & (F.col("x2") > F.col("x1"))
+    ).select(
+        "event_type",
+        ((F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1")).cast("double")).alias("v"),
+    )
+
+    def rank_median(df: DataFrame, col: str, n_alias: str, out: str) -> DataFrame:
+        wp = W.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(wp.orderBy(col)).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        lo = F.sum(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col(col)))
+        hi = F.sum(F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col(col)))
+        return ranked.groupBy("event_type").agg(
+            F.max("n").cast("bigint").alias(n_alias),
+            (F.floor((lo + hi) / 2 * 1e9 + 0.5) / 1e9).alias(out),
+        )
+
+    med = rank_median(slopes, "v", "n_pairs", "slope")
+    resid = pts.join(med, "event_type").select(
+        "event_type", (F.col("y") - F.col("slope") * F.col("x")).alias("r")
+    )
+    icept = rank_median(resid, "r", "n_points", "intercept")
+    return med.join(icept, "event_type").select(
+        "event_type",
+        "n_points",
+        "n_pairs",
+        F.floor(F.col("slope") * 1e9 + 0.5).cast("bigint").alias("slope_x1e9"),
+        F.floor(F.col("intercept") * 1e9 + 0.5).cast("bigint").alias("intercept_x1e9"),
+    )

@@ -286,6 +286,10 @@ _GATE_FRONT: tuple[str, ...] = (
     "dq_benford_law",
     "elt_backfill_planner",
     "agg_kmv_theta_sketch",
+    "ts_theil_sen",
+    "join_allen_intervals",
+    "fn_ip_cidr_lookup",
+    "curation_weighted_reservoir",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
