@@ -1463,15 +1463,18 @@ _KMV_M = 16**12  # md5 12-hex-digit draw space
       FROM exact a JOIN exact b ON a.seg < b.seg
     ),
     merged AS (
-      SELECT p.seg_a, p.seg_b, s.u,
-             row_number() OVER (PARTITION BY p.seg_a, p.seg_b ORDER BY s.u) AS rn
-      FROM pairs p
-      JOIN (SELECT DISTINCT seg, u FROM sk) s ON s.seg IN (p.seg_a, p.seg_b)
+      SELECT seg_a, seg_b, u,
+             row_number() OVER (PARTITION BY seg_a, seg_b ORDER BY u) AS rn
+      FROM (
+        SELECT DISTINCT p.seg_a, p.seg_b, s.u
+        FROM pairs p
+        JOIN sk s ON s.seg IN (p.seg_a, p.seg_b)
+      )
       QUALIFY rn <= {_KMV_K}
     ),
     uest AS (
       SELECT seg_a, seg_b,
-             CASE WHEN count(DISTINCT u) < {_KMV_K} THEN CAST(count(DISTINCT u) AS BIGINT)
+             CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS BIGINT)
                   ELSE ({_KMV_K} - 1) * {_KMV_M} // max(u) END AS est_union
       FROM merged GROUP BY seg_a, seg_b
     ),
@@ -1564,12 +1567,13 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact.select(F.col("seg").alias("seg_b")))
         .filter(F.col("seg_a") < F.col("seg_b"))
     )
+    # theta-union: DEDUP the combined draw set FIRST (a part shared by both
+    # segments contributes one u), THEN keep the k smallest — dedup after
+    # truncation under-fills the sketch and collapses the estimate
     merged = (
-        pairs.join(
-            sk.select("seg", "u").distinct(),
-            F.col("seg").isin(F.col("seg_a"), F.col("seg_b")),
-        )
+        pairs.join(sk, F.col("seg").isin(F.col("seg_a"), F.col("seg_b")))
         .select("seg_a", "seg_b", "u")
+        .distinct()
         .withColumn(
             "rn", F.row_number().over(W.partitionBy("seg_a", "seg_b").orderBy("u"))
         )
@@ -1577,7 +1581,7 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     uest = (
         merged.groupBy("seg_a", "seg_b")
-        .agg(F.count_distinct("u").alias("filled"), F.max("u").alias("uk"))
+        .agg(F.count(F.lit(1)).alias("filled"), F.max("u").alias("uk"))
         .select("seg_a", "seg_b", F.expr(_EST).alias("est_union"))
     )
     b2 = base.select(F.col("seg").alias("sb2"), F.col("pk").alias("pk2"))
