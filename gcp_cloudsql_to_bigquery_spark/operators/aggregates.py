@@ -1609,3 +1609,120 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersect",
         )
     )
+
+
+@register(
+    "agg_percentile_exact_grouped",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS pri,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT pri, cents,
+             row_number() OVER (PARTITION BY pri ORDER BY cents) AS rn,
+             count(*)    OVER (PARTITION BY pri)                 AS n
+      FROM v
+    )
+    SELECT pri,
+           CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = (n + 1) // 2            THEN cents END) AS p50_cents,
+           max(CASE WHEN rn = (9 * n + 9) // 10       THEN cents END) AS p90_cents,
+           max(CASE WHEN rn = (99 * n + 99) // 100    THEN cents END) AS p99_cents
+    FROM ranked GROUP BY pri
+    """,
+    doc="EXACT GROUPED PERCENTILES (p50/p90/p99 of order value per "
+    "priority class) via NEAREST-RANK pick: rank = ceil(p*n) computed in "
+    "INTEGER arithmetic ((k*n + k')/d form), the value read back with a "
+    "conditional aggregate over one ranking window — the SLA-reporting "
+    "shape (latency p99s, order-value tiers) where approx sketches "
+    "(agg_percentile_approx, agg_quantile_sketch) are inadmissible "
+    "because the number feeds a contract.  Never percentile_cont: its "
+    "even-n interpolation hangs on float expression parity; nearest-rank "
+    "returns an actual datum, exact on both engines.  Scale: ONE "
+    "exchange on the group key serves the window and the final "
+    "aggregate (same-key window+groupBy reuse is pinned by the "
+    "window-spec plan tests); all three percentiles read one sort.  "
+    "Contrast to a global sort: per-group sorts parallelize across the "
+    "cluster, and the conditional-max trick means no second pass.",
+)
+def agg_percentile_exact_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    v = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    wp = W.partitionBy("pri")
+    ranked = v.select(
+        "pri",
+        "cents",
+        F.row_number().over(wp.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def at(rank_expr: str):
+        return F.max(F.when(F.expr(f"rn = {rank_expr}"), F.col("cents")))
+
+    return ranked.groupBy("pri").agg(
+        F.max("n").cast("bigint").alias("n"),
+        at("(n + 1) div 2").alias("p50_cents"),
+        at("(9 * n + 9) div 10").alias("p90_cents"),
+        at("(99 * n + 99) div 100").alias("p99_cents"),
+    )
+
+
+@register(
+    "analytics_equidepth_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders
+    ),
+    binned AS (
+      SELECT cents,
+             ntile(10) OVER (ORDER BY cents, o_orderkey) AS bin
+      FROM v
+    )
+    SELECT CAST(bin AS BIGINT)      AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           min(cents)               AS lo_cents,
+           max(cents)               AS hi_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM binned GROUP BY bin
+    """,
+    doc="EQUI-DEPTH (decile) HISTOGRAM of order value — the histogram "
+    "optimizers and drift monitors actually want: equal POPULATION per "
+    "bucket, so dense regions get resolution where the fixed-width "
+    "analytics_value_histogram smears them into one bar.  Buckets come "
+    "from ntile(10) with a (value, key) total order — the unique-key "
+    "tiebreak makes boundary assignment deterministic where bare ntile "
+    "over tied values is engine-dependent; per-bucket lo/hi expose the "
+    "quantile boundaries, sum enables share-of-wallet per decile.  "
+    "Scale: ntile needs a total order — at 100 TB this exact form is the "
+    "one-key-sort bottleneck, so the docstringed scale path is "
+    "range-partitioned sort (Spark's sortWithinPartitions after "
+    "repartitionByRange, which IS what the single ntile window plans "
+    "to under AQE) or the mergeable agg_quantile_sketch when "
+    "approximate boundaries suffice; at report granularity (one fact "
+    "table, bounded output) the exact decile table is standard.",
+)
+def analytics_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    v = load(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    binned = v.select(
+        "cents",
+        F.ntile(10).over(W.orderBy("cents", "o_orderkey")).alias("bin"),
+    )
+    return binned.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        F.sum("cents").alias("sum_cents"),
+    )

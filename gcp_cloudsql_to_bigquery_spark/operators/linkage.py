@@ -258,3 +258,128 @@ def geo_morton_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_points"), F.min("k").alias("sample_key"))
         .filter(F.col("n_points") >= 3)
     )
+
+
+# Fellegi–Sunter log2(m/u) agreement weights, PRE-QUANTIZED to integer
+# milli-units at module load (in practice these come from EM estimation;
+# here they are design constants).  Runtime scoring is pure integer
+# adds — no float crosses either engine.
+_FS_W = {"name": (9288, -1414), "seg": (2129, -2678), "band": (3366, -3862)}
+_FS_LINK = 6000      # >= : link
+_FS_POSSIBLE = 0     # >= : possible (clerical review); else non-link
+
+
+def _fs_weight_sql(prefix: str = "") -> str:
+    terms = [
+        f"CASE WHEN {prefix}{f}_agree THEN {wa} ELSE {wd} END"
+        for f, (wa, wd) in _FS_W.items()
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "linkage_fellegi_sunter",
+    oracle=f"""
+    WITH a AS (
+      SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+             c_mktsegment AS seg,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS band
+      FROM customer
+    ),
+    b AS (
+      SELECT k,
+             CASE WHEN substr(md5('fs1:' || CAST(k AS VARCHAR)), 1, 1) <= '5'
+                  THEN substr(nm, 1, length(nm) - 1) || 'x' ELSE nm END AS nm,
+             CASE WHEN substr(md5('fs2:' || CAST(k AS VARCHAR)), 1, 1) = '0'
+                  THEN (nat + 1) % 25 ELSE nat END AS nat,
+             CASE WHEN substr(md5('fs3:' || CAST(k AS VARCHAR)), 1, 1) <= '1'
+                  THEN 'UNKNOWN' ELSE seg END AS seg,
+             band + CASE WHEN substr(md5('fs4:' || CAST(k AS VARCHAR)), 1, 1) = '0'
+                         THEN 1 ELSE 0 END AS band
+      FROM a
+    ),
+    cand AS (
+      SELECT a.k = b.k AS is_true_pair,
+             a.nm = b.nm     AS name_agree,
+             a.seg = b.seg   AS seg_agree,
+             a.band = b.band AS band_agree
+      FROM a JOIN b ON a.nat = b.nat
+    )
+    SELECT name_agree, seg_agree, band_agree,
+           CAST(count(*) AS BIGINT)                          AS n_pairs,
+           CAST(sum(CASE WHEN is_true_pair THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_true_pairs,
+           CAST({_fs_weight_sql()} AS BIGINT)                AS weight_milli,
+           CASE WHEN {_fs_weight_sql()} >= {_FS_LINK} THEN 'link'
+                WHEN {_fs_weight_sql()} >= {_FS_POSSIBLE} THEN 'possible'
+                ELSE 'non_link' END                          AS decision
+    FROM cand
+    GROUP BY name_agree, seg_agree, band_agree
+    """,
+    doc="FELLEGI-SUNTER PROBABILISTIC RECORD LINKAGE — the 1969 model "
+    "every dedupe/MDM system (Splink, dedupe.io) still implements: "
+    "against a deterministically CORRUPTED second source (3/8 of names "
+    "typo'd, 1/16 of nations shifted, 1/8 of segments nulled to "
+    "UNKNOWN, 1/16 of balance bands off by one — md5-seeded, so both "
+    "engines corrupt identically), candidate pairs from nation "
+    "blocking are scored by summing per-field log2(m/u) agreement "
+    "weights and classified link / possible / non-link by the two-"
+    "threshold rule.  Weights are integer milli-units fixed at module "
+    "load, so scoring is pure integer arithmetic; output aggregates "
+    "by AGREEMENT PATTERN (the 8-row contingency view linkage "
+    "engineers actually tune thresholds on), with true-pair counts "
+    "per pattern exposing the m/u empirics in-row.  Extends "
+    "join_fuzzy_blocked (boolean match) with calibrated multi-field "
+    "EVIDENCE; same blocking discipline bounds the quadratic work by "
+    "the largest nation block.  Scale: one block-key equi-join + one "
+    "8-group aggregate; weight arithmetic is codegen; blocking key "
+    "choice (not pair scoring) is the recall knob, exactly as at "
+    "production scale.",
+)
+def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("band"),
+    )
+
+    def flip(tag: str, hi: str):
+        return (
+            F.substring(
+                F.md5(F.concat(F.lit(f"{tag}:"), F.col("k").cast("string")).cast("binary")),
+                1,
+                1,
+            )
+            <= hi
+        )
+
+    b = a.select(
+        F.col("k").alias("kb"),
+        F.when(flip("fs1", "5"), F.expr("substr(nm, 1, length(nm) - 1) || 'x'"))
+        .otherwise(F.col("nm"))
+        .alias("nm_b"),
+        F.when(flip("fs2", "0"), (F.col("nat") + 1) % 25)
+        .otherwise(F.col("nat"))
+        .alias("nat_b"),
+        F.when(flip("fs3", "1"), F.lit("UNKNOWN")).otherwise(F.col("seg")).alias("seg_b"),
+        (F.col("band") + F.when(flip("fs4", "0"), 1).otherwise(0)).alias("band_b"),
+    )
+    cand = a.join(b, a.nat == b.nat_b).select(
+        (F.col("k") == F.col("kb")).alias("is_true_pair"),
+        (F.col("nm") == F.col("nm_b")).alias("name_agree"),
+        (F.col("seg") == F.col("seg_b")).alias("seg_agree"),
+        (F.col("band") == F.col("band_b")).alias("band_agree"),
+    )
+    w = F.expr(_fs_weight_sql())
+    return cand.groupBy("name_agree", "seg_agree", "band_agree").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("is_true_pair"), 1).otherwise(0)).alias("n_true_pairs"),
+        w.cast("bigint").alias("weight_milli"),
+        F.when(w >= _FS_LINK, "link")
+        .when(w >= _FS_POSSIBLE, "possible")
+        .otherwise("non_link")
+        .alias("decision"),
+    )

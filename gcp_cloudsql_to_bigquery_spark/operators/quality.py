@@ -957,3 +957,100 @@ def dq_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp_ppm.alias("exp_ppm"),
         (obs_ppm - exp_ppm).alias("dev_ppm"),
     )
+
+
+@register(
+    "sec_subject_access_export",
+    oracle="""
+    WITH subj AS (
+      SELECT c_custkey AS k FROM customer WHERE c_custkey % 211 = 0
+    )
+    SELECT k AS subject_key, 'customer' AS source_table,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(NULL AS DATE) AS first_date, CAST(NULL AS DATE) AS last_date
+    FROM subj JOIN customer ON c_custkey = k GROUP BY k
+    UNION ALL
+    SELECT k, 'orders', CAST(count(*) AS BIGINT),
+           min(CAST(o_orderdate AS DATE)), max(CAST(o_orderdate AS DATE))
+    FROM subj JOIN orders ON o_custkey = k GROUP BY k
+    UNION ALL
+    SELECT k, 'lineitem', CAST(count(*) AS BIGINT),
+           min(CAST(l_shipdate AS DATE)), max(CAST(l_shipdate AS DATE))
+    FROM subj
+    JOIN orders   ON o_custkey = k
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY k
+    UNION ALL
+    SELECT k, 'events', CAST(count(*) AS BIGINT),
+           min(CAST(ts AS DATE)), max(CAST(ts AS DATE))
+    FROM subj JOIN events ON user_id = k % 150 GROUP BY k
+    """,
+    doc="GDPR SUBJECT-ACCESS EXPORT (Art. 15 SAR) — the cross-table "
+    "manifest a privacy office runs per data subject: for each subject "
+    "(every 211th customer), count and date-bound their rows in EVERY "
+    "store that carries their identity — directly (customer, orders), "
+    "transitively through a join path (lineitem via orders), and "
+    "through IDENTITY RESOLUTION (events keyed by the shared device "
+    "identity custkey%150 — deliberately many-to-one, the over-"
+    "collection ambiguity real identity graphs have).  The manifest "
+    "(rows + date ranges, not payloads) is what the DPO reviews before "
+    "the full export; elt_right_to_erasure is this query's Art. 17 "
+    "counterpart (this one FINDS the data, that one removes it).  "
+    "Scale: subjects are a tiny broadcast side against each fact table "
+    "— four independent broadcast-semi aggregates, no fact-to-fact "
+    "shuffle; adding a store = adding a UNION branch.",
+)
+def sec_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    subj = F.broadcast(
+        c.filter(F.col("c_custkey") % 211 == 0).select(F.col("c_custkey").alias("k"))
+    )
+    null_date = F.lit(None).cast("date")
+
+    cust = (
+        subj.join(c, c.c_custkey == F.col("k"))
+        .groupBy(F.col("k").alias("subject_key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "subject_key",
+            F.lit("customer").alias("source_table"),
+            "n_rows",
+            null_date.alias("first_date"),
+            null_date.alias("last_date"),
+        )
+    )
+    orders = (
+        subj.join(o, o.o_custkey == F.col("k"))
+        .groupBy(F.col("k").alias("subject_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_date"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        )
+        .select("subject_key", F.lit("orders").alias("source_table"), "n_rows", "first_date", "last_date")
+    )
+    items = (
+        subj.join(o, o.o_custkey == F.col("k"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("k").alias("subject_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.col("l_shipdate").cast("date")).alias("first_date"),
+            F.max(F.col("l_shipdate").cast("date")).alias("last_date"),
+        )
+        .select("subject_key", F.lit("lineitem").alias("source_table"), "n_rows", "first_date", "last_date")
+    )
+    events = (
+        subj.join(ev, ev.user_id == F.col("k") % 150)
+        .groupBy(F.col("k").alias("subject_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(F.col("ts").cast("date")).alias("first_date"),
+            F.max(F.col("ts").cast("date")).alias("last_date"),
+        )
+        .select("subject_key", F.lit("events").alias("source_table"), "n_rows", "first_date", "last_date")
+    )
+    return cust.unionByName(orders).unionByName(items).unionByName(events)

@@ -534,3 +534,77 @@ def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataF
         F.col("session_window.end").alias("sess_end"),
         "n_events",
     )
+
+
+@register(
+    "stream_late_data_audit",
+    oracle="""
+    WITH mx AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '2 hours' AS wm FROM events
+    )
+    SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS win_start,
+           event_type,
+           count(*)                     AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY win_start, event_type
+    HAVING win_start + INTERVAL '6 hours' <= (SELECT wm FROM mx)
+    """,
+    doc="WATERMARK LATE-DATA AUDIT — proves the watermark actually DROPS "
+    "and the emission frontier is exactly where the contract says: the "
+    "events table is replayed as three chronological parquet arrivals "
+    "(one micro-batch each, mtime-ordered) followed by a STRAGGLER file "
+    "that re-delivers ~1/7 of the first five days' events — duplicates "
+    "arriving weeks past the 2 h watermark.  The append-mode 6 h window "
+    "aggregate emits exactly the windows whose end precedes the final "
+    "watermark (max event time - 2 h, replicated in the oracle's HAVING) "
+    "and must count every original event ONCE: if the watermark failed "
+    "to drop the straggler batch, n and the event-id checksum inflate "
+    "and the oracle catches it; if emission leaked past the frontier, "
+    "extra windows appear.  Complements stream_dedup_redelivery (which "
+    "dedupes INSIDE the watermark horizon) with the beyond-horizon "
+    "case.  Scale: state is bounded by windows inside the watermark "
+    "horizon regardless of replay depth — exactly why the watermark "
+    "exists; the straggler file costs one scan and zero state.",
+)
+def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+
+    from ..catalog import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    base_day = F.lit("2024-01-01").cast("date")
+    day = F.datediff(F.col("ts").cast("date"), base_day)
+    watch = tempfile.mkdtemp(prefix="late_watch_", dir=_CKPT_DIR)
+    shards = [
+        ("shard_1", day < 10),
+        ("shard_2", (day >= 10) & (day < 20)),
+        ("shard_3", day >= 20),
+        # weeks-late redelivery: duplicates, must be dropped by watermark
+        ("shard_4", (day < 5) & (F.col("event_id") % 7 == 0)),
+    ]
+    for i, (name, pred) in enumerate(shards):
+        path = os.path.join(watch, name)
+        ev.filter(pred).coalesce(1).write.parquet(path)
+        # FileStreamSource admits oldest-mtime first: pin strictly
+        # increasing mtimes so arrival order is deterministic, not
+        # filesystem-timing luck
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (1_700_000_000 + i, 1_700_000_000 + i))
+
+    schema = spark.read.parquet(os.path.join(watch, "shard_1")).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(os.path.join(watch, "shard_*"))
+    )
+    agg = (
+        raw.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+    )
+    out = run_to_completion(agg, spark, output_mode="append")
+    return out.select(
+        F.col("window.start").alias("win_start"), "event_type", "n", "id_sum"
+    )

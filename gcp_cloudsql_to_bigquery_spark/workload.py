@@ -290,6 +290,11 @@ _GATE_FRONT: tuple[str, ...] = (
     "join_allen_intervals",
     "fn_ip_cidr_lookup",
     "curation_weighted_reservoir",
+    "agg_percentile_exact_grouped",
+    "analytics_equidepth_histogram",
+    "linkage_fellegi_sunter",
+    "sec_subject_access_export",
+    "stream_late_data_audit",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
