@@ -1145,3 +1145,60 @@ def analytics_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_intervals"),
         (2 * F.median("g_us")).cast("bigint").alias("median_us_x2"),
     )
+
+
+# Wilson score interval, z=1.96: ONE expression string evaluated verbatim
+# by Spark (F.expr) and DuckDB — every op is +,-,*,/ or sqrt (all IEEE
+# correctly-rounded, so both engines produce bit-identical doubles; no
+# transcendentals), in an identical evaluation order by construction.
+_WILSON = """
+    floor(((p + 1.9208 / n {sign} 1.96 * sqrt((p * (1.0 - p) + 0.9604 / n) / n))
+           / (1.0 + 3.8416 / n)) * 1e9 + 0.5)
+"""
+
+
+@register(
+    "analytics_wilson_ci",
+    oracle=f"""
+    WITH g AS (
+      SELECT o_orderpriority AS pri,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS s
+      FROM orders GROUP BY pri
+    ),
+    r AS (SELECT pri, n, s, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM g)
+    SELECT pri, n, s,
+           CAST({_WILSON.format(sign='-')} AS BIGINT) AS wilson_lo_x1e9,
+           CAST({_WILSON.format(sign='+')} AS BIGINT) AS wilson_hi_x1e9
+    FROM r
+    """,
+    doc="WILSON SCORE CONFIDENCE INTERVAL (95%) on the fulfilled-order "
+    "rate per priority class — the interval A/B dashboards should use "
+    "instead of the normal approximation, which collapses (or exits "
+    "[0,1]) at small n and extreme rates; Wilson stays valid at both.  "
+    "The formula is ONE shared expression string (F.expr on the Spark "
+    "side, spliced verbatim into the oracle) built exclusively from "
+    "+,-,*,/ and sqrt — all IEEE-754 correctly-rounded, so both engines "
+    "produce bit-identical nano-quantized bounds with no libm exposure; "
+    "constants (1.9208 = z^2/2 etc.) are pre-folded decimal literals.  "
+    "Complements agg_ab_ttest (mean difference) and "
+    "agg_bootstrap_poisson_ci (resampled) with the closed-form "
+    "proportion interval.  Scale: one partial-agg groupBy; the interval "
+    "math runs on the 5-row aggregate.",
+)
+def analytics_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("s"),
+    )
+    r = g.select(
+        "pri", "n", "s", (F.col("s").cast("double") / F.col("n").cast("double")).alias("p")
+    )
+    return r.select(
+        "pri",
+        "n",
+        "s",
+        F.expr(_WILSON.format(sign="-")).cast("bigint").alias("wilson_lo_x1e9"),
+        F.expr(_WILSON.format(sign="+")).cast("bigint").alias("wilson_hi_x1e9"),
+    )

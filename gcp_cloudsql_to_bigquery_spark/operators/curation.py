@@ -993,3 +993,45 @@ def curation_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _RES_K)
         .select("source", F.col("rnk").cast("bigint").alias("rnk"), "doc_id", "tier")
     )
+
+
+_KFOLDS = 5
+
+
+@register(
+    "curation_kfold_split",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(ntile({_KFOLDS}) OVER (
+             PARTITION BY source
+             ORDER BY md5('cv:' || CAST(doc_id AS VARCHAR))
+           ) AS BIGINT) AS fold
+    FROM documents
+    """,
+    doc=f"STRATIFIED K-FOLD ASSIGNMENT (k={_KFOLDS}) — deterministic CV "
+    "folds with EXACT per-stratum balance: within each source, docs are "
+    "ordered by a salted md5 of their id (a uniform shuffle that is "
+    "stable across runs, engines, and partitionings — never rand(), "
+    "which is seed/partitioning-dependent) and dealt by ntile, whose "
+    "rank arithmetic guarantees fold sizes differ by at most one.  "
+    "Hash-threshold splits (curation_quality_sample's Bernoulli trick) "
+    "only hit proportions in expectation; evaluation folds need them "
+    "exact.  Complements curation_leakage_safe_split: that one decides "
+    "WHICH units must stay together (near-dup clusters), this one "
+    "deals balanced folds — production CV composes the two (cluster "
+    "first, deal clusters).  Scale: one exchange on the stratum key; "
+    "the per-stratum sort is by an 32-char digest, bounded by the "
+    "largest stratum — at 100 TB the same deal works per-partition "
+    "after a range repartition on (source, digest).",
+)
+def curation_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    key = F.md5(F.concat(F.lit("cv:"), F.col("doc_id").cast("string")).cast("binary"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.ntile(_KFOLDS)
+        .over(W.partitionBy("source").orderBy(key))
+        .cast("bigint")
+        .alias("fold"),
+    )

@@ -192,3 +192,46 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"from_date": "1997-01-01 00:00:00", "status": "O"},
     )
+
+
+@register(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT 'lineitem' AS tbl, l_returnflag AS grp,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY grp
+    UNION ALL
+    SELECT 'orders', o_orderstatus, CAST(count(*) AS BIGINT)
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="IDENTIFIER() CLAUSE — SQL-injection-safe DYNAMIC table/column "
+    "binding (Spark 3.4+): the per-table profiling loop every catalog "
+    "sweep runs ('for each table, count by its status column') "
+    "expressed as ONE parameterized statement re-bound per target, "
+    "with table AND column names passed as parameter markers — where "
+    "string-spliced SQL would be injectable and un-cacheable.  "
+    "Complements sql_parameterized_query (VALUE parameters) with "
+    "IDENTIFIER parameters, the other half of parameterized SQL; the "
+    "reference's export loop builds its per-table SQL by f-string "
+    "(`cloud-sql-exporter/main.py:53-55`), exactly the pattern this "
+    "replaces.  Scale: each binding is an independent one-exchange "
+    "aggregate; the loop is over the CATALOG (bounded), not data.",
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    targets = [("lineitem", "l_returnflag"), ("orders", "o_orderstatus")]
+    parts = [
+        spark.sql(
+            """
+            SELECT :tname AS tbl, IDENTIFIER(:col) AS grp,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM IDENTIFIER(:tbl) GROUP BY IDENTIFIER(:col)
+            """,
+            args={"tname": t, "tbl": t, "col": c},
+        )
+        for t, c in targets
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1057,3 +1057,67 @@ def text_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("center", "context").agg(
         F.count(F.lit(1)).alias("n_cooc")
     ).withColumn("in_negative_shard", neg)
+
+
+_FH_D = 32  # hashed feature dimension
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5('fh:' || t), 1, 8) AS UBIGINT)
+                  AS BIGINT) % {_FH_D} AS feature_idx,
+             CASE WHEN substr(md5('fs:' || t), 1, 1) <= '7' THEN 1 ELSE -1 END AS sgn
+      FROM tok
+    )
+    SELECT doc_id, feature_idx, CAST(sum(sgn) AS BIGINT) AS val
+    FROM hashed
+    GROUP BY doc_id, feature_idx
+    HAVING sum(sgn) <> 0
+    """,
+    doc="FEATURE HASHING (the 'hashing trick', Weinberger et al.) — "
+    f"bag-of-words folded into a fixed {_FH_D}-dim space with NO "
+    "vocabulary pass: every token hashes to a bucket (md5) and a "
+    "Rademacher sign (second hash), signed counts sum per bucket, and "
+    "collisions cancel in expectation — the one-pass featurizer for "
+    "hash-kernel classifiers (Vowpal Wabbit) and the fast path "
+    "text_hashed_classifier_score's weights are built for.  Contrast "
+    "with text_tfidf_top_terms, which pays a vocabulary/df broadcast: "
+    "hashing needs NO global state at all, which is the whole point at "
+    "100 TB — featurization becomes embarrassingly parallel "
+    "explode+groupBy with a bounded output domain (docs x 32).  Sparse "
+    "long-form (doc, idx, val) output, zero rows dropped at val=0 on "
+    "both sides.  Scale: one shuffle on (doc_id, feature_idx) with "
+    "map-side partial sums; signs and buckets are codegen md5 "
+    "expressions, no UDF, no dictionary.",
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    hashed = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("t")).cast("binary")), 1, 8), 16, 10)
+            .cast("bigint")
+            % _FH_D
+        ).alias("feature_idx"),
+        F.when(
+            F.substring(F.md5(F.concat(F.lit("fs:"), F.col("t")).cast("binary")), 1, 1) <= "7",
+            1,
+        )
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    return (
+        hashed.groupBy("doc_id", "feature_idx")
+        .agg(F.sum("sgn").alias("val"))
+        .filter(F.col("val") != 0)
+    )

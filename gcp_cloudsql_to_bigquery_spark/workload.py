@@ -295,6 +295,11 @@ _GATE_FRONT: tuple[str, ...] = (
     "linkage_fellegi_sunter",
     "sec_subject_access_export",
     "stream_late_data_audit",
+    "analytics_wilson_ci",
+    "text_feature_hashing",
+    "sql_identifier_clause",
+    "curation_kfold_split",
+    "multimodal_tiff_metadata",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
