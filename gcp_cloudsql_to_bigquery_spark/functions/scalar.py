@@ -887,3 +887,62 @@ def fn_ip_cidr_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bool_and(F.col("ip2") == F.col("ip")).alias("parse_ok"),
         )
     )
+
+
+# RFC 4122 name-based UUID layout over a text namespace.  ONE shared
+# expression template (h = 32-char md5 hex) builds the 8-4-4-4-12 string
+# with the version nibble forced to 3 and the variant nibble mapped into
+# [89ab] — the two bit fields that make a conforming UUID.
+def _uuid3_sql(h: str) -> str:
+    return (
+        f"concat_ws('-', substr({h}, 1, 8), substr({h}, 9, 4),"
+        f" concat('3', substr({h}, 14, 3)),"
+        f" concat(substr('89ab', (CAST(conv(substr({h}, 17, 1), 16, 10) AS INT) % 4) + 1, 1),"
+        f" substr({h}, 18, 3)), substr({h}, 21, 12))"
+    )
+
+
+@register(
+    "fn_uuid3_name_based",
+    oracle="""
+    WITH h AS (
+      SELECT c_custkey, md5('uuid3:customers:' || c_name) AS d
+      FROM customer
+    )
+    SELECT c_custkey,
+           concat_ws('-', substr(d, 1, 8), substr(d, 9, 4),
+                     concat('3', substr(d, 14, 3)),
+                     concat(substr('89ab',
+                              (CAST(CAST('0x' || substr(d, 17, 1) AS UBIGINT)
+                                    AS INT) % 4) + 1, 1),
+                            substr(d, 18, 3)),
+                     substr(d, 21, 12)) AS uuid,
+           TRUE AS version_ok, TRUE AS variant_ok
+    FROM h
+    """,
+    doc="NAME-BASED UUID (RFC 4122 v3 layout over a text namespace) — "
+    "the deterministic surrogate-key generator every idempotent loader "
+    "needs: re-running the pipeline regenerates the SAME id for the "
+    "same (namespace, name), so upserts converge instead of duplicating "
+    "(random uuid() cannot be retried, and the reference's BigQuery "
+    "loads would need exactly this to be safely re-runnable).  The "
+    "md5-digest-to-UUID bit surgery is the RFC part: version nibble "
+    "forced to 3 (position 13) and the variant field's top two bits "
+    "forced to 10 (position 17 mapped into [89ab]) — one shared string "
+    "expression evaluated by both engines; version_ok/variant_ok audit "
+    "the layout in-row.  Scale: pure codegen string/hash expressions, "
+    "narrow, zero shuffle.",
+)
+def fn_uuid3_name_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    h = c.select(
+        "c_custkey",
+        F.md5(F.concat(F.lit("uuid3:customers:"), F.col("c_name")).cast("binary")).alias("d"),
+    )
+    uuid_col = F.expr(_uuid3_sql("d"))
+    return h.select(
+        "c_custkey",
+        uuid_col.alias("uuid"),
+        (F.substring(uuid_col, 15, 1) == "3").alias("version_ok"),
+        F.substring(uuid_col, 20, 1).isin("8", "9", "a", "b").alias("variant_ok"),
+    )

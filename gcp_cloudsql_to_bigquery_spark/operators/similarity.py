@@ -1263,3 +1263,110 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _MRL_K)
         .select("query_id", "neighbor_id", "coarse_rnk", "cosine", "rnk")
     )
+
+
+_PCA_ITERS = 3
+
+
+def _pca_oracle(iters: int = _PCA_ITERS) -> str:
+    """Unrolled power-iteration oracle: mean-center (quantized means), v0 =
+    all-ones, each round computes s = Xv (per-vector), u = X^T s (per-dim),
+    max-|component|-normalizes (order-independent, like graph_hits) and
+    micro-quantizes before the next round — decision-for-decision the
+    Spark loop."""
+    parts = [
+        """WITH x AS MATERIALIZED (
+      SELECT vec_id, u.pos AS pos, CAST(u.val AS DOUBLE) AS val
+      FROM embeddings,
+           LATERAL (SELECT unnest(embedding) AS val,
+                           generate_subscripts(embedding, 1) AS pos) u
+    ),
+    mu AS (
+      SELECT pos, floor(sum(val) / count(*) * 1e9 + 0.5) / 1e9 AS m
+      FROM x GROUP BY pos
+    ),
+    c AS MATERIALIZED (
+      SELECT vec_id, x.pos, val - m AS v FROM x JOIN mu ON mu.pos = x.pos
+    ),
+    v0 AS (SELECT pos, 1.0 AS w FROM mu),"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"s{i} AS (SELECT c.vec_id, sum(c.v * p.w) AS s"
+            f" FROM c JOIN v{i-1} p ON p.pos = c.pos GROUP BY c.vec_id),"
+            f" u{i} AS (SELECT c.pos, sum(c.v * s.s) AS u"
+            f" FROM c JOIN s{i} s ON s.vec_id = c.vec_id GROUP BY c.pos),"
+            f" m{i} AS (SELECT max(abs(u)) AS mx FROM u{i}),"
+            f" v{i} AS (SELECT pos, floor(u / m.mx * 1e9 + 0.5) / 1e9 AS w"
+            f" FROM u{i} CROSS JOIN m{i} m),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT CAST(pos AS BIGINT) AS dim,"
+        f" CAST(floor(w * 1e9 + 0.5) AS BIGINT) AS pc1_x1e9 FROM v{iters}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "embedding_pca_top_component",
+    oracle=_pca_oracle(),
+    doc="PCA TOP COMPONENT by POWER ITERATION, fully relational: the "
+    "embedding matrix lives in LONG FORM (vec_id, dim, value) and each "
+    "of 3 iterations is two join+aggregate rounds — s = Xv (dot every "
+    "centered vector with the current direction), u = X^T s (accumulate "
+    "back per dimension) — i.e., distributed matvec as a GROUP BY, the "
+    "same shape GraphX gives PageRank.  Means and iterates are micro-"
+    "quantized (1e-9) and normalization is by max |component| (order-"
+    "independent, the graph_hits discipline), so the DuckDB oracle "
+    "replays the identical rounds unrolled.  This is the in-engine "
+    "dimensionality-reduction primitive (drift directions, whitening, "
+    "Matryoshka-style truncation audits) that complements "
+    "embedding_label_centroid_arrow (per-class means) and the ANN "
+    "family (which CONSUME such projections).  Scale: X is shuffled "
+    "once per round on its join key (vec side, then dim side); the "
+    "direction vector is 64 rows broadcast; convergence is fixed-round, "
+    "driver holds only the loop counter.  At 1B vectors the same plan "
+    "holds — matvec cost is |X| per round, never |X|^2.",
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "val_f")
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val_f").cast("double").alias("val"),
+    )
+
+    def quant(col):
+        return F.floor(col * 1e9 + 0.5) / 1e9
+
+    mu = x.groupBy("pos").agg(quant(F.sum("val") / F.count(F.lit(1))).alias("m"))
+    c = (
+        x.join(mu, "pos")
+        .select("vec_id", "pos", (F.col("val") - F.col("m")).alias("v"))
+        .localCheckpoint()
+    )
+    v = mu.select("pos", F.lit(1.0).alias("w"))
+    for _ in range(_PCA_ITERS):
+        s = (
+            c.join(v, "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("v") * F.col("w")).alias("s"))
+        )
+        u = (
+            c.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("v") * F.col("s")).alias("u"))
+        )
+        mx = u.agg(F.max(F.abs(F.col("u"))).alias("mx"))
+        v = (
+            u.crossJoin(F.broadcast(mx))
+            .select("pos", quant(F.col("u") / F.col("mx")).alias("w"))
+            .localCheckpoint(eager=False)
+        )
+    return v.select(
+        F.col("pos").cast("bigint").alias("dim"),
+        F.floor(F.col("w") * 1e9 + 0.5).cast("bigint").alias("pc1_x1e9"),
+    )

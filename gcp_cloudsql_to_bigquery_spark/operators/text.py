@@ -1121,3 +1121,126 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sgn").alias("val"))
         .filter(F.col("val") != 0)
     )
+
+
+_CDC_MOD = 8  # expected chunk length ≈ 8 tokens
+
+
+@register(
+    "text_cdc_chunk_dedup",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.t AS tok, t.i AS pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS t,
+                           generate_subscripts(string_split(lower(text), ' '), 1) AS i) t
+    ),
+    flagged AS (
+      SELECT doc_id, tok, pos,
+             CASE WHEN pos >= 3 AND CAST(CAST('0x' || substr(md5(
+                    lag(tok, 2) OVER w || ' ' || lag(tok, 1) OVER w || ' ' || tok
+                  ), 1, 8) AS UBIGINT) AS BIGINT) % {_CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS brk
+      FROM tok
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    chunks AS (
+      SELECT doc_id,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS chunk_idx,
+             tok, pos
+      FROM flagged
+    ),
+    fp AS (
+      SELECT doc_id, chunk_idx,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
+             CAST(count(*) AS BIGINT) AS n_toks
+      FROM chunks GROUP BY doc_id, chunk_idx
+    ),
+    freq AS (
+      SELECT chunk_fp, count(*) AS n_copies, min(doc_id) AS rep_doc
+      FROM fp GROUP BY chunk_fp
+    )
+    SELECT f.doc_id, CAST(f.chunk_idx AS BIGINT) AS chunk_idx, f.chunk_fp,
+           f.n_toks, CAST(q.n_copies AS BIGINT) AS n_copies,
+           (q.n_copies > 1 AND f.doc_id <> q.rep_doc) AS is_dup
+    FROM fp f JOIN freq q ON q.chunk_fp = f.chunk_fp
+    """,
+    doc="CONTENT-DEFINED CHUNK DEDUP — the shift-robust segmentation "
+    "fixed-width slicing (text_segment_dedup) cannot give: a chunk "
+    "boundary falls after any token whose trailing 3-gram hashes to "
+    f"0 mod {_CDC_MOD} (local-window CDC, the same principle as "
+    "gear/Rabin chunking in storage dedup and FastCDC), so INSERTING a "
+    "sentence shifts only the chunks it touches — every boundary "
+    "downstream re-aligns because boundaries depend on local content, "
+    "not offsets.  Chunk fingerprints then dedupe ACROSS documents "
+    "(n_copies, representative, is_dup), the segment-level complement "
+    "to whole-doc dedup_exact and sub-span text_duplicate_span_fraction."
+    "  Boundary decisions use only a 3-token window, which is what "
+    "makes the oracle exactly replicable (lag window, no sequential "
+    "state) AND what makes the operator embarrassingly parallel at "
+    "100 TB — a doc is chunked entirely within its own partition; the "
+    "only shuffle is the fingerprint-keyed frequency join, digest-only."
+    "  The 1/8 boundary rate gives ~8-token expected chunks (geometric),"
+    " the RAG-ingestion sweet spot.",
+)
+def text_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    tri = F.concat_ws(" ", F.lag("tok", 2).over(w), F.lag("tok", 1).over(w), F.col("tok"))
+    flagged = tok.select(
+        "doc_id",
+        "tok",
+        "pos",
+        F.when(
+            (F.col("pos") >= 3)
+            & (
+                F.conv(F.substring(F.md5(tri.cast("binary")), 1, 8), 16, 10)
+                .cast("bigint")
+                % _CDC_MOD
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    chunks = flagged.select(
+        "doc_id",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("chunk_idx"),
+        "tok",
+        "pos",
+    )
+    # ordered within-chunk reassembly: sort the (pos, tok) structs, then
+    # join the tokens — collect_list order is partition-dependent, the
+    # array_sort is what makes the fingerprint deterministic
+    fp = (
+        chunks.groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("st"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.md5(F.array_join(F.transform("st", lambda s: s["tok"]), " ").cast("binary")).alias("chunk_fp"),
+            "n_toks",
+        )
+    )
+    freq = fp.groupBy("chunk_fp").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("rep_doc")
+    )
+    return fp.join(freq, "chunk_fp").select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_fp",
+        "n_toks",
+        "n_copies",
+        ((F.col("n_copies") > 1) & (F.col("doc_id") != F.col("rep_doc"))).alias("is_dup"),
+    )

@@ -608,3 +608,96 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("win_start"), "event_type", "n", "id_sum"
     )
+
+
+@register(
+    "stream_checkpoint_resume",
+    oracle="""
+    WITH mx AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '2 hours' AS wm FROM events
+    )
+    SELECT time_bucket(INTERVAL '6 hours', CAST(ts AS TIMESTAMP)) AS win_start,
+           event_type,
+           count(*)                     AS n,
+           CAST(sum(event_id) AS BIGINT) AS id_sum
+    FROM events
+    GROUP BY win_start, event_type
+    HAVING win_start + INTERVAL '6 hours' <= (SELECT wm FROM mx)
+    """,
+    doc="CHECKPOINT RESUME / EXACTLY-ONCE RESTART WITNESS — the property "
+    "the reference's requeue-on-failure batches (SURVEY §2A #8) only "
+    "approximate: run an append-mode windowed aggregate to a PARQUET "
+    "file sink over the first 20 days, let the query TERMINATE, then "
+    "start a SECOND StreamingQuery on the SAME checkpoint after 10 "
+    "more days of files arrive.  The checkpoint's offset log makes the "
+    "restart process only the new files and the state store carries "
+    "open windows across the restart; the file sink's transaction log "
+    "commits each batch once.  If restart re-processed old files, "
+    "counts double; if state were lost, windows straddling the restart "
+    "split — either way the per-window event-id checksum diverges from "
+    "the single-pass batch oracle.  (A sentinel re-delivery of the "
+    "max-ts event rides in the final batch to advance emission to the "
+    "final watermark; its window ends past the watermark, so it is "
+    "never emitted — invisible to the oracle by construction.)  Scale: "
+    "this is precisely how a production job survives deploys — state "
+    "and offsets in the checkpoint, sink idempotent via its commit "
+    "log; nothing here is test-only shape.",
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load
+
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    watch = tempfile.mkdtemp(prefix="resume_watch_", dir=_CKPT_DIR)
+    ckpt = tempfile.mkdtemp(prefix="resume_ckpt_", dir=_CKPT_DIR)
+    sink = tempfile.mkdtemp(prefix="resume_sink_", dir=_CKPT_DIR)
+
+    def write_shard(df: DataFrame, name: str, mtime: int) -> None:
+        path = os.path.join(watch, name)
+        df.coalesce(1).write.parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+
+    def run_once() -> None:
+        schema = spark.read.parquet(os.path.join(watch, "shard_1")).schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(os.path.join(watch, "shard_*"))
+        )
+        agg = (
+            raw.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # deployment 1: first 20 days land, job runs and terminates
+    write_shard(ev.filter(day < 10), "shard_1", 1_700_000_000)
+    write_shard(ev.filter((day >= 10) & (day < 20)), "shard_2", 1_700_000_001)
+    run_once()
+    # 10 more days arrive (plus the emission sentinel), job RESUMES on the
+    # same checkpoint — only the new files may be processed
+    write_shard(ev.filter(day >= 20), "shard_3", 1_700_000_002)
+    sentinel = ev.orderBy(F.col("ts").desc()).limit(1)
+    write_shard(sentinel, "shard_4", 1_700_000_003)
+    run_once()
+
+    out = spark.read.parquet(sink)
+    return out.select(
+        F.col("window.start").alias("win_start"), "event_type", "n", "id_sum"
+    )

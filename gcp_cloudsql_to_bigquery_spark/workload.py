@@ -300,6 +300,10 @@ _GATE_FRONT: tuple[str, ...] = (
     "sql_identifier_clause",
     "curation_kfold_split",
     "multimodal_tiff_metadata",
+    "text_cdc_chunk_dedup",
+    "embedding_pca_top_component",
+    "fn_uuid3_name_based",
+    "stream_checkpoint_resume",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
