@@ -1726,3 +1726,66 @@ def analytics_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("cents").alias("hi_cents"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+@register(
+    "agg_hdr_log_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    b AS (
+      SELECT cents,
+             length(bin(cents)) AS e,
+             (1::BIGINT << (length(bin(cents)) - 1)) AS lo
+      FROM v
+    ),
+    sub AS (
+      SELECT e, lo, ((cents - lo) * 4) // lo AS s, cents FROM b
+    )
+    SELECT CAST(e AS BIGINT)                    AS exponent,
+           CAST(s AS BIGINT)                    AS sub_bucket,
+           lo + (s * lo) // 4                   AS lo_bound,
+           CAST(count(*) AS BIGINT)             AS n,
+           min(cents)                           AS min_cents,
+           max(cents)                           AS max_cents
+    FROM sub GROUP BY e, s, lo
+    """,
+    doc="HDR-STYLE LOG-LINEAR HISTOGRAM (HdrHistogram / Prometheus-native "
+    "bucketing) over line-item value: bucket exponent = BIT LENGTH of the "
+    "integer cents (length(bin(x)) — exact on both engines where "
+    "floor(log2(x)) via float log2 would be wrong exactly at the "
+    "power-of-two boundaries that define the buckets), then 4 linear "
+    "sub-buckets per octave via integer division — constant ~6% relative "
+    "error across 9 orders of magnitude with a few dozen buckets, which "
+    "is why latency SLO pipelines use this layout instead of equi-width "
+    "(analytics_value_histogram) or equi-depth (needs a sort).  "
+    "Scale: bucketing is codegen bit arithmetic, the aggregate is a "
+    "bounded-domain groupBy with map-side partials, and buckets MERGE "
+    "trivially across shards/time — the property that makes HDR the "
+    "mergeable-histogram standard.",
+)
+def agg_hdr_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("cents")
+    )
+    b = v.select(
+        "cents",
+        F.length(F.bin("cents")).alias("e"),
+        # shiftleft's Python wrapper takes only a literal bit count — the SQL
+        # form accepts a column expression
+        F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(cents)) - 1)").alias("lo"),
+    )
+    sub = b.select(
+        "e", "lo", "cents", F.expr("((cents - lo) * 4) div lo").alias("s")
+    )
+    return sub.groupBy(
+        F.col("e").cast("bigint").alias("exponent"),
+        F.col("s").cast("bigint").alias("sub_bucket"),
+        F.expr("lo + (s * lo) div 4").alias("lo_bound"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )

@@ -1202,3 +1202,312 @@ def analytics_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_WILSON.format(sign="-")).cast("bigint").alias("wilson_lo_x1e9"),
         F.expr(_WILSON.format(sign="+")).cast("bigint").alias("wilson_hi_x1e9"),
     )
+
+
+@register(
+    "analytics_peak_concurrency",
+    oracle="""
+    WITH pres AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL '30 minutes' AS e
+      FROM events
+    ),
+    deltas AS (
+      SELECT event_type, s AS t, 1 AS d FROM pres
+      UNION ALL
+      SELECT event_type, e AS t, -1 FROM pres
+    ),
+    run AS (
+      SELECT event_type, t, d,
+             sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    )
+    SELECT event_type,
+           CAST(max(conc) AS BIGINT) AS peak,
+           min(CASE WHEN conc = (SELECT max(r2.conc) FROM run r2
+                                 WHERE r2.event_type = run.event_type)
+                    THEN t END)      AS first_peak_at
+    FROM run GROUP BY event_type
+    """,
+    doc="PEAK CONCURRENCY via the BOUNDARY-SWEEP rewrite — the capacity-"
+    "planning query ('max simultaneous open sessions, and when') that "
+    "naive SQL writes as a point-in-time self-join (O(n^2) and wrong at "
+    "boundaries): each 30-min presence interval contributes a +1 at "
+    "start and a -1 at end, the running sum over (time, delta) IS the "
+    "concurrency curve (ends sort before coincident starts — the "
+    "half-open [s,e) convention, so back-to-back intervals never "
+    "double-count), max + argmin-time read the peak off the curve.  "
+    "Same sweep underlies interval coalescing and room-scheduling; "
+    "contrast join_interval_overlap, which enumerates pairs.  Scale: "
+    "2 rows per interval, one per-key sort — the sweep is linear and "
+    "partitions by event_type; at 100 TB the same sweep runs per time "
+    "bucket after a range partition, merging bucket boundaries with "
+    "carry-in sums.",
+)
+def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    pres = ev.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+    )
+    deltas = pres.select("event_type", F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        pres.select("event_type", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = W.partitionBy("event_type").orderBy("t", "d").rowsBetween(W.unboundedPreceding, 0)
+    run = deltas.select("event_type", "t", F.sum("d").over(w).alias("conc"))
+    peak = run.groupBy("event_type").agg(F.max("conc").alias("peak"))
+    return (
+        run.join(peak, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("peak").cast("bigint").alias("peak"),
+            F.min(F.when(F.col("conc") == F.col("peak"), F.col("t"))).alias("first_peak_at"),
+        )
+    )
+
+
+@register(
+    "ts_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(floor((value - 50.0) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS net
+      FROM events GROUP BY event_type, d
+    ),
+    cum AS (
+      SELECT event_type, d,
+             sum(net) OVER (PARTITION BY event_type ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS equity
+      FROM daily
+    ),
+    dd AS (
+      SELECT event_type, d, equity,
+             max(equity) OVER (PARTITION BY event_type ORDER BY d
+                               ROWS UNBOUNDED PRECEDING) - equity AS drawdown
+      FROM cum
+    )
+    SELECT event_type,
+           CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+           min(CASE WHEN drawdown = (SELECT max(d2.drawdown) FROM dd d2
+                                     WHERE d2.event_type = dd.event_type)
+                    THEN d END)          AS trough_date,
+           CAST(max(equity) AS BIGINT)   AS peak_equity_cents
+    FROM dd GROUP BY event_type
+    """,
+    doc="MAXIMUM DRAWDOWN — the risk metric (largest peak-to-trough fall "
+    "of a cumulative series) that requires the RUNNING-MAX-MINUS-VALUE "
+    "rewrite: the naive form is a max over all (i<=j) pairs, O(n^2); "
+    "the one-pass form is cum-sum -> running max -> max gap, two "
+    "stacked windows on one sort.  Series: per-type daily net value "
+    "(value centered at its design mean 50, so the equity curve "
+    "genuinely rises and falls), all integer cents.  The trough date "
+    "is the FIRST day attaining the max drawdown (deterministic "
+    "tiebreak).  Complements ts_cusum_changepoint (drift detection) "
+    "with the worst-case-excursion summary.  Scale: both windows share "
+    "one (type, day)-sorted exchange over the calendar-bounded daily "
+    "aggregate, never the raw events.",
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("d"),
+            F.floor((F.col("value") - 50.0) * 100 + 0.5).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c").alias("net"))
+    )
+    w = W.partitionBy("event_type").orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    cum = daily.select("event_type", "d", F.sum("net").over(w).alias("equity"))
+    dd = cum.select(
+        "event_type",
+        "d",
+        "equity",
+        (F.max("equity").over(w) - F.col("equity")).alias("drawdown"),
+    )
+    mx = dd.groupBy("event_type").agg(F.max("drawdown").alias("mdd"))
+    return (
+        dd.join(mx, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("mdd").cast("bigint").alias("max_drawdown_cents"),
+            F.min(F.when(F.col("drawdown") == F.col("mdd"), F.col("d"))).alias("trough_date"),
+            F.max("equity").cast("bigint").alias("peak_equity_cents"),
+        )
+    )
+
+
+@register(
+    "analytics_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS total FROM baskets),
+    item AS (SELECT p, CAST(count(*) AS BIGINT) AS n_item FROM baskets GROUP BY p),
+    pairs AS (
+      SELECT a.p AS ante, b.p AS cons, CAST(count(*) AS BIGINT) AS n_pair
+      FROM baskets a JOIN baskets b ON b.o = a.o AND a.p <> b.p
+      GROUP BY ante, cons
+    )
+    SELECT ante, cons, n_pair,
+           (n_pair * 1000000) // t.total            AS support_x1e6,
+           (n_pair * 1000000) // ia.n_item          AS confidence_x1e6,
+           (n_pair * t.total * 1000000) // (ia.n_item * ic.n_item) AS lift_x1e6
+    FROM pairs
+    JOIN item ia ON ia.p = ante
+    JOIN item ic ON ic.p = cons
+    CROSS JOIN n_orders t
+    WHERE n_pair >= 3
+    """,
+    doc="ASSOCIATION RULES (directed Apriori stage 2): for every "
+    "co-purchased part pair, support / CONFIDENCE / LIFT as exact "
+    "integer micro-ratios — the step analytics_frequent_pairs "
+    "(undirected support only) feeds: confidence(a->b) = "
+    "P(b|a) ranks recommendations, lift>1e6 separates genuine "
+    "affinity from popularity coincidence (the metric that kills the "
+    "'everyone buys milk' false rules).  Rules are DIRECTED (both "
+    "orientations emitted; confidence is asymmetric).  All ratios are "
+    "integer-division micro-units — no float, exact parity.  Scale: "
+    "the basket self-join shuffles once on the order key (quadratic "
+    "only within a basket, ~4 items); item counts broadcast back onto "
+    "the pair table; thresholding (n_pair >= 3) happens before the "
+    "dimension joins, so the rule table stays sparse.",
+)
+def analytics_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    total = baskets.agg(F.count_distinct("o").alias("total"))
+    item = baskets.groupBy("p").agg(F.count(F.lit(1)).alias("n_item"))
+    b2 = baskets.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    pairs = (
+        baskets.join(b2, (F.col("o2") == F.col("o")) & (F.col("p") != F.col("p2")))
+        .groupBy(F.col("p").alias("ante"), F.col("p2").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ia = item.select(F.col("p").alias("ante"), F.col("n_item").alias("n_a"))
+    ic = item.select(F.col("p").alias("cons"), F.col("n_item").alias("n_c"))
+    return (
+        pairs.join(F.broadcast(ia), "ante")
+        .join(F.broadcast(ic), "cons")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "ante",
+            "cons",
+            "n_pair",
+            F.expr("(n_pair * 1000000) div total").alias("support_x1e6"),
+            F.expr("(n_pair * 1000000) div n_a").alias("confidence_x1e6"),
+            F.expr("(n_pair * total * 1000000) div (n_a * n_c)").alias("lift_x1e6"),
+        )
+    )
+
+
+@register(
+    "analytics_survival_km",
+    oracle="""
+    WITH span AS (
+      SELECT o_custkey,
+             CAST(min(o_orderdate) AS DATE) AS first_d,
+             CAST(max(o_orderdate) AS DATE) AS last_d
+      FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT max(last_d) AS m FROM span),
+    subj AS (
+      SELECT date_diff('day', first_d, last_d) AS dur,
+             CASE WHEN last_d < (SELECT m FROM mx) - 180 THEN 1 ELSE 0 END AS evt
+      FROM span
+    ),
+    per_t AS (
+      SELECT dur, count(*) AS c_all, CAST(sum(evt) AS BIGINT) AS d
+      FROM subj GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d,
+             (SELECT count(*) FROM subj) -
+               coalesce(sum(c_all) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+      FROM per_t
+    ),
+    terms AS (
+      SELECT dur, d, CAST(n AS BIGINT) AS n,
+             CAST(floor(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9 + 0.5)
+                  AS BIGINT) AS l
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(dur AS BIGINT) AS t_days, n AS n_at_risk, d AS d_events,
+           CAST(floor(exp(CAST(sum(l) OVER (ORDER BY dur
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e9) * 1e6 + 0.5)
+                AS BIGINT) AS survival_x1e6
+    FROM terms
+    """,
+    doc="KAPLAN-MEIER SURVIVAL CURVE over customer lifetimes (first to "
+    "last order; churn = last order >180 days before the dataset "
+    "horizon, later actives right-CENSORED — they leave the risk set "
+    "without counting as deaths, the thing naive retention curves get "
+    "wrong): S(t) = prod(1 - d_i/n_i) over death times.  The product "
+    "is computed in LOG SPACE with each term ln(1-d/n) INTEGER-"
+    "quantized to 1e-9 BEFORE the running sum — summation of integers "
+    "is order-independent and exact, so cross-engine parity holds with "
+    "exactly one libm call per term and one exp at readout (the same "
+    "quantize-between-steps discipline as graph_pagerank).  Risk sets "
+    "come from one cumulative window over the duration histogram, not "
+    "a per-time self-join.  Scale: subjects reduce to a duration "
+    "histogram first (partial agg); the curve is calendar-bounded; "
+    "censoring needs no extra pass.",
+)
+def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    span = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+    )
+    mx = span.agg(F.max("last_d").alias("m"))
+    subj = span.crossJoin(F.broadcast(mx)).select(
+        F.datediff("last_d", "first_d").alias("dur"),
+        F.when(F.col("last_d") < F.date_sub("m", 180), 1).otherwise(0).alias("evt"),
+    )
+    n_total = subj.count()  # bounded: one scalar for the risk-set offset
+    per_t = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("evt").alias("d")
+    )
+    w_prior = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    risk = per_t.select(
+        "dur",
+        "d",
+        (F.lit(n_total) - F.coalesce(F.sum("c_all").over(w_prior), F.lit(0))).alias("n"),
+    )
+    terms = risk.filter(F.col("d") > 0).select(
+        "dur",
+        "d",
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(
+            F.log((F.col("n") - F.col("d")).cast("double") / F.col("n").cast("double"))
+            * 1e9
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("l"),
+    )
+    w_cum = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    return terms.select(
+        F.col("dur").cast("bigint").alias("t_days"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("d_events"),
+        F.floor(
+            F.exp(F.sum("l").over(w_cum).cast("double") / 1e9) * 1e6 + 0.5
+        )
+        .cast("bigint")
+        .alias("survival_x1e6"),
+    )

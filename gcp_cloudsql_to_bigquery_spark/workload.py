@@ -304,6 +304,12 @@ _GATE_FRONT: tuple[str, ...] = (
     "embedding_pca_top_component",
     "fn_uuid3_name_based",
     "stream_checkpoint_resume",
+    "agg_hdr_log_histogram",
+    "analytics_peak_concurrency",
+    "ts_max_drawdown",
+    "analytics_association_rules",
+    "fn_cron_schedule_expand",
+    "analytics_survival_km",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
