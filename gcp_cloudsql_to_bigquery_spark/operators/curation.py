@@ -1035,3 +1035,69 @@ def curation_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fold"),
     )
+
+
+@register(
+    "curation_winsorize_clip",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             count(*)    OVER (PARTITION BY source)                           AS n
+      FROM documents
+    ),
+    cuts AS (
+      SELECT source,
+             max(CASE WHEN rn = (5 * n + 99) // 100   THEN n_chars END) AS p05,
+             max(CASE WHEN rn = (95 * n + 99) // 100  THEN n_chars END) AS p95
+      FROM ranked GROUP BY source
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT)       AS n_docs,
+           c.p05, c.p95,
+           CAST(sum(n_chars) AS BIGINT)   AS sum_raw,
+           CAST(sum(least(greatest(n_chars, c.p05), c.p95)) AS BIGINT) AS sum_clipped,
+           CAST(count(CASE WHEN n_chars < c.p05 OR n_chars > c.p95 THEN 1 END)
+                AS BIGINT)                AS n_clipped
+    FROM documents d JOIN cuts c ON c.source = d.source
+    GROUP BY d.source, c.p05, c.p95
+    """,
+    doc="WINSORIZED CLIPPING per source — the outlier treatment robust "
+    "pipelines apply before computing budgets or means: nearest-rank "
+    "p05/p95 thresholds per stratum (integer rank arithmetic, unique-"
+    "key tiebreak — same discipline as agg_percentile_exact_grouped), "
+    "then clamp values into [p05, p95] and report raw vs clipped sums "
+    "and the clip count.  Winsorizing beats dropping (ts_outlier_mad "
+    "flags, this REPAIRS) when downstream needs every row, e.g. token "
+    "budgeting over documents where one 10x-length outlier would skew "
+    "a source's share of the training mix.  Scale: one ranking window "
+    "per stratum feeding a broadcast threshold join back onto the "
+    "table — two passes, both partitioned by source, all integer.",
+)
+def curation_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    wp = W.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(wp.orderBy("n_chars", "doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    cuts = ranked.groupBy("source").agg(
+        F.max(F.when(F.expr("rn = (5 * n + 99) div 100"), F.col("n_chars"))).alias("p05"),
+        F.max(F.when(F.expr("rn = (95 * n + 99) div 100"), F.col("n_chars"))).alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("n_chars"), F.col("p05")), F.col("p95"))
+    return (
+        docs.join(F.broadcast(cuts), "source")
+        .groupBy("source", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_raw"),
+            F.sum(clipped).alias("sum_clipped"),
+            F.count(
+                F.when((F.col("n_chars") < F.col("p05")) | (F.col("n_chars") > F.col("p95")), 1)
+            ).alias("n_clipped"),
+        )
+        .select("source", "n_docs", "p05", "p95", "sum_raw", "sum_clipped", "n_clipped")
+    )

@@ -310,6 +310,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_association_rules",
     "fn_cron_schedule_expand",
     "analytics_survival_km",
+    "curation_winsorize_clip",
+    "multimodal_png_integrity",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
