@@ -783,3 +783,45 @@ def fn_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xpath_long("doc", F.lit("string(//region/@id)")).alias("region_id"),
         F.xpath_long("doc", F.lit("/nation/pop")).alias("pop"),
     )
+
+
+@register(
+    "fn_pandas_on_spark_api",
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM orders GROUP BY pri
+    """,
+    doc="PANDAS-ON-SPARK API surface (pyspark.pandas): the same grouped "
+    "aggregate expressed through the pandas dialect — "
+    "df.pandas_api().groupby(...).agg(...) — and handed straight back "
+    "to Spark SQL via to_spark(), proving the dialect compiles onto "
+    "the identical distributed plan (Catalyst sees one partial-agg "
+    "groupBy; nothing materializes on the driver, unlike toPandas).  "
+    "This is the migration surface for pandas codebases: the query "
+    "body is pandas idiom, the execution and the oracle check are the "
+    "engine's.  Integer cents before the agg keep the sums exact.  "
+    "Scale: identical plan to the native form — the API is sugar, and "
+    "this query is the witness.",
+)
+def fn_pandas_on_spark_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    psdf = o.pandas_api()
+    g = psdf.groupby("pri")["cents"]
+    agg = g.sum().to_frame("cents")
+    agg["n"] = g.count()
+    agg["max_cents"] = g.max()
+    out = agg.reset_index().to_spark()
+    return out.select(
+        "pri",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("cents").cast("bigint").alias("cents"),
+        F.col("max_cents").cast("bigint").alias("max_cents"),
+    )

@@ -1511,3 +1511,61 @@ def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("survival_x1e6"),
     )
+
+
+@register(
+    "analytics_state_durations",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS state, CAST(ts AS TIMESTAMP) AS ts,
+             lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_ts
+      FROM events
+    )
+    SELECT state,
+           CAST(count(next_ts) AS BIGINT) AS n_visits,
+           CAST(sum(CASE WHEN next_ts IS NOT NULL
+                         THEN epoch_us(next_ts) - epoch_us(ts) END) AS BIGINT)
+             AS total_us,
+           CAST(sum(CASE WHEN next_ts IS NOT NULL
+                         THEN epoch_us(next_ts) - epoch_us(ts) END)
+                // count(next_ts) AS BIGINT) AS mean_us
+    FROM seq GROUP BY state
+    """,
+    doc="STATE-MACHINE DWELL TIMES — how long users SIT in each state "
+    "(state = last emitted event type, dwell = time to the next event), "
+    "the duration half of process mining that "
+    "analytics_event_transitions' Markov counts miss: transitions say "
+    "where users go, dwell says where the TIME goes (support-queue "
+    "triage, funnel stall diagnosis).  One lead() per user over "
+    "(ts, event_id) — the unique tiebreak makes simultaneous events "
+    "deterministic — then a bounded per-state aggregate; durations in "
+    "exact integer microseconds (epoch_us / unix_micros on either "
+    "engine), mean via integer division.  Terminal events (no "
+    "successor) are open intervals and excluded from both count and "
+    "sum on both sides.  Scale: one user-keyed exchange serves the "
+    "window; the aggregate reduces map-side to 5 states.",
+)
+def analytics_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("next_us"),
+    )
+    return (
+        seq.groupBy("state")
+        .agg(
+            F.count("next_us").alias("n_visits"),
+            F.sum(F.col("next_us") - F.col("us")).alias("total_us"),
+        )
+        .select(
+            "state",
+            "n_visits",
+            "total_us",
+            F.expr("total_us div n_visits").alias("mean_us"),
+        )
+    )

@@ -1167,3 +1167,104 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("slope") * 1e9 + 0.5).cast("bigint").alias("slope_x1e9"),
         F.floor(F.col("intercept") * 1e9 + 0.5).cast("bigint").alias("intercept_x1e9"),
     )
+
+
+@register(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, hour(CAST(ts AS TIMESTAMP)) AS h,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, d, h
+    ),
+    trend AS (
+      SELECT event_type, d, sum(x) / count(*) AS m
+      FROM hourly GROUP BY event_type, d
+    ),
+    det AS (
+      SELECT h.event_type, h.d, h.h,
+             floor((h.x - t.m) * 1e9 + 0.5) / 1e9 AS dt
+      FROM hourly h JOIN trend t ON t.event_type = h.event_type AND t.d = h.d
+    ),
+    seas AS (
+      SELECT event_type, h, floor(sum(dt) / count(*) * 1e9 + 0.5) / 1e9 AS s
+      FROM det GROUP BY event_type, h
+    ),
+    resid AS (
+      SELECT d.event_type, d.dt,
+             floor((d.dt - s.s) * 1e9 + 0.5) / 1e9 AS r
+      FROM det d JOIN seas s ON s.event_type = d.event_type AND s.h = d.h
+    ),
+    strength AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(floor(greatest(0.0, 1.0 - sum(r * r) / sum(dt * dt)) * 1e6 + 0.5)
+                  AS BIGINT) AS strength_ppm
+      FROM resid GROUP BY event_type
+    ),
+    peak AS (
+      SELECT event_type,
+             CAST(min(CASE WHEN s = m THEN h END) AS BIGINT) AS peak_hour
+      FROM (SELECT event_type, h, s, max(s) OVER (PARTITION BY event_type) AS m
+            FROM seas)
+      GROUP BY event_type
+    )
+    SELECT s.event_type, s.n_obs, s.strength_ppm, p.peak_hour
+    FROM strength s JOIN peak p ON p.event_type = s.event_type
+    """,
+    doc="SEASONAL STRENGTH (the STL feature F_s = max(0, 1 - "
+    "Var(remainder)/Var(detrended)), Hyndman's forecastability score) "
+    "per event type over the hour-of-day cycle: daily means detrend, "
+    "per-hour means across days extract the seasonal profile, and the "
+    "variance ratio says how much of the detrended variation the "
+    "profile explains — the one number that decides whether "
+    "ts_seasonal_profile's cycle is signal or noise, and whether "
+    "ts_anomaly_seasonal_residual's residual basis is trustworthy.  "
+    "Every intermediate component is micro-quantized before the next "
+    "stage (the graph_pagerank discipline), divisions are identical "
+    "two-operand ops on both engines, and the peak seasonal hour ties "
+    "break to the earliest hour.  Scale: three stacked partial "
+    "aggregates over (type, day, hour) — calendar-bounded after the "
+    "first reduction; no window over raw events.",
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+
+    def quant(col):
+        return F.floor(col * 1e9 + 0.5) / 1e9
+
+    hourly = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"), F.hour("ts").alias("h"))
+        .groupBy("event_type", "d", "h")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    trend = hourly.groupBy("event_type", "d").agg(
+        (F.sum("x") / F.count(F.lit(1))).alias("m")
+    )
+    det = hourly.join(trend, ["event_type", "d"]).select(
+        "event_type", "d", "h", quant(F.col("x") - F.col("m")).alias("dt")
+    )
+    seas = det.groupBy("event_type", "h").agg(
+        quant(F.sum("dt") / F.count(F.lit(1))).alias("s")
+    )
+    resid = det.join(seas, ["event_type", "h"]).select(
+        "event_type", "dt", quant(F.col("dt") - F.col("s")).alias("r")
+    )
+    strength = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.floor(
+            F.greatest(
+                F.lit(0.0), 1.0 - F.sum(F.col("r") * F.col("r")) / F.sum(F.col("dt") * F.col("dt"))
+            )
+            * 1e6
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("strength_ppm"),
+    )
+    mx = seas.withColumn("m", F.max("s").over(W.partitionBy("event_type")))
+    peak = mx.groupBy("event_type").agg(
+        F.min(F.when(F.col("s") == F.col("m"), F.col("h"))).cast("bigint").alias("peak_hour")
+    )
+    return strength.join(peak, "event_type").select(
+        "event_type", "n_obs", "strength_ppm", "peak_hour"
+    )

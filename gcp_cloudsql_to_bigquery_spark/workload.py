@@ -312,6 +312,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_survival_km",
     "curation_winsorize_clip",
     "multimodal_png_integrity",
+    "analytics_state_durations",
+    "fn_pandas_on_spark_api",
+    "ts_seasonal_strength",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
