@@ -1046,3 +1046,112 @@ def fn_cron_schedule_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _CRON_N)
         .select("cron_expr", F.col("rn").cast("bigint").alias("fire_seq"), F.col("t").alias("fire_ts"))
     )
+
+
+# --- locale-formatted currency round-trip ------------------------------------
+# Shared SQL fragments (spliced verbatim into BOTH engines): thousands
+# grouping of a digit string, and the separator-detecting parser.  The
+# parser is the operator under test; the renderer exists to feed it every
+# locale shape deterministically.
+_CUR_GROUP = (
+    "CASE WHEN length({s}) <= 3 THEN {s}"
+    " WHEN length({s}) <= 6 THEN substr({s}, 1, length({s}) - 3) || '{sep}'"
+    "   || substr({s}, length({s}) - 2, 3)"
+    " ELSE substr({s}, 1, length({s}) - 6) || '{sep}'"
+    "   || substr({s}, length({s}) - 5, 3) || '{sep}'"
+    "   || substr({s}, length({s}) - 2, 3) END"
+)
+_CUR_PARSE = """
+    CAST(replace(CASE WHEN substr(clean, length(clean) - 2, 1) = ','
+                      THEN replace(replace(clean, '.', ''), ',', '.')
+                      ELSE replace(clean, ',', '') END, '.', '') AS BIGINT)
+"""
+
+
+@register(
+    "fn_currency_parse",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey,
+             CAST(c_custkey % 3 AS INT) AS style,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      FROM customer
+    ),
+    parts AS (
+      SELECT c_custkey, style, cents,
+             CASE WHEN cents < 0 THEN '-' ELSE '' END AS sgn,
+             CAST(abs(cents) // 100 AS VARCHAR)       AS ip,
+             lpad(CAST(abs(cents) % 100 AS VARCHAR), 2, '0') AS fp
+      FROM base
+    ),
+    rendered AS (
+      SELECT c_custkey, style, cents,
+             CASE style
+               WHEN 0 THEN sgn || '$' || {_CUR_GROUP.format(s='ip', sep=',')} || '.' || fp
+               WHEN 1 THEN sgn || {_CUR_GROUP.format(s='ip', sep='.')} || ',' || fp || ' €'
+               ELSE        sgn || ip || '.' || fp || ' USD'
+             END AS amount_str
+      FROM parts
+    ),
+    cleaned AS (
+      SELECT c_custkey, style, cents, amount_str,
+             regexp_replace(amount_str, '[$€ ]|USD', '', 'g') AS clean
+      FROM rendered
+    )
+    SELECT c_custkey, style, amount_str,
+           {_CUR_PARSE} AS parsed_cents,
+           {_CUR_PARSE} = cents AS roundtrip_ok
+    FROM cleaned
+    """,
+    doc="LOCALE-FORMATTED CURRENCY PARSING — the ingest wart every "
+    "finance ELT hits: the same balance arrives as '$1,234.56' (US), "
+    "'1.234,56 €' (EU: separators SWAPPED), or '1234.56 USD', and the "
+    "parser must DETECT the decimal separator (the one exactly two "
+    "places from the end after de-symboling) before it can normalize — "
+    "stripping 'the commas' corrupts EU amounts.  Renderer and parser "
+    "are shared SQL fragments evaluated verbatim by both engines; the "
+    "round trip back to exact integer cents is asserted per row "
+    "(roundtrip_ok), negatives included.  Complements "
+    "fn_timestamp_parse_fallback (the datetime analog of multi-format "
+    "ingest) and fn_decimal_exact_money (exact arithmetic after "
+    "parsing).  Scale: pure codegen string expressions, narrow, no "
+    "shuffle, no UDF.",
+)
+def fn_currency_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        (F.col("c_custkey") % 3).cast("int").alias("style"),
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    parts = base.select(
+        "c_custkey",
+        "style",
+        "cents",
+        F.when(F.col("cents") < 0, "-").otherwise("").alias("sgn"),
+        F.expr("CAST(abs(cents) div 100 AS STRING)").alias("ip"),
+        F.lpad((F.abs("cents") % 100).cast("string"), 2, "0").alias("fp"),
+    )
+    rendered = parts.select(
+        "c_custkey",
+        "style",
+        "cents",
+        F.expr(
+            f"""CASE style
+               WHEN 0 THEN sgn || '$' || {_CUR_GROUP.format(s='ip', sep=',')} || '.' || fp
+               WHEN 1 THEN sgn || {_CUR_GROUP.format(s='ip', sep='.')} || ',' || fp || ' €'
+               ELSE        sgn || ip || '.' || fp || ' USD'
+             END"""
+        ).alias("amount_str"),
+    )
+    cleaned = rendered.withColumn(
+        "clean", F.regexp_replace("amount_str", r"[$€ ]|USD", "")
+    )
+    parsed = F.expr(_CUR_PARSE)
+    return cleaned.select(
+        "c_custkey",
+        "style",
+        "amount_str",
+        parsed.alias("parsed_cents"),
+        (parsed == F.col("cents")).alias("roundtrip_ok"),
+    )

@@ -1054,3 +1054,67 @@ def sec_subject_access_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("subject_key", F.lit("events").alias("source_table"), "n_rows", "first_date", "last_date")
     )
     return cust.unionByName(orders).unionByName(items).unionByName(events)
+
+
+@register(
+    "dq_null_pattern_profile",
+    oracle="""
+    WITH masked AS (
+      SELECT CASE WHEN c_custkey % 7 = 0  THEN NULL ELSE c_name END       AS name,
+             CASE WHEN c_custkey % 7 = 0  THEN NULL ELSE c_mktsegment END AS seg,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END    AS bal,
+             CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_nationkey END  AS nat
+      FROM customer
+    )
+    SELECT (name IS NULL) AS name_null, (seg IS NULL) AS seg_null,
+           (bal IS NULL) AS bal_null,  (nat IS NULL) AS nat_null,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(4 - (name IS NULL)::INT - (seg IS NULL)::INT
+                  - (bal IS NULL)::INT - (nat IS NULL)::INT AS INT) AS n_present
+    FROM masked
+    GROUP BY name_null, seg_null, bal_null, nat_null
+    """,
+    doc="NULL-PATTERN (missingness co-occurrence) PROFILE — which columns "
+    "go null TOGETHER: rows group by their full null/present bitmask "
+    "rather than per-column null rates (profile_columns_generic), "
+    "because correlated missingness (name+segment null in lockstep "
+    "here, simulating a failed enrichment join) means MAR/MNAR data "
+    "that per-column rates cannot distinguish from random dropout — "
+    "the first question any imputation or quality-gate design asks.  "
+    "Nulls are injected deterministically (key mod 7/11/13) so both "
+    "engines profile the identical corpus.  Scale: one partial-agg "
+    "groupBy whose domain is bounded by 2^k patterns, never rows; at "
+    "wide schemas the bitmask packs into a bigint and the same "
+    "aggregate holds.",
+)
+def dq_null_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    masked = c.select(
+        F.when(k % 7 == 0, None).otherwise(F.col("c_name")).alias("name"),
+        F.when(k % 7 == 0, None).otherwise(F.col("c_mktsegment")).alias("seg"),
+        F.when(k % 11 == 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+        F.when(k % 13 == 0, None).otherwise(F.col("c_nationkey")).alias("nat"),
+    )
+    flags = [
+        F.col("name").isNull().alias("name_null"),
+        F.col("seg").isNull().alias("seg_null"),
+        F.col("bal").isNull().alias("bal_null"),
+        F.col("nat").isNull().alias("nat_null"),
+    ]
+    return (
+        masked.select(*flags)
+        .groupBy("name_null", "seg_null", "bal_null", "nat_null")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.lit(4)
+                - F.col("name_null").cast("int")
+                - F.col("seg_null").cast("int")
+                - F.col("bal_null").cast("int")
+                - F.col("nat_null").cast("int")
+            )
+            .cast("int")
+            .alias("n_present"),
+        )
+    )

@@ -1268,3 +1268,77 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strength.join(peak, "event_type").select(
         "event_type", "n_obs", "strength_ppm", "peak_hour"
     )
+
+
+@register(
+    "ts_interval_subtract_sla",
+    oracle="""
+    WITH pres AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+             epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL '30 minutes') AS e,
+             CAST(ts AS DATE) AS d
+      FROM events
+    ),
+    cand AS (
+      SELECT p.*, epoch_us(CAST(p.d + o.o AS TIMESTAMP) + INTERVAL '3 hours') AS ms,
+                  epoch_us(CAST(p.d + o.o AS TIMESTAMP) + INTERVAL '4 hours') AS me
+      FROM pres p CROSS JOIN (VALUES (0), (1)) o(o)
+    ),
+    cut AS (
+      SELECT event_type, s, e,
+             CAST(sum(greatest(0, least(e, me) - greatest(s, ms))) AS BIGINT) AS masked
+      FROM cand GROUP BY event_type, s, e
+    )
+    SELECT event_type,
+           CAST(sum(e - s) AS BIGINT)          AS raw_us,
+           CAST(sum(e - s - masked) AS BIGINT) AS effective_us,
+           CAST((sum(e - s) - sum(masked)) * 1000000 // sum(e - s) AS BIGINT) AS sla_ppm
+    FROM cut GROUP BY event_type
+    """,
+    doc="INTERVAL SUBTRACTION for SLA ACCOUNTING — uptime minus "
+    "scheduled-maintenance windows, the calculation every availability "
+    "contract requires ('downtime during the maintenance window does "
+    "not count'): each 30-min presence interval is clipped against the "
+    "recurring daily 03:00-04:00 window via the "
+    "greatest(0, least(ends) - greatest(starts)) overlap identity over "
+    "candidate days — interval DIFFERENCE, the missing third of the "
+    "algebra after intersection (join_interval_overlap) and union "
+    "(sessionization).  All arithmetic in exact integer microseconds "
+    "(epoch_us / unix_micros); per-type SLA attainment as an exact "
+    "integer ppm ratio.  Scale: the mask is a synthetic broadcast (two "
+    "day-offsets per row, no table), clipping is codegen min/max "
+    "arithmetic, and the final rollup is a bounded groupBy — the same "
+    "plan clips against real maintenance-calendar dims by swapping the "
+    "VALUES for a broadcast table.",
+)
+def ts_interval_subtract_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    pres = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        F.unix_micros(F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e"),
+        F.col("ts").cast("date").alias("d"),
+    )
+    offs = spark.range(2).select(F.col("id").cast("int").alias("o"))
+    cand = pres.crossJoin(F.broadcast(offs)).select(
+        "event_type",
+        "s",
+        "e",
+        F.unix_micros(
+            F.date_add(F.col("d"), F.col("o")).cast("timestamp") + F.expr("INTERVAL 3 HOURS")
+        ).alias("ms"),
+        F.unix_micros(
+            F.date_add(F.col("d"), F.col("o")).cast("timestamp") + F.expr("INTERVAL 4 HOURS")
+        ).alias("me"),
+    )
+    cut = cand.groupBy("event_type", "s", "e").agg(
+        F.sum(
+            F.greatest(F.lit(0).cast("bigint"), F.least("e", "me") - F.greatest("s", "ms"))
+        ).alias("masked")
+    )
+    return cut.groupBy("event_type").agg(
+        F.sum(F.col("e") - F.col("s")).alias("raw_us"),
+        F.sum(F.col("e") - F.col("s") - F.col("masked")).alias("effective_us"),
+        F.expr("(sum(e - s) - sum(masked)) * 1000000 div sum(e - s)").alias("sla_ppm"),
+    )

@@ -315,6 +315,10 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_state_durations",
     "fn_pandas_on_spark_api",
     "ts_seasonal_strength",
+    "dq_null_pattern_profile",
+    "fn_currency_parse",
+    "ts_interval_subtract_sla",
+    "elt_delimiter_sniffing",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
