@@ -1298,15 +1298,21 @@ def decode_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             if ihdr is None or idat is None:
                 raise ValueError(f"doc {doc_id}: missing IHDR/IDAT")
             w, h, depth, ctype = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
-            raw = zlib.decompress(idat)
-            if len(raw) != h * (w + 1):
-                raise ValueError(f"doc {doc_id}: inflated size {len(raw)} != {h}x({w}+1)")
-            px_sum = 0
-            for y in range(h):
-                row = raw[y * (w + 1) : (y + 1) * (w + 1)]
-                if row[0] != 0:
-                    raise ValueError(f"doc {doc_id}: unsupported filter {row[0]}")
-                px_sum += sum(row[1:])
+            # CRC gates the inflate: a corrupted IDAT must surface as
+            # crc_ok=false, never as a zlib crash mid-job
+            px_sum = None
+            if crc_ok:
+                raw = zlib.decompress(idat)
+                if len(raw) != h * (w + 1):
+                    raise ValueError(
+                        f"doc {doc_id}: inflated size {len(raw)} != {h}x({w}+1)"
+                    )
+                px_sum = 0
+                for y in range(h):
+                    row = raw[y * (w + 1) : (y + 1) * (w + 1)]
+                    if row[0] != 0:
+                        raise ValueError(f"doc {doc_id}: unsupported filter {row[0]}")
+                    px_sum += sum(row[1:])
             out["doc_id"].append(doc_id)
             out["width"].append(w)
             out["height"].append(h)
