@@ -383,3 +383,71 @@ def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("non_link")
         .alias("decision"),
     )
+
+
+# Convex test polygon on the synthetic grid, counter-clockwise.  Integer
+# vertices -> every half-plane test is an exact integer cross product.
+_POLY = ((20000, 10000), (80000, 20000), (90000, 70000), (50000, 95000), (10000, 60000))
+
+
+def _pip_cross_sql() -> str:
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        (x1, y1), (x2, y2) = _POLY[i], _POLY[(i + 1) % n]
+        terms.append(
+            f"(({x2} - {x1}) * (y - {y1}) - ({y2} - {y1}) * (x - {x1})) >= 0"
+        )
+    return " AND ".join(terms)
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             CAST('0x' || substr(md5('x' || CAST(c_custkey AS VARCHAR)), 1, 5)
+                  AS BIGINT) % {_GEO_MOD} AS x,
+             CAST('0x' || substr(md5('y' || CAST(c_custkey AS VARCHAR)), 1, 5)
+                  AS BIGINT) % {_GEO_MOD} AS y
+      FROM customer
+    )
+    SELECT k, x, y, ({_pip_cross_sql()}) AS inside
+    FROM pts
+    """,
+    doc="POINT-IN-POLYGON containment — the geofencing primitive "
+    "(delivery zones, jurisdiction tagging) done EXACTLY: the convex "
+    "fence is five integer vertices and a point is inside iff every "
+    "edge's 2D cross product (the half-plane test) is non-negative — "
+    "pure integer arithmetic, boundary-inclusive, no epsilon, no "
+    "floating-point orientation errors (the failure mode that makes "
+    "naive float winding tests flicker on near-boundary points).  The "
+    "predicate is ONE generated SQL conjunction shared by both "
+    "engines.  Points are the same md5-synthesized grid as "
+    "join_geo_radius (which answers proximity; this answers "
+    "containment — with geo_morton_rollup that completes the spatial "
+    "trio: near / within / aggregate).  Scale: stateless codegen "
+    "per-row arithmetic, no shuffle; a multi-polygon fence becomes a "
+    "broadcast join against per-polygon edge lists, same test inside.",
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+
+    def axis(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("c_custkey").cast("string")).cast("binary")),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _GEO_MOD
+        )
+
+    pts = c.select(
+        F.col("c_custkey").alias("k"), axis("x").alias("x"), axis("y").alias("y")
+    )
+    return pts.select("k", "x", "y", F.expr(_pip_cross_sql()).alias("inside"))

@@ -1244,3 +1244,113 @@ def text_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         ((F.col("n_copies") > 1) & (F.col("doc_id") != F.col("rep_doc"))).alias("is_dup"),
     )
+
+
+_KN_D = 0.75  # discount — exact in binary, so the arithmetic replays bit-for-bit
+
+
+@register(
+    "text_bigram_kneser_ney",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, i.i AS pos, string_split(lower(text), ' ')[i.i] AS w,
+             string_split(lower(text), ' ')[i.i + 1] AS nxt
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS i) i
+      WHERE string_split(lower(text), ' ')[i.i] <> ''
+    ),
+    bi AS (
+      SELECT w, nxt, CAST(count(*) AS BIGINT) AS cb
+      FROM tok WHERE nxt IS NOT NULL AND nxt <> '' GROUP BY w, nxt
+    ),
+    left_tot AS (SELECT w, CAST(sum(cb) AS BIGINT) AS cw,
+                        CAST(count(*) AS BIGINT) AS n1p_fwd
+                 FROM bi GROUP BY w),
+    cont AS (SELECT nxt, CAST(count(*) AS BIGINT) AS n1p_rev FROM bi GROUP BY nxt),
+    n_bigram_types AS (SELECT CAST(count(*) AS BIGINT) AS nbt FROM bi),
+    top_pairs AS (
+      SELECT w, nxt, cb FROM (
+        SELECT w, nxt, cb,
+               row_number() OVER (ORDER BY cb DESC, w, nxt) AS rn
+        FROM bi
+      ) WHERE rn <= 200
+    )
+    SELECT p.w, p.nxt, p.cb,
+           lt.cw, ct.n1p_rev,
+           CAST(floor((greatest(p.cb - {_KN_D}, 0.0) / lt.cw
+                 + {_KN_D} * lt.n1p_fwd / lt.cw
+                   * (CAST(ct.n1p_rev AS DOUBLE) / t.nbt)) * 1e9 + 0.5) AS BIGINT)
+             AS pkn_x1e9
+    FROM top_pairs p
+    JOIN left_tot lt ON lt.w = p.w
+    JOIN cont ct ON ct.nxt = p.nxt
+    CROSS JOIN n_bigram_types t
+    """,
+    doc="KNESER-NEY SMOOTHED BIGRAM LM — the smoothing that actually "
+    "ships in n-gram LMs (and in LLM-era data work, the scoring basis "
+    "for perplexity filters): absolute discount d=0.75 off every seen "
+    "bigram, with the reclaimed mass backed off to the CONTINUATION "
+    "probability (how many distinct left-contexts a word follows — "
+    "'francisco' is frequent but follows only 'san', so KN correctly "
+    "refuses to predict it in fresh contexts; raw-frequency backoff "
+    "(text_bigram_logprob's add-k) gets this exactly wrong).  "
+    "d=0.75 is EXACT in binary and all counts are integers, so both "
+    "engines replay identical IEEE arithmetic, nano-quantized.  "
+    "Emitted for the top-200 bigrams (deterministic tiebreak).  "
+    "Scale: three count aggregates over the bigram table (all "
+    "partial-agg), one broadcastable scalar; the per-pair formula is "
+    "codegen arithmetic — the same shape at a trillion-token corpus, "
+    "where the bigram table is the big side and everything else is "
+    "dimension-sized.",
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    w_next = W.partitionBy("doc_id").orderBy("pos")
+    tok = toks.select("doc_id", "w", F.lead("w").over(w_next).alias("nxt"))
+    bi = (
+        tok.filter(F.col("nxt").isNotNull() & (F.col("nxt") != ""))
+        .groupBy("w", "nxt")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    left_tot = bi.groupBy("w").agg(
+        F.sum("cb").alias("cw"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = bi.groupBy("nxt").agg(F.count(F.lit(1)).alias("n1p_rev"))
+    nbt = bi.agg(F.count(F.lit(1)).alias("nbt"))
+    top = (
+        bi.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.col("cb").desc(), "w", "nxt"))
+        )
+        .filter(F.col("rn") <= 200)
+        .drop("rn")
+    )
+    return (
+        top.join(left_tot, "w")
+        .join(cont, "nxt")
+        .crossJoin(F.broadcast(nbt))
+        .select(
+            "w",
+            "nxt",
+            "cb",
+            "cw",
+            "n1p_rev",
+            F.floor(
+                (
+                    F.greatest(F.col("cb") - _KN_D, F.lit(0.0)) / F.col("cw")
+                    + _KN_D
+                    * F.col("n1p_fwd")
+                    / F.col("cw")
+                    * (F.col("n1p_rev").cast("double") / F.col("nbt"))
+                )
+                * 1e9
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("pkn_x1e9"),
+        )
+    )

@@ -319,6 +319,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_currency_parse",
     "ts_interval_subtract_sla",
     "elt_delimiter_sniffing",
+    "text_bigram_kneser_ney",
+    "geo_point_in_polygon",
+    "graph_harmonic_centrality",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
