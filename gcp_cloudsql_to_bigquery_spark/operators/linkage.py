@@ -451,3 +451,94 @@ def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("k"), axis("x").alias("x"), axis("y").alias("y")
     )
     return pts.select("k", "x", "y", F.expr(_pip_cross_sql()).alias("inside"))
+
+
+@register(
+    "join_geo_nearest_neighbor",
+    # all-pairs oracle again (join_fuzzy_blocked's discipline): the hash
+    # compare PROVES the 3x3-cell candidate set contains every true
+    # within-radius nearest neighbor, not merely that both engines agree
+    oracle=f"""
+    WITH pts AS (
+      SELECT c_custkey AS k,
+             CAST('0x' || substr(md5('x' || CAST(c_custkey AS VARCHAR)), 1, 5)
+                  AS BIGINT) % {_GEO_MOD} AS x,
+             CAST('0x' || substr(md5('y' || CAST(c_custkey AS VARCHAR)), 1, 5)
+                  AS BIGINT) % {_GEO_MOD} AS y
+      FROM customer
+    ),
+    pairs AS (
+      SELECT a.k AS k, b.k AS nk,
+             (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      FROM pts a JOIN pts b ON a.k <> b.k
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= {_GEO_R2}
+    ),
+    best AS (
+      SELECT k, nk, d2,
+             row_number() OVER (PARTITION BY k ORDER BY d2, nk) AS rn
+      FROM pairs
+    )
+    SELECT k, nk AS nearest_k, d2 AS dist_sq FROM best WHERE rn = 1
+    """,
+    doc="NEAREST-NEIGHBOR SPATIAL JOIN (radius-bounded argmin) — 'who is "
+    "each point's closest neighbor within 700 units': candidates come "
+    "from the same 3x3 neighboring-grid-cell equi-join as "
+    "join_geo_radius (cell size >= radius guarantees the true nearest-"
+    "within-radius is always a candidate — the lossless-blocking "
+    "invariant), then a per-point argmin with deterministic (d2, key) "
+    "tiebreak picks the winner.  The ORACLE is deliberately ALL-PAIRS, "
+    "so the gate proves the blocked candidate set achieves full recall "
+    "on this corpus, not just engine agreement.  Distances stay "
+    "SQUARED integers — no sqrt, no float.  Scale: shuffle is the "
+    "9-cell candidate equi-join; argmin is a map-side-combinable "
+    "min-struct per point, never a global sort.",
+)
+def join_geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+
+    def axis(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("c_custkey").cast("string")).cast("binary")),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _GEO_MOD
+        )
+
+    pts = c.select(
+        F.col("c_custkey").alias("k"), axis("x").alias("x"), axis("y").alias("y")
+    ).localCheckpoint()
+    cells = pts.select(
+        "k", "x", "y",
+        F.expr(f"x div {_GEO_R}").alias("cx"),
+        F.expr(f"y div {_GEO_R}").alias("cy"),
+    )
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("bigint").alias("ox"),
+        (F.col("id") / 3).cast("bigint").alias("oy_raw"),
+    ).select("ox", (F.col("oy_raw") - 1).alias("oy"))
+    probe = cells.crossJoin(F.broadcast(offs)).select(
+        "k", "x", "y",
+        (F.col("cx") + F.col("ox")).alias("ncx"),
+        (F.col("cy") + F.col("oy")).alias("ncy"),
+    )
+    targets = cells.select(
+        F.col("k").alias("nk"), F.col("x").alias("tx"), F.col("y").alias("ty"),
+        F.col("cx").alias("ncx"), F.col("cy").alias("ncy"),
+    )
+    d2 = (F.col("x") - F.col("tx")) ** 2 + (F.col("y") - F.col("ty")) ** 2
+    cand = (
+        probe.join(targets, ["ncx", "ncy"])
+        .filter(F.col("k") != F.col("nk"))
+        .select("k", "nk", d2.cast("bigint").alias("d2"))
+        .filter(F.col("d2") <= _GEO_R2)
+    )
+    best = cand.groupBy("k").agg(
+        F.min(F.struct("d2", "nk")).alias("b")
+    )
+    return best.select("k", F.col("b.nk").alias("nearest_k"), F.col("b.d2").alias("dist_sq"))

@@ -701,3 +701,58 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("window.start").alias("win_start"), "event_type", "n", "id_sum"
     )
+
+
+@register(
+    "stream_chained_stateful_aggs",
+    oracle="""
+    WITH mx AS (
+      SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL '1 hour' AS wm FROM events
+    ),
+    hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS h,
+             event_type, count(*) AS n
+      FROM events GROUP BY h, event_type
+    )
+    SELECT time_bucket(INTERVAL '6 hours', h) AS win_start,
+           event_type,
+           CAST(max(n) AS BIGINT)   AS peak_hourly,
+           CAST(count(*) AS BIGINT) AS n_hours
+    FROM hourly
+    GROUP BY win_start, event_type
+    HAVING win_start + INTERVAL '6 hours' <= (SELECT wm FROM mx)
+    """,
+    doc="CHAINED STATEFUL STREAMING AGGREGATIONS (Spark 3.4+ multi-"
+    "stateful pipeline): hourly tumbling counts feed a SECOND windowed "
+    "aggregate (6 h peak-hourly-rate per type) inside ONE StreamingQuery "
+    "— the two-level rollup (minute->hour->day) that previously forced "
+    "either two jobs with an intermediate sink or a batch re-read.  The "
+    "downstream window groups on window_time() of the upstream window "
+    "(the event-time column a finalized window carries), and both "
+    "operators share the 1 h watermark, so a 6 h window finalizes "
+    "exactly when its last hourly input does — the oracle states that "
+    "frontier in its HAVING.  Scale: upstream state is hours x types, "
+    "downstream 6h-buckets x types — both bounded by the watermark "
+    "horizon; the chain saves a full sink round-trip and re-shuffle at "
+    "every level of a metrics rollup pyramid.",
+)
+def stream_chained_stateful_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    six = (
+        hourly.groupBy(
+            F.window(F.window_time("window"), "6 hours"), "event_type"
+        )
+        .agg(F.max("n").alias("peak_hourly"), F.count(F.lit(1)).alias("n_hours"))
+    )
+    out = run_to_completion(six, spark, output_mode="append")
+    return out.select(
+        F.col("window.start").alias("win_start"),
+        "event_type",
+        "peak_hourly",
+        "n_hours",
+    )

@@ -322,6 +322,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "text_bigram_kneser_ney",
     "geo_point_in_polygon",
     "graph_harmonic_centrality",
+    "stream_chained_stateful_aggs",
+    "join_geo_nearest_neighbor",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
