@@ -324,6 +324,10 @@ _GATE_FRONT: tuple[str, ...] = (
     "graph_harmonic_centrality",
     "stream_chained_stateful_aggs",
     "join_geo_nearest_neighbor",
+    "multimodal_bmff_box_walk",
+    # polls a processingTime trigger to drain (~17 s): queue tail with the
+    # other slow streaming/graph entries
+    "src_python_datasource_stream",
     # bfs is CC-cost-class (jaccard edge build + 6 frontier rounds):
     # queue with the other expensive graph entries; hits is 6 chained
     # half-round jobs (~10 s) — same late-queue policy
