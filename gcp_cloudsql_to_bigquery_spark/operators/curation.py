@@ -1101,3 +1101,78 @@ def curation_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("source", "n_docs", "p05", "p95", "sum_raw", "sum_clipped", "n_clipped")
     )
+
+
+_CAL_BUCKETS = 2048  # must match text._CLS_BUCKETS
+
+
+@register(
+    "curation_calibration_curve",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             CAST(list_sum(list_transform(
+                 string_split(lower(text), ' '),
+                 t -> (CAST('0x' || substr(md5(t), 1, 4) AS INTEGER)
+                       % {_CAL_BUCKETS}) % 13 - 6)) AS BIGINT) AS score
+      FROM documents WHERE length(text) > 0
+    ),
+    binned AS (
+      SELECT CAST(ntile(10) OVER (ORDER BY (score * 10000) // n_tokens, doc_id)
+                  AS BIGINT) AS bin,
+             (score * 10000) // n_tokens AS mw,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM scored
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT)                       AS n,
+           CAST(min(mw) AS BIGINT)                        AS score_lo_x1e4,
+           CAST(max(mw) AS BIGINT)                        AS score_hi_x1e4,
+           CAST(sum(pos) AS BIGINT)                       AS n_pos,
+           CAST(sum(pos) * 1000000 // count(*) AS BIGINT) AS pos_rate_ppm
+    FROM binned GROUP BY bin
+    """,
+    doc="CLASSIFIER CALIBRATION CURVE (reliability diagram) for the "
+    "hashed quality classifier: score deciles (equi-depth, unique-key "
+    "tiebreak) vs the OBSERVED positive rate in each decile — the "
+    "diagnostic that separates 'ranks well' (monotone curve) from "
+    "'probabilities mean something' (curve near the diagonal), which "
+    "decides whether a curation pipeline can threshold the classifier "
+    "directly or must recalibrate first.  Proxy label = lang='en' "
+    "(deterministic); scores are the text_hashed_classifier_score "
+    "per-token-mean in exact 1e-4 units.  All integer: decile "
+    "boundaries by rank, rates in exact ppm.  Scale: score is codegen "
+    "per-row (no vocabulary); the decile sort is the agreed equi-depth "
+    "cost (range-partitioned at scale); everything after is a bounded "
+    "10-row aggregate.",
+)
+def curation_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    score = F.expr(
+        f"""CAST(aggregate(transform(split(lower(text), ' '),
+              t -> (CAST(conv(substr(md5(CAST(t AS BINARY)), 1, 4), 16, 10) AS INT)
+                    % {_CAL_BUCKETS}) % 13 - 6),
+            0L, (acc, x) -> acc + x) AS BIGINT)"""
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        score.alias("score"),
+    )
+    binned = scored.select(
+        F.ntile(10)
+        .over(W.orderBy(F.expr("(score * 10000) div n_tokens"), "doc_id"))
+        .cast("bigint")
+        .alias("bin"),
+        F.expr("(score * 10000) div n_tokens").alias("mw"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("mw").alias("score_lo_x1e4"),
+        F.max("mw").alias("score_hi_x1e4"),
+        F.sum("pos").alias("n_pos"),
+        F.expr("sum(pos) * 1000000 div count(*)").alias("pos_rate_ppm"),
+    )

@@ -1118,3 +1118,188 @@ def dq_null_pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_present"),
         )
     )
+
+
+_TRAVEL_V2 = 25  # squared speed threshold: grid-units² per second²
+
+
+@register(
+    "sec_impossible_travel",
+    oracle=f"""
+    WITH located AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(CAST('0x' || substr(md5('gx:' || CAST(event_id AS VARCHAR)), 1, 5)
+                       AS BIGINT) AS BIGINT) % 100000 AS x,
+             CAST(CAST('0x' || substr(md5('gy:' || CAST(event_id AS VARCHAR)), 1, 5)
+                       AS BIGINT) AS BIGINT) % 100000 AS y
+      FROM events
+    ),
+    hops AS (
+      SELECT user_id, event_id, ts, x, y,
+             lag(ts) OVER w AS pts, lag(x) OVER w AS px, lag(y) OVER w AS py
+      FROM located
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    flagged AS (
+      SELECT user_id, event_id,
+             (x - px) * (x - px) + (y - py) * (y - py) AS d2,
+             epoch_us(ts) - epoch_us(pts) AS dt_us,
+             CAST((x - px) * (x - px) + (y - py) * (y - py) AS HUGEINT)
+               * 1000000 * 1000000
+               > CAST({_TRAVEL_V2} AS HUGEINT)
+                 * CAST(epoch_us(ts) - epoch_us(pts) AS HUGEINT)
+                 * CAST(epoch_us(ts) - epoch_us(pts) AS HUGEINT) AS impossible
+      FROM hops WHERE pts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                          AS n_hops,
+           CAST(count(CASE WHEN impossible THEN 1 END) AS BIGINT) AS n_impossible,
+           CAST(max(CASE WHEN impossible THEN d2 END) AS BIGINT)  AS worst_d2
+    FROM flagged GROUP BY user_id
+    """,
+    doc="IMPOSSIBLE-TRAVEL DETECTION — the account-takeover heuristic "
+    "every auth-log pipeline runs: consecutive events of one user whose "
+    "implied speed exceeds a physical bound are flagged.  The speed "
+    "test is fully SQUARED — dist² · 1e12 > v² · dt_us² — so there is "
+    "no sqrt, no division, no float anywhere: exact integer compare "
+    "even at microsecond timestamps (the d²·10¹² term peaks ~2·10²² … "
+    "kept in range because DuckDB widens to HUGEINT and Spark's long "
+    "stays below overflow for this grid — the bound is asserted by the "
+    "oracle equality itself).  Locations are md5-synthesized per event "
+    "(the fixture has no geo column).  Complements sec_k_anonymity "
+    "(static privacy) with a behavioral-security analytic.  Scale: one "
+    "user-keyed window pass + bounded per-user aggregate.",
+)
+def sec_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+
+    def axis(tag: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(tag), F.col("event_id").cast("string")).cast("binary")),
+                    1,
+                    5,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100000
+        )
+
+    located = ev.select(
+        "user_id", "event_id", "ts", axis("gx:").alias("x"), axis("gy:").alias("y")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hops = located.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("tus"),
+        "x",
+        "y",
+        F.unix_micros(F.lag("ts").over(w)).alias("ptus"),
+        F.lag("x").over(w).alias("px"),
+        F.lag("y").over(w).alias("py"),
+    ).filter(F.col("ptus").isNotNull())
+    d2 = (F.col("x") - F.col("px")) * (F.col("x") - F.col("px")) + (
+        F.col("y") - F.col("py")
+    ) * (F.col("y") - F.col("py"))
+    dt = F.col("tus") - F.col("ptus")
+    flagged = hops.select(
+        "user_id",
+        d2.alias("d2"),
+        (
+            d2.cast("decimal(38,0)") * 1000000 * 1000000
+            > F.lit(_TRAVEL_V2).cast("decimal(38,0)") * dt.cast("decimal(38,0)") * dt.cast("decimal(38,0)")
+        ).alias("impossible"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hops"),
+        F.count(F.when(F.col("impossible"), 1)).alias("n_impossible"),
+        F.max(F.when(F.col("impossible"), F.col("d2"))).alias("worst_d2"),
+    )
+
+
+@register(
+    "dq_population_stability",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             o_orderdate < TIMESTAMP '1995-01-01' AS is_ref
+      FROM orders
+    ),
+    rng AS (SELECT min(cents) AS lo, max(cents) AS hi FROM v),
+    binned AS (
+      SELECT least(9, (cents - lo) * 10 // (hi - lo + 1)) AS bin, is_ref
+      FROM v CROSS JOIN rng
+    ),
+    counts AS (
+      SELECT bin,
+             count(CASE WHEN is_ref THEN 1 END)     AS n_ref,
+             count(CASE WHEN NOT is_ref THEN 1 END) AS n_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts),
+    terms AS (
+      SELECT bin, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+             CAST(floor((CAST(n_ref + 1 AS DOUBLE) / (tr + 10)
+                         - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+                        * ln((CAST(n_ref + 1 AS DOUBLE) / (tr + 10))
+                             / (CAST(n_cur + 1 AS DOUBLE) / (tc + 10)))
+                        * 1e9 + 0.5) AS BIGINT) AS term_x1e9
+      FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_ref, n_cur, term_x1e9,
+           CAST(sum(term_x1e9) OVER () AS BIGINT) AS psi_total_x1e9
+    FROM terms
+    """,
+    doc="POPULATION STABILITY INDEX — the model-monitoring drift metric "
+    "(credit-risk regulation made it canon; >0.2 = significant shift): "
+    "order values split into a reference era (pre-1995) and a current "
+    "era, bucketed into 10 fixed equi-width bins over the global range, "
+    "PSI = sum over bins of (p_i - q_i)·ln(p_i/q_i) with add-one "
+    "smoothing so empty bins stay finite.  Each bin's ln-term is "
+    "nano-quantized to an INTEGER before the total (the log-space "
+    "summation discipline of analytics_survival_km — integer sums are "
+    "order-independent, so one libm call per bin is the entire float "
+    "surface).  Complements agg_ks_two_sample: KS tests ANY difference "
+    "(supremum), PSI quantifies HOW MUCH mass moved per region, which "
+    "is what alert thresholds are written against.  Scale: one "
+    "partial-agg pass to bin counts; the PSI arithmetic runs on 10 "
+    "rows.",
+)
+def dq_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    v = o.select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp")).alias("is_ref"),
+    )
+    rng = v.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    binned = v.crossJoin(F.broadcast(rng)).select(
+        F.least(F.lit(9), F.expr("(cents - lo) * 10 div (hi - lo + 1)")).alias("bin"),
+        "is_ref",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_cur"),
+    )
+    tot = counts.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("tr") + 10)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("tc") + 10)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        "n_ref",
+        "n_cur",
+        F.floor((p - q) * F.log(p / q) * 1e9 + 0.5).cast("bigint").alias("term_x1e9"),
+    )
+    return terms.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "term_x1e9",
+        F.sum("term_x1e9").over(W.partitionBy()).alias("psi_total_x1e9"),
+    )

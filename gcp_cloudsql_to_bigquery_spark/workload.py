@@ -325,6 +325,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "stream_chained_stateful_aggs",
     "join_geo_nearest_neighbor",
     "multimodal_bmff_box_walk",
+    "curation_calibration_curve",
+    "sec_impossible_travel",
+    "dq_population_stability",
     # polls a processingTime trigger to drain (~17 s): queue tail with the
     # other slow streaming/graph entries
     "src_python_datasource_stream",
