@@ -1569,3 +1569,74 @@ def analytics_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("total_us div n_visits").alias("mean_us"),
         )
     )
+
+
+@register(
+    "analytics_fifo_allocation",
+    oracle="""
+    WITH lots AS (
+      SELECT l_partkey AS pk, l_orderkey AS lot_id,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(l_shipdate AS DATE) AS d
+      FROM lineitem WHERE l_partkey % 40 = 0
+    ),
+    demand AS (SELECT pk, CAST(count(*) * 15 AS BIGINT) AS dem
+               FROM lots GROUP BY pk),
+    run AS (
+      SELECT l.pk, l.lot_id, l.qty, l.d, dm.dem,
+             coalesce(sum(l.qty) OVER (PARTITION BY l.pk ORDER BY l.d, l.lot_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      FROM lots l JOIN demand dm ON dm.pk = l.pk
+    )
+    SELECT pk, lot_id, d AS lot_date, qty,
+           CAST(least(qty, greatest(dem - prior, 0)) AS BIGINT) AS allocated,
+           CAST(qty - least(qty, greatest(dem - prior, 0)) AS BIGINT) AS remaining,
+           (prior < dem AND prior + qty >= dem) AS is_boundary_lot
+    FROM run
+    """,
+    doc="FIFO LOT ALLOCATION — the inventory/cost-accounting kernel "
+    "(consume the OLDEST stock first) that naive row-by-row logic "
+    "serializes and this expresses as ONE prefix sum: a part's demand "
+    "is satisfied lot-by-lot in (ship-date, lot) order, and each lot's "
+    "allocation is clamp(demand - prior_cumulative, 0, qty) — the "
+    "closed form that turns sequential matching into a window "
+    "expression (the same prefix-sum-instead-of-loop move as "
+    "curation_pack_sequences).  The boundary lot (where demand "
+    "exhausts) is flagged; everything is integer quantities.  Demand "
+    "is deterministic (15 units x lot count per part).  Scale: one "
+    "part-keyed window over the lot table + a broadcast demand join — "
+    "FIFO across a billion lots is exactly this plan; the imperative "
+    "version cannot shard.",
+)
+def analytics_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 40 == 0)
+    lots = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_orderkey").alias("lot_id"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.col("l_shipdate").cast("date").alias("d"),
+    )
+    demand = lots.groupBy("pk").agg((F.count(F.lit(1)) * 15).alias("dem"))
+    w = W.partitionBy("pk").orderBy("d", "lot_id").rowsBetween(W.unboundedPreceding, -1)
+    run = lots.join(F.broadcast(demand), "pk").select(
+        "pk",
+        "lot_id",
+        "qty",
+        "d",
+        "dem",
+        F.coalesce(F.sum("qty").over(w), F.lit(0)).alias("prior"),
+    )
+    alloc = F.least(F.col("qty"), F.greatest(F.col("dem") - F.col("prior"), F.lit(0).cast("bigint")))
+    return run.select(
+        "pk",
+        "lot_id",
+        F.col("d").alias("lot_date"),
+        "qty",
+        alloc.alias("allocated"),
+        (F.col("qty") - alloc).alias("remaining"),
+        ((F.col("prior") < F.col("dem")) & (F.col("prior") + F.col("qty") >= F.col("dem"))).alias(
+            "is_boundary_lot"
+        ),
+    )

@@ -1303,3 +1303,135 @@ def dq_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term_x1e9",
         F.sum("term_x1e9").over(W.partitionBy()).alias("psi_total_x1e9"),
     )
+
+
+@register(
+    "sec_tamper_evident_log",
+    oracle="""
+    WITH entries AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, o_orderkey AS ok,
+             md5('tx:' || CAST(o_orderkey AS VARCHAR) || ':'
+                 || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR))
+               AS dig
+      FROM orders
+    ),
+    chained AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_entries,
+             list(dig ORDER BY ok)[1] AS chain_head,
+             list_reduce(list(dig ORDER BY ok), (a, b) -> md5(a || b)) AS chain_hash
+      FROM entries GROUP BY day
+    )
+    SELECT day, n_entries, chain_head, chain_hash FROM chained
+    """,
+    doc="TAMPER-EVIDENT AUDIT LOG — per-day HASH CHAINS over the order "
+    "ledger (the append-only-log integrity pattern behind QLDB/"
+    "certificate-transparency designs): each entry's digest folds into "
+    "a left-chain md5(chain || next), so modifying, dropping or "
+    "reordering ANY historical entry changes that day's chain head-to-"
+    "tail — dq_reconciliation_rowhash detects that two copies differ, "
+    "this detects that ONE copy was edited.  The fold is a higher-order "
+    "array reduce on BOTH engines (aggregate() / list_reduce()) over "
+    "an order-key-sorted digest array — sequential-looking, but "
+    "per-day chains parallelize across days (the anchoring trick "
+    "production ledgers use: chain within block, merkle across "
+    "blocks).  Scale: one day-keyed aggregate; chains are bounded by "
+    "the busiest day, and verification recomputes only the suspect "
+    "day's chain.",
+)
+def sec_tamper_evident_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    entries = o.select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_orderkey").alias("ok"),
+        F.md5(
+            F.concat(
+                F.lit("tx:"),
+                F.col("o_orderkey").cast("string"),
+                F.lit(":"),
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").cast("string"),
+            ).cast("binary")
+        ).alias("dig"),
+    )
+    per_day = entries.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ok", "dig"))), lambda s: s["dig"]
+        ).alias("digs"),
+    )
+    return per_day.select(
+        "day",
+        "n_entries",
+        F.element_at("digs", 1).alias("chain_head"),
+        F.expr(
+            "aggregate(slice(digs, 2, size(digs) - 1), element_at(digs, 1),"
+            " (acc, x) -> md5(CAST(concat(acc, x) AS BINARY)))"
+        ).alias("chain_hash"),
+    )
+
+
+@register(
+    "dq_duplicate_payments",
+    oracle="""
+    WITH tx AS (
+      SELECT o_orderkey AS ok, o_custkey AS ck,
+             CAST(floor(o_totalprice / 100) AS BIGINT) AS band,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    )
+    SELECT a.ck AS custkey, a.ok AS order_a, b.ok AS order_b,
+           a.band, a.cents AS cents_a, b.cents AS cents_b,
+           CAST(date_diff('day', a.d, b.d) AS BIGINT) AS days_apart
+    FROM tx a JOIN tx b
+      ON a.ck = b.ck AND a.band = b.band AND a.ok < b.ok
+     AND abs(date_diff('day', a.d, b.d)) <= 365
+    """,
+    doc="DUPLICATE-PAYMENT CONTROL — the accounts-payable audit every "
+    "finance close runs: two orders by the SAME customer in the SAME "
+    "$100 amount band within a year are double-payment suspects "
+    "(auditors band amounts because re-keyed invoices rarely match to "
+    "the cent — tax or fees shift them).  The candidate join is EQUI "
+    "on (customer, band) — the high-selectivity composite key that "
+    "makes this tractable — with the date-proximity window applied as "
+    "a residual filter inside the bounded per-key group (never a "
+    "date-range join over the whole ledger).  Exact integer cents "
+    "emitted for both sides of every suspect pair; pairs "
+    "canonicalized a.ok < b.ok.  "
+    "Complements dq_reconciliation_rowhash (copies diverge) and "
+    "sec_tamper_evident_log (history edited) with the business-level "
+    "duplicate control.  Scale: one shuffle on the composite key; "
+    "quadratic work bounded by the largest (customer, amount) "
+    "equivalence class, which real ledgers keep tiny.",
+)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    tx = o.select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.floor(F.col("o_totalprice") / 100).cast("bigint").alias("band"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    b = tx.select(
+        F.col("ok").alias("ok2"), F.col("ck").alias("ck2"),
+        F.col("band").alias("band2"), F.col("cents").alias("cents2"),
+        F.col("d").alias("d2"),
+    )
+    return (
+        tx.join(
+            b,
+            (F.col("ck2") == F.col("ck"))
+            & (F.col("band2") == F.col("band"))
+            & (F.col("ok") < F.col("ok2")),
+        )
+        .filter(F.abs(F.datediff("d2", "d")) <= 365)
+        .select(
+            F.col("ck").alias("custkey"),
+            F.col("ok").alias("order_a"),
+            F.col("ok2").alias("order_b"),
+            "band",
+            F.col("cents").alias("cents_a"),
+            F.col("cents2").alias("cents_b"),
+            F.datediff("d2", "d").cast("bigint").alias("days_apart"),
+        )
+    )

@@ -328,6 +328,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "curation_calibration_curve",
     "sec_impossible_travel",
     "dq_population_stability",
+    "analytics_fifo_allocation",
+    "sec_tamper_evident_log",
+    "dq_duplicate_payments",
     # polls a processingTime trigger to drain (~17 s): queue tail with the
     # other slow streaming/graph entries
     "src_python_datasource_stream",
