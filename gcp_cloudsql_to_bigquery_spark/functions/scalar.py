@@ -1155,3 +1155,89 @@ def fn_currency_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.alias("parsed_cents"),
         (parsed == F.col("cents")).alias("roundtrip_ok"),
     )
+
+
+_HOLIDAYS = ("1995-12-25", "1996-01-01", "1996-07-04")  # fixture holiday calendar
+_BIZ_N = 10
+
+
+@register(
+    "fn_business_days",
+    oracle=f"""
+    WITH cal AS (
+      SELECT CAST(g AS DATE) AS d,
+             dayofweek(CAST(g AS DATE)) NOT IN (0, 6)
+               AND CAST(g AS DATE) NOT IN (
+                 {", ".join(f"DATE '{h}'" for h in _HOLIDAYS)}) AS is_biz
+      FROM unnest(generate_series(TIMESTAMP '1995-06-01',
+                                  TIMESTAMP '1996-12-31',
+                                  INTERVAL 1 DAY)) AS s(g)
+    ),
+    biz AS (
+      SELECT d, sum(CASE WHEN is_biz THEN 1 ELSE 0 END)
+                   OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS bix
+      FROM cal
+    ),
+    o AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-06-01'
+        AND o_orderdate < TIMESTAMP '1996-06-01'
+    )
+    SELECT o.o_orderkey, o.od AS order_date,
+           (SELECT min(b2.d) FROM biz b2
+            WHERE b2.bix = b1.bix + {_BIZ_N} AND b2.d > o.od) AS due_date
+    FROM o JOIN biz b1 ON b1.d = o.od
+    """,
+    doc="BUSINESS-DAY ARITHMETIC — 'due 10 business days after order', "
+    "skipping weekends AND a holiday calendar: the SLA/settlement-date "
+    "computation every ops warehouse needs and no date_add can do.  "
+    "The declarative form: a calendar spine carries a running BUSINESS-"
+    "DAY INDEX (prefix sum of is-business-day), and adding N business "
+    "days is an index lookup — bix + N — instead of the iterate-and-"
+    "skip loop; holidays are one more predicate on the spine, not a "
+    "code path.  Exact calendar math end-to-end.  Scale: the spine is "
+    "calendar-bounded and broadcast; the fact table joins on its order "
+    "date and reads the answer — no per-row iteration anywhere.",
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-06-01").cast("date"),
+                F.lit("1996-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    is_biz = (~F.dayofweek("d").isin(1, 7)) & (
+        ~F.col("d").isin(*[F.lit(h).cast("date") for h in _HOLIDAYS])
+    )
+    biz = cal.select(
+        "d",
+        F.sum(F.when(is_biz, 1).otherwise(0))
+        .over(W.orderBy("d").rowsBetween(W.unboundedPreceding, 0))
+        .alias("bix"),
+    ).localCheckpoint()
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-06-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp"))
+        )
+        .select("o_orderkey", F.col("o_orderdate").cast("date").alias("od"))
+    )
+    # due date = first calendar day strictly after od whose business index
+    # reaches bix(od) + N: min-aggregate per target index, broadcast back
+    due = (
+        biz.alias("b2")
+        .join(F.broadcast(biz.alias("b1")), F.col("b2.d") > F.col("b1.d"))
+        .filter(F.col("b2.bix") == F.col("b1.bix") + _BIZ_N)
+        .groupBy(F.col("b1.d").alias("od"))
+        .agg(F.min("b2.d").alias("due_date"))
+    )
+    return o.join(F.broadcast(due), "od").select(
+        "o_orderkey", F.col("od").alias("order_date"), "due_date"
+    )

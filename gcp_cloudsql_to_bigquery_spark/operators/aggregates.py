@@ -1789,3 +1789,93 @@ def agg_hdr_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+@register(
+    "agg_skew_kurtosis_exact",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x
+      FROM lineitem
+    ),
+    s AS (
+      SELECT flag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38, 0))) AS DECIMAL(38, 0)) AS s1,
+             CAST(sum(CAST(x AS DECIMAL(38, 0)) * x) AS DECIMAL(38, 0)) AS s2,
+             CAST(sum(CAST(x AS DECIMAL(38, 0)) * x * x) AS DECIMAL(38, 0)) AS s3,
+             CAST(sum(CAST(x AS DECIMAL(38, 0)) * x * x * x) AS DECIMAL(38, 0)) AS s4
+      FROM v GROUP BY flag
+    ),
+    m AS (
+      SELECT flag, n,
+             CAST(n AS DOUBLE)  AS nd,
+             CAST(s1 AS DOUBLE) AS d1, CAST(s2 AS DOUBLE) AS d2,
+             CAST(s3 AS DOUBLE) AS d3, CAST(s4 AS DOUBLE) AS d4
+      FROM s
+    ),
+    c AS (
+      SELECT flag, n, nd,
+             d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+             d3 / nd - 3.0 * (d1 / nd) * (d2 / nd) + 2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+             d4 / nd - 4.0 * (d1 / nd) * (d3 / nd)
+               + 6.0 * (d1 / nd) * (d1 / nd) * (d2 / nd)
+               - 3.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m4
+      FROM m
+    )
+    SELECT flag, n,
+           CAST(floor(m3 / (m2 * sqrt(m2)) * 1e9 + 0.5) AS BIGINT) AS skew_x1e9,
+           CAST(floor((m4 / (m2 * m2) - 3.0) * 1e9 + 0.5) AS BIGINT) AS kurt_x1e9
+    FROM c
+    """,
+    doc="EXACT SKEWNESS & EXCESS KURTOSIS per return flag — the two "
+    "higher moments F.skewness/F.kurtosis compute with order-DEPENDENT "
+    "float accumulation, done here the agg_correlation_matrix way: "
+    "power sums S1..S4 accumulate in DECIMAL(38,0) over integer cents "
+    "(EXACT and order-independent — x^4 at 10^7 cents needs ~10^28, "
+    "far past int64, inside DECIMAL38), central moments come from the "
+    "closed-form binomial expansion on the 5-number summary, and the "
+    "only float ops are a fixed expression over per-group scalars — "
+    "identical on both engines, nano-quantized.  Distribution-shape "
+    "monitoring (drift in tails that mean/variance miss) is the "
+    "use case; pairs with dq_population_stability.  Scale: one "
+    "partial-agg pass (5 sums per group), formula on the 3-row "
+    "aggregate.",
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    s = v.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("s1"),
+        F.sum(xd * F.col("x")).cast("decimal(38,0)").alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s3"),
+        F.sum(xd * F.col("x") * F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s4"),
+    )
+    m = s.select(
+        "flag",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("s1").cast("double").alias("d1"),
+        F.col("s2").cast("double").alias("d2"),
+        F.col("s3").cast("double").alias("d3"),
+        F.col("s4").cast("double").alias("d4"),
+    )
+    mean = F.col("d1") / F.col("nd")
+    m2 = F.col("d2") / F.col("nd") - mean * mean
+    m3 = F.col("d3") / F.col("nd") - 3.0 * mean * (F.col("d2") / F.col("nd")) + 2.0 * mean * mean * mean
+    m4 = (
+        F.col("d4") / F.col("nd")
+        - 4.0 * mean * (F.col("d3") / F.col("nd"))
+        + 6.0 * mean * mean * (F.col("d2") / F.col("nd"))
+        - 3.0 * mean * mean * mean * mean
+    )
+    return m.select(
+        "flag",
+        "n",
+        F.floor(m3 / (m2 * F.sqrt(m2)) * 1e9 + 0.5).cast("bigint").alias("skew_x1e9"),
+        F.floor((m4 / (m2 * m2) - 3.0) * 1e9 + 0.5).cast("bigint").alias("kurt_x1e9"),
+    )

@@ -1342,3 +1342,67 @@ def ts_interval_subtract_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("e") - F.col("s") - F.col("masked")).alias("effective_us"),
         F.expr("(sum(e - s) - sum(masked)) * 1000000 div sum(e - s)").alias("sla_ppm"),
     )
+
+
+@register(
+    "ts_forecast_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, d
+    ),
+    lagged AS (
+      SELECT event_type, d, y,
+             lag(y, 7) OVER w AS y7,
+             lag(y, 1) OVER w AS y1
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    scored AS (
+      SELECT event_type, abs(y - y7) AS e_model, abs(y - y1) AS e_naive
+      FROM lagged WHERE y7 IS NOT NULL AND y1 IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)       AS n_scored,
+           CAST(sum(e_model) AS BIGINT)   AS sum_abs_err_seasonal,
+           CAST(sum(e_naive) AS BIGINT)   AS sum_abs_err_naive,
+           CAST(sum(e_model) * 1000000 // sum(e_naive) AS BIGINT) AS mase_ppm
+    FROM scored GROUP BY event_type
+    """,
+    doc="FORECAST BACKTEST with MASE (mean absolute SCALED error, "
+    "Hyndman's scale-free accuracy metric): the seasonal-naive model "
+    "(predict last week's same weekday) is scored against the one-step "
+    "naive baseline over per-type daily counts, and their error RATIO "
+    "in exact ppm is the verdict — MASE < 1e6 means the weekly-"
+    "seasonality model beats naive persistence, the go/no-go check "
+    "run before any fancier model (ts_holt_linear, ts_ewma) earns a "
+    "slot.  Absolute errors of integer counts are integers; the ratio "
+    "is integer division — the entire metric is float-free, unlike "
+    "MAPE (divides by y, explodes at zeros) or RMSE (units-bound).  "
+    "Scale: one (type, day) partial agg, one window pass over the "
+    "calendar-bounded daily table, bounded output.",
+)
+def ts_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 1).over(w).alias("y1"),
+    ).filter(F.col("y7").isNotNull() & F.col("y1").isNotNull())
+    scored = lagged.select(
+        "event_type",
+        F.abs(F.col("y") - F.col("y7")).alias("e_model"),
+        F.abs(F.col("y") - F.col("y1")).alias("e_naive"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("e_model").alias("sum_abs_err_seasonal"),
+        F.sum("e_naive").alias("sum_abs_err_naive"),
+        F.expr("sum(e_model) * 1000000 div sum(e_naive)").alias("mase_ppm"),
+    )

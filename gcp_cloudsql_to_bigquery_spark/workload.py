@@ -331,6 +331,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "analytics_fifo_allocation",
     "sec_tamper_evident_log",
     "dq_duplicate_payments",
+    "fn_business_days",
+    "agg_skew_kurtosis_exact",
+    "ts_forecast_mase",
     # polls a processingTime trigger to drain (~17 s): queue tail with the
     # other slow streaming/graph entries
     "src_python_datasource_stream",
