@@ -1640,3 +1640,68 @@ def analytics_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_boundary_lot"
         ),
     )
+
+
+@register(
+    "analytics_ab_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN CAST('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    counts AS (
+      SELECT count(CASE WHEN arm = 'control' THEN 1 END)   AS n_c,
+             count(CASE WHEN arm = 'treatment' THEN 1 END) AS n_t
+      FROM assigned
+    )
+    SELECT CAST(n_c AS BIGINT) AS n_control,
+           CAST(n_t AS BIGINT) AS n_treatment,
+           CAST(floor(CAST((n_c - n_t) * (n_c - n_t) AS DOUBLE) / (n_c + n_t)
+                      * 1e6 + 0.5) AS BIGINT) AS chi2_x1e6,
+           CAST((n_c - n_t) * (n_c - n_t) AS DOUBLE) / (n_c + n_t) > 10.828
+             AS srm_detected
+    FROM counts
+    """,
+    doc="SAMPLE-RATIO-MISMATCH (SRM) GUARDRAIL — the first check every "
+    "A/B platform runs before reading any metric: users hash into "
+    "50/50 arms, and the observed split is chi-square-tested against "
+    "the design ratio (for two equal cells the statistic collapses to "
+    "(n_c - n_t)^2 / N — one exact-integer numerator, one division); "
+    "crossing the p<0.001 critical value (10.828) flags a broken "
+    "randomizer or differential logging loss, which silently biases "
+    "every downstream metric (analytics_wilson_ci, agg_ab_ttest "
+    "consume the arms this guards).  Assignment is the md5-parity "
+    "deterministic bucketing real platforms use — replayable, "
+    "stateless, uniform.  Scale: distinct + one two-cell aggregate; "
+    "the test runs on two numbers regardless of corpus size.",
+)
+def analytics_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    arm = F.when(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    counts = users.select(arm.alias("arm")).agg(
+        F.count(F.when(F.col("arm") == "control", 1)).alias("n_c"),
+        F.count(F.when(F.col("arm") == "treatment", 1)).alias("n_t"),
+    )
+    chi2 = ((F.col("n_c") - F.col("n_t")) * (F.col("n_c") - F.col("n_t"))).cast(
+        "double"
+    ) / (F.col("n_c") + F.col("n_t"))
+    return counts.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.floor(chi2 * 1e6 + 0.5).cast("bigint").alias("chi2_x1e6"),
+        (chi2 > 10.828).alias("srm_detected"),
+    )

@@ -1176,3 +1176,142 @@ def curation_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pos").alias("n_pos"),
         F.expr("sum(pos) * 1000000 div count(*)").alias("pos_rate_ppm"),
     )
+
+
+@register(
+    "curation_span_corruption",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.i AS pos, string_split(lower(text), ' ')[t.i] AS w,
+             len(string_split(lower(text), ' ')) AS n
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS i) t
+      WHERE doc_id % 5 = 0
+    ),
+    starts AS (
+      SELECT doc_id, pos,
+             pos % 5 = 1 AND pos + 2 <= n
+               AND CAST('0x' || substr(md5('mask:' || CAST(doc_id AS VARCHAR)
+                                           || ':' || CAST(pos AS VARCHAR)), 1, 4)
+                        AS INTEGER) % 4 = 0 AS is_start
+      FROM tok
+    ),
+    marked AS (
+      SELECT t.doc_id, t.pos, t.w,
+             coalesce(s1.is_start, FALSE) AS m0,
+             coalesce(s2.is_start, FALSE) AS m1,
+             coalesce(s3.is_start, FALSE) AS m2
+      FROM tok t
+      LEFT JOIN starts s1 ON s1.doc_id = t.doc_id AND s1.pos = t.pos
+      LEFT JOIN starts s2 ON s2.doc_id = t.doc_id AND s2.pos = t.pos - 1
+      LEFT JOIN starts s3 ON s3.doc_id = t.doc_id AND s3.pos = t.pos - 2
+    ),
+    seq AS (
+      SELECT doc_id, pos, w, m0, (m0 OR m1 OR m2) AS masked,
+             sum(CASE WHEN m0 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING)
+               AS span_id
+      FROM marked
+    )
+    SELECT doc_id,
+           string_agg(CASE WHEN m0 THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '>'
+                           WHEN masked THEN NULL ELSE w END, ' ' ORDER BY pos)
+             AS input_str,
+           coalesce(string_agg(CASE WHEN m0 THEN '<extra_id_' || CAST(span_id - 1 AS VARCHAR) || '> ' || w
+                           WHEN masked THEN w ELSE NULL END, ' ' ORDER BY pos), '')
+             AS target_str,
+           CAST(max(span_id) AS BIGINT) AS n_spans
+    FROM seq GROUP BY doc_id
+    """,
+    doc="SPAN-CORRUPTION PAIR GENERATION (the T5/UL2 denoising "
+    "objective): ~1/4 of eligible anchor positions (every 5th token, "
+    "hash-seeded) start a 3-token mask; the INPUT replaces each span "
+    "with a numbered <extra_id_k> sentinel, the TARGET lists each "
+    "sentinel followed by the tokens it hid — the exact pair format "
+    "seq2seq pretraining consumes.  Anchor spacing (5) exceeds span "
+    "length (3), so spans can never overlap and masking stays a LOCAL "
+    "window decision — what makes the transform embarrassingly "
+    "parallel AND exactly SQL-replicable (the same locality trick as "
+    "text_cdc_chunk_dedup's boundaries).  Sentinel numbering is a "
+    "prefix sum of span starts; ordered string_agg with NULL-skipping "
+    "assembles both sides on both engines.  Every 5th doc sampled.  "
+    "Scale: tokenize-explode, three self-aligned lookups (expressed as "
+    "window lags at scale), one doc-keyed ordered agg — no Python, no "
+    "vocabulary, no state.",
+)
+def curation_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "text"
+    )
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "w"),
+        F.size(F.split(F.lower("text"), " ")).alias("n"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w", "n")
+    is_start = (
+        (F.col("pos") % 5 == 1)
+        & (F.col("pos") + 2 <= F.col("n"))
+        & (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("mask:"),
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            F.col("pos").cast("string"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 4
+            == 0
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    seq = tok.select(
+        "doc_id",
+        "pos",
+        "w",
+        is_start.alias("m0"),
+    ).select(
+        "doc_id",
+        "pos",
+        "w",
+        "m0",
+        (F.col("m0") | F.lag("m0", 1, False).over(w) | F.lag("m0", 2, False).over(w)).alias(
+            "masked"
+        ),
+        F.sum(F.col("m0").cast("int")).over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "span_id"
+        ),
+    )
+    sentinel = F.concat(F.lit("<extra_id_"), (F.col("span_id") - 1).cast("string"), F.lit(">"))
+    pieces = seq.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("m0"), sentinel).when(F.col("masked"), None).otherwise(F.col("w")).alias("inp"),
+        F.when(F.col("m0"), F.concat(sentinel, F.lit(" "), F.col("w")))
+        .when(F.col("masked"), F.col("w"))
+        .otherwise(None)
+        .alias("tgt"),
+        "span_id",
+    )
+    agg = pieces.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "inp"))).alias("ai"),
+        F.array_sort(F.collect_list(F.struct("pos", "tgt"))).alias("at"),
+        F.max("span_id").cast("bigint").alias("n_spans"),
+    )
+    join_nn = lambda arr, field: F.array_join(  # noqa: E731
+        F.filter(F.transform(arr, lambda s: s[field]), lambda x: x.isNotNull()), " "
+    )
+    return agg.select(
+        "doc_id",
+        join_nn(F.col("ai"), "inp").alias("input_str"),
+        join_nn(F.col("at"), "tgt").alias("target_str"),
+        "n_spans",
+    )

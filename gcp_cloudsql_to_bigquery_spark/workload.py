@@ -334,6 +334,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_business_days",
     "agg_skew_kurtosis_exact",
     "ts_forecast_mase",
+    "curation_span_corruption",
+    "analytics_ab_srm_check",
     # polls a processingTime trigger to drain (~17 s): queue tail with the
     # other slow streaming/graph entries
     "src_python_datasource_stream",
