@@ -1354,3 +1354,95 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pkn_x1e9"),
         )
     )
+
+
+# Shared secret-pattern table (RE2- and Java-compatible subset).  The
+# fixture corpus is clean, so deterministic plants (every 17th doc gets an
+# AKIA-style key, every 23rd a hex token) make detection measurable.
+_SECRET_PATTERNS = (
+    ("aws_access_key", "AKIA[A-Z2-7]{16}"),
+    ("hex_token_32", "tok_[0-9a-f]{32}"),
+)
+
+
+@register(
+    "text_secrets_scan",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 17 = 0
+                     THEN ' key AKIA' || substr(translate(
+                          md5('sk:' || CAST(doc_id AS VARCHAR)),
+                          '0123456789abcdef', 'ABCDEFGHIJKLMNOP'), 1, 16) || ' end'
+                     ELSE '' END
+             || CASE WHEN doc_id % 23 = 0
+                     THEN ' tok_' || md5('tk:' || CAST(doc_id AS VARCHAR)) || ' x'
+                     ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id, kind, hit
+    FROM aug, LATERAL (
+      SELECT 'aws_access_key' AS kind,
+             unnest(regexp_extract_all(text, 'AKIA[A-Z2-7]{{16}}')) AS hit
+      UNION ALL
+      SELECT 'hex_token_32',
+             unnest(regexp_extract_all(text, 'tok_[0-9a-f]{{32}}'))
+    ) m
+    """,
+    doc="SECRETS SCAN — the credential-scrubbing pass every LLM training "
+    "corpus needs before the tokenizer sees it (leaked AWS keys and "
+    "API tokens memorize verbatim): a shared pattern table (AKIA-style "
+    "access keys, 32-hex bearer tokens — the RE2/Java-compatible regex "
+    "subset, same discipline as text_pii_redaction's email/phone "
+    "rules) is applied with regexp_extract_all, emitting one row per "
+    "detection with its kind and matched text.  The fixture corpus is "
+    "clean, so secrets are PLANTED deterministically (md5-derived, "
+    "every 17th/23rd doc) — both engines construct the identical "
+    "augmented corpus, making recall exactly checkable: every plant "
+    "must be found, nothing else may match.  Scale: per-row regex in "
+    "codegen, explode only on matches (sparse), no shuffle before the "
+    "detection rows; the pattern table extends without plan changes.",
+)
+def text_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plant_key = F.when(
+        F.col("doc_id") % 17 == 0,
+        F.concat(
+            F.lit(" key AKIA"),
+            F.substring(
+                F.translate(
+                    F.md5(F.concat(F.lit("sk:"), F.col("doc_id").cast("string")).cast("binary")),
+                    "0123456789abcdef",
+                    "ABCDEFGHIJKLMNOP",
+                ),
+                1,
+                16,
+            ),
+            F.lit(" end"),
+        ),
+    ).otherwise("")
+    plant_tok = F.when(
+        F.col("doc_id") % 23 == 0,
+        F.concat(
+            F.lit(" tok_"),
+            F.md5(F.concat(F.lit("tk:"), F.col("doc_id").cast("string")).cast("binary")),
+            F.lit(" x"),
+        ),
+    ).otherwise("")
+    aug = d.select(
+        "doc_id", F.concat(F.col("text"), plant_key, plant_tok).alias("text")
+    )
+    parts = []
+    for kind, pat in _SECRET_PATTERNS:
+        parts.append(
+            aug.select(
+                "doc_id",
+                F.lit(kind).alias("kind"),
+                F.explode(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).alias("hit"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

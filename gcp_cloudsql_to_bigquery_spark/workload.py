@@ -336,6 +336,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_forecast_mase",
     "curation_span_corruption",
     "analytics_ab_srm_check",
+    "elt_data_vault_model",
+    "text_secrets_scan",
     # polls a processingTime trigger to drain (~17 s): queue tail with the
     # other slow streaming/graph entries
     "src_python_datasource_stream",
