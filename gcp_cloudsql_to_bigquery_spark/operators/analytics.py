@@ -1705,3 +1705,71 @@ def analytics_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(chi2 * 1e6 + 0.5).cast("bigint").alias("chi2_x1e6"),
         (chi2 > 10.828).alias("srm_detected"),
     )
+
+
+@register(
+    "analytics_longest_streak",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    seq AS (
+      SELECT user_id, d,
+             CAST(d - DATE '1970-01-01' AS BIGINT)
+               - row_number() OVER (PARTITION BY user_id ORDER BY d) AS anchor
+      FROM active
+    ),
+    streaks AS (
+      SELECT user_id, anchor, count(*) AS len,
+             min(d) AS start_day, max(d) AS end_day
+      FROM seq GROUP BY user_id, anchor
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY len DESC, start_day) AS r
+      FROM streaks
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(len AS BIGINT) AS streak_days,
+           start_day, end_day
+    FROM best WHERE r = 1 AND len >= 3
+    """,
+    doc="Longest consecutive-day activity streak per user — the retention/"
+    "gamification metric ('your 47-day streak') and the canonical GAPS-"
+    "AND-ISLANDS rewrite: consecutive runs share a constant anchor "
+    "(epoch_day - row_number), so islands fall out of one GROUP BY with "
+    "NO self-join and no iteration.  Two window passes partitioned by "
+    "user (dense keys, no skew: each user's active-day list is bounded "
+    "by the calendar) + one partial-agged groupBy; at 100 TB the "
+    "distinct-day pre-reduction shrinks raw events to |user x day| "
+    "before any window state is built.  Pure integer date arithmetic "
+    "on both engines.",
+)
+def analytics_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    active = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    seq = active.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("bigint")
+            - F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+        ).alias("anchor"),
+    )
+    streaks = seq.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("start_day"),
+        F.max("d").alias("end_day"),
+    )
+    best = streaks.withColumn(
+        "r",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.col("len").desc(), "start_day")
+        ),
+    )
+    return best.filter((F.col("r") == 1) & (F.col("len") >= 3)).select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("len").cast("bigint").alias("streak_days"),
+        "start_day",
+        "end_day",
+    )

@@ -1029,3 +1029,140 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("harmonic_x1e6", F.lit(0)).cast("bigint").alias("harmonic_x1e6"),
         )
     )
+
+
+_SSSP_ROUNDS = 6
+
+
+def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
+    parts = [
+        """WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_partkey % 10 = 0
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS cooc
+      FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    wedges AS MATERIALIZED (
+      SELECT pa, pb,
+             (CAST('0x' || substr(md5('w:' || CAST(pa AS VARCHAR) || ':'
+                                   || CAST(pb AS VARCHAR)), 1, 5)
+                   AS BIGINT) % 90) + 10 AS w
+      FROM pairs
+    ),
+    und AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst, w FROM wedges
+      UNION ALL SELECT pb, pa, w FROM wedges
+    ),
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+      FROM und WHERE src % 50 = 0
+    ),"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS MATERIALIZED (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i-1}
+        UNION ALL
+        SELECT u.dst AS node, d.dist + u.w AS dist
+        FROM d{i-1} d JOIN und u ON u.src = d.node
+      ) GROUP BY node
+    ),"""
+        )
+    body = "\n".join(parts).rstrip(",") + ","
+    # strip the trailing comma of the final CTE
+    body = body[: body.rfind(",")]
+    return (
+        body
+        + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+    FROM d{rounds}
+    """
+    )
+
+
+@register(
+    "graph_weighted_sssp",
+    oracle=_sssp_oracle(),
+    doc=f"Weighted single/multi-source shortest path via {_SSSP_ROUNDS} "
+    "Bellman-Ford relaxation rounds over the co-purchase graph (edge "
+    "weight = md5-derived integer in [10,100) on the canonical pa<pb "
+    "pair, symmetrized) — the 'cheapest route to any seed' question "
+    "behind nearest-facility, blast-radius-with-cost, and network-"
+    "latency analyses.  Each round relaxes EVERY edge against the "
+    "current tentative-distance table (dist' = min(dist, min over "
+    "in-edges of dist(u)+w)) and the table is re-min-aggregated — "
+    "distances are exact for all shortest paths of <= 6 hops "
+    "(documented cap, the BFS-layer discipline).  Spark side is the "
+    "iterative DataFrame loop with per-round lineage truncation; at "
+    "100 TB each round is one |frontier|-bounded shuffle keyed on node "
+    "id, the same partitioning reused every round.  Oracle = the same "
+    "rounds unrolled as CTEs (no path enumeration — table stays "
+    "|V|-bounded).  Integer weights end-to-end.",
+)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_partkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("w:"),
+                        F.col("pa").cast("string"),
+                        F.lit(":"),
+                        F.col("pb").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                5,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 90
+        + 10
+    )
+    wedges = pairs.select("pa", "pb", w.alias("w"))
+    und = (
+        wedges.select(F.col("pa").alias("src"), F.col("pb").alias("dst"), "w")
+        .unionByName(wedges.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
+        .localCheckpoint()
+    )
+    dist = (
+        und.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 50 == 0)
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = dist.join(und, dist.node == und.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(F.col("node").cast("bigint").alias("node"), "dist")
