@@ -1307,11 +1307,19 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # lead() is computed over ALL positions (empties included) so nxt is the
+    # literal next array slot, matching the oracle's positional [i+1] access;
+    # a run of consecutive spaces therefore yields NO bigram (nxt='' is
+    # dropped below) rather than a bigram spanning the run.  Filtering
+    # empties before lead() silently changed the bigram table for any
+    # document with consecutive spaces (ADVICE r5 item 2).
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w")
-    ).filter(F.col("w") != "")
+    )
     w_next = W.partitionBy("doc_id").orderBy("pos")
-    tok = toks.select("doc_id", "w", F.lead("w").over(w_next).alias("nxt"))
+    tok = toks.select(
+        "doc_id", "w", F.lead("w").over(w_next).alias("nxt")
+    ).filter(F.col("w") != "")
     bi = (
         tok.filter(F.col("nxt").isNotNull() & (F.col("nxt") != ""))
         .groupBy("w", "nxt")
@@ -1360,14 +1368,30 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixture corpus is clean, so deterministic plants (every 17th doc gets an
 # AKIA-style key, every 23rd a hex token) make detection measurable.
 _SECRET_PATTERNS = (
-    ("aws_access_key", "AKIA[A-Z2-7]{16}"),
-    ("hex_token_32", "tok_[0-9a-f]{32}"),
+    # (kind, pattern, min Shannon entropy of the hit in integer micro-nats;
+    #  0 = structural pattern, no entropy gate)
+    ("aws_access_key", "AKIA[A-Z2-7]{16}", 0),
+    ("hex_token_32", "tok_[0-9a-f]{32}", 1_500_000),
+    ("jwt", "eyJ[0-9A-Za-z_-]+[.]eyJ[0-9A-Za-z_-]+[.][0-9A-Za-z_-]+", 1_500_000),
+)
+
+# Shannon entropy of a matched secret, in integer micro-nats:
+# H = ln(L) - (1/L) * sum_over_distinct_chars(c * ln c).  The distinct-char
+# list is SORTED on both engines so the float fold order is identical
+# (bit-for-bit IEEE replay, then nano→micro quantization).
+_ENTROPY_UNATS_EXPR = (
+    "cast(floor((ln(length(hit)) - aggregate("
+    "array_sort(array_distinct(regexp_extract_all(hit, '.', 0))), "
+    "cast(0.0 as double), "
+    "(acc, c) -> acc + size(filter(regexp_extract_all(hit, '.', 0), x -> x = c))"
+    " * ln(size(filter(regexp_extract_all(hit, '.', 0), x -> x = c)))"
+    ") / length(hit)) * 1e6 + 0.5) as bigint)"
 )
 
 
 @register(
     "text_secrets_scan",
-    oracle=f"""
+    oracle="""
     WITH aug AS (
       SELECT doc_id,
              text
@@ -1378,31 +1402,63 @@ _SECRET_PATTERNS = (
                      ELSE '' END
              || CASE WHEN doc_id % 23 = 0
                      THEN ' tok_' || md5('tk:' || CAST(doc_id AS VARCHAR)) || ' x'
+                     ELSE '' END
+             || CASE WHEN doc_id % 29 = 0
+                     THEN ' bearer eyJ' || md5('jh:' || CAST(doc_id AS VARCHAR))
+                          || '.eyJ' || md5('jp:' || CAST(doc_id AS VARCHAR))
+                          || '.' || md5('js:' || CAST(doc_id AS VARCHAR)) || ' end'
+                     ELSE '' END
+             || CASE WHEN doc_id % 31 = 0
+                     THEN ' tok_aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa x'
                      ELSE '' END AS text
       FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, kind, hit, thr
+      FROM aug, LATERAL (
+        SELECT 'aws_access_key' AS kind, 0 AS thr,
+               unnest(regexp_extract_all(text, 'AKIA[A-Z2-7]{16}')) AS hit
+        UNION ALL
+        SELECT 'hex_token_32', 1500000,
+               unnest(regexp_extract_all(text, 'tok_[0-9a-f]{32}'))
+        UNION ALL
+        SELECT 'jwt', 1500000,
+               unnest(regexp_extract_all(text,
+                 'eyJ[0-9A-Za-z_-]+[.]eyJ[0-9A-Za-z_-]+[.][0-9A-Za-z_-]+'))
+      ) m
+    ),
+    scored AS (
+      SELECT doc_id, kind, hit, thr,
+             CAST(floor((ln(len(hit)) - list_sum(list_transform(
+                    list_sort(list_distinct(regexp_extract_all(hit, '.'))),
+                    c -> len(list_filter(regexp_extract_all(hit, '.'), x -> x = c))
+                         * ln(len(list_filter(regexp_extract_all(hit, '.'), x -> x = c)))
+                  )) / len(hit)) * 1e6 + 0.5) AS BIGINT) AS entropy_unats
+      FROM hits
     )
-    SELECT doc_id, kind, hit
-    FROM aug, LATERAL (
-      SELECT 'aws_access_key' AS kind,
-             unnest(regexp_extract_all(text, 'AKIA[A-Z2-7]{{16}}')) AS hit
-      UNION ALL
-      SELECT 'hex_token_32',
-             unnest(regexp_extract_all(text, 'tok_[0-9a-f]{{32}}'))
-    ) m
+    SELECT doc_id, kind, hit, entropy_unats
+    FROM scored WHERE entropy_unats >= thr
     """,
     doc="SECRETS SCAN — the credential-scrubbing pass every LLM training "
-    "corpus needs before the tokenizer sees it (leaked AWS keys and "
-    "API tokens memorize verbatim): a shared pattern table (AKIA-style "
-    "access keys, 32-hex bearer tokens — the RE2/Java-compatible regex "
-    "subset, same discipline as text_pii_redaction's email/phone "
-    "rules) is applied with regexp_extract_all, emitting one row per "
-    "detection with its kind and matched text.  The fixture corpus is "
-    "clean, so secrets are PLANTED deterministically (md5-derived, "
-    "every 17th/23rd doc) — both engines construct the identical "
-    "augmented corpus, making recall exactly checkable: every plant "
-    "must be found, nothing else may match.  Scale: per-row regex in "
-    "codegen, explode only on matches (sparse), no shuffle before the "
-    "detection rows; the pattern table extends without plan changes.",
+    "corpus needs before the tokenizer sees it (leaked AWS keys, API "
+    "tokens, and JWTs memorize verbatim): a shared pattern table "
+    "(AKIA-style access keys, 32-hex bearer tokens, three-part eyJ* "
+    "JWTs — the RE2/Java-compatible regex subset, same discipline as "
+    "text_pii_redaction's email/phone rules) is applied with "
+    "regexp_extract_all, and every hit is scored with its SHANNON "
+    "ENTROPY in integer micro-nats (H = ln L - (1/L)*sum c_i ln c_i, "
+    "sorted-distinct fold order so both engines replay identical IEEE "
+    "arithmetic).  Structural patterns (AKIA prefix) pass ungated;"
+    "generic token shapes carry a 1.5-nat entropy floor, which is what "
+    "real scanners use to cut low-entropy false positives.  The "
+    "fixture corpus is clean, so secrets are PLANTED deterministically "
+    "(md5-derived, every 17th/23rd/29th doc) plus a LOW-ENTROPY DECOY "
+    "(every 31st doc: tok_ + 32*'a', entropy ~0.5 nats) that the "
+    "pattern matches and the entropy gate must drop — recall AND "
+    "precision of the gate are exactly checkable.  Scale: per-row "
+    "regex in codegen, explode only on matches (sparse), the entropy "
+    "score is a higher-order array fold over each short hit (no "
+    "shuffle); the pattern table extends without plan changes.",
 )
 def text_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1430,19 +1486,41 @@ def text_secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" x"),
         ),
     ).otherwise("")
+    _m = lambda tag: F.md5(  # noqa: E731 — md5 of 'tag:<doc_id>' as in the oracle
+        F.concat(F.lit(tag), F.col("doc_id").cast("string")).cast("binary")
+    )
+    plant_jwt = F.when(
+        F.col("doc_id") % 29 == 0,
+        F.concat(
+            F.lit(" bearer eyJ"), _m("jh:"),
+            F.lit(".eyJ"), _m("jp:"),
+            F.lit("."), _m("js:"),
+            F.lit(" end"),
+        ),
+    ).otherwise("")
+    plant_decoy = F.when(
+        F.col("doc_id") % 31 == 0,
+        F.lit(" tok_" + "a" * 32 + " x"),
+    ).otherwise("")
     aug = d.select(
-        "doc_id", F.concat(F.col("text"), plant_key, plant_tok).alias("text")
+        "doc_id",
+        F.concat(F.col("text"), plant_key, plant_tok, plant_jwt, plant_decoy).alias("text"),
     )
     parts = []
-    for kind, pat in _SECRET_PATTERNS:
+    for kind, pat, thr in _SECRET_PATTERNS:
         parts.append(
             aug.select(
                 "doc_id",
                 F.lit(kind).alias("kind"),
                 F.explode(F.expr(f"regexp_extract_all(text, '{pat}', 0)")).alias("hit"),
+                F.lit(thr).alias("thr"),
             )
         )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out
+    return (
+        out.withColumn("entropy_unats", F.expr(_ENTROPY_UNATS_EXPR))
+        .filter(F.col("entropy_unats") >= F.col("thr"))
+        .select("doc_id", "kind", "hit", "entropy_unats")
+    )

@@ -1285,16 +1285,20 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
                   epoch_us(CAST(p.d + o.o AS TIMESTAMP) + INTERVAL '4 hours') AS me
       FROM pres p CROSS JOIN (VALUES (0), (1)) o(o)
     ),
-    cut AS (
-      SELECT event_type, s, e,
-             CAST(sum(greatest(0, least(e, me) - greatest(s, ms))) AS BIGINT) AS masked
-      FROM cand GROUP BY event_type, s, e
+    raw AS (
+      SELECT event_type, CAST(sum(e - s) AS BIGINT) AS raw_us
+      FROM pres GROUP BY event_type
+    ),
+    msk AS (
+      SELECT event_type,
+             CAST(sum(greatest(0, least(e, me) - greatest(s, ms))) AS BIGINT) AS masked_us
+      FROM cand GROUP BY event_type
     )
-    SELECT event_type,
-           CAST(sum(e - s) AS BIGINT)          AS raw_us,
-           CAST(sum(e - s - masked) AS BIGINT) AS effective_us,
-           CAST((sum(e - s) - sum(masked)) * 1000000 // sum(e - s) AS BIGINT) AS sla_ppm
-    FROM cut GROUP BY event_type
+    SELECT r.event_type,
+           r.raw_us,
+           r.raw_us - m.masked_us AS effective_us,
+           (r.raw_us - m.masked_us) * 1000000 // r.raw_us AS sla_ppm
+    FROM raw r JOIN msk m ON r.event_type = m.event_type
     """,
     doc="INTERVAL SUBTRACTION for SLA ACCOUNTING — uptime minus "
     "scheduled-maintenance windows, the calculation every availability "
@@ -1306,11 +1310,16 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     "algebra after intersection (join_interval_overlap) and union "
     "(sessionization).  All arithmetic in exact integer microseconds "
     "(epoch_us / unix_micros); per-type SLA attainment as an exact "
-    "integer ppm ratio.  Scale: the mask is a synthetic broadcast (two "
-    "day-offsets per row, no table), clipping is codegen min/max "
-    "arithmetic, and the final rollup is a bounded groupBy — the same "
-    "plan clips against real maintenance-calendar dims by swapping the "
-    "VALUES for a broadcast table.",
+    "integer ppm ratio.  raw_us and masked_us are INDEPENDENT per-type "
+    "partial aggregates (raw over presence rows, masked over the "
+    "exploded candidates) joined at type grain — duplicate "
+    "(event_type, ts) rows each count independently, with no per-event "
+    "or per-(s,e) regroup that could collapse or overcount them "
+    "(ADVICE r5 item 3).  Scale: the mask is a synthetic broadcast "
+    "(two day-offsets per row, no table), clipping is codegen min/max "
+    "arithmetic, both rollups are map-side partial aggs to a bounded "
+    "type grain — the same plan clips against real maintenance-"
+    "calendar dims by swapping the VALUES for a broadcast table.",
 )
 def ts_interval_subtract_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_type", "ts")
@@ -1332,15 +1341,19 @@ def ts_interval_subtract_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_add(F.col("d"), F.col("o")).cast("timestamp") + F.expr("INTERVAL 4 HOURS")
         ).alias("me"),
     )
-    cut = cand.groupBy("event_type", "s", "e").agg(
+    raw = pres.groupBy("event_type").agg(
+        F.sum(F.col("e") - F.col("s")).alias("raw_us")
+    )
+    msk = cand.groupBy("event_type").agg(
         F.sum(
             F.greatest(F.lit(0).cast("bigint"), F.least("e", "me") - F.greatest("s", "ms"))
-        ).alias("masked")
+        ).alias("masked_us")
     )
-    return cut.groupBy("event_type").agg(
-        F.sum(F.col("e") - F.col("s")).alias("raw_us"),
-        F.sum(F.col("e") - F.col("s") - F.col("masked")).alias("effective_us"),
-        F.expr("(sum(e - s) - sum(masked)) * 1000000 div sum(e - s)").alias("sla_ppm"),
+    return raw.join(msk, "event_type").select(
+        "event_type",
+        "raw_us",
+        (F.col("raw_us") - F.col("masked_us")).alias("effective_us"),
+        F.expr("(raw_us - masked_us) * 1000000 div raw_us").alias("sla_ppm"),
     )
 
 

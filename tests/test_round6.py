@@ -1,0 +1,151 @@
+"""Round-6 third-witness tests for the ADVICE-r5 fixes: each proves the
+Spark implementation (and hence the matching oracle) equals a
+from-first-principles Python computation on a fixture crafted to hit the
+exact failure scenario the r5 advisor described."""
+
+import math
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+SF = "/root/testdata/sf0.001"
+
+_KN_D = 0.75
+
+
+def _write_documents(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["src0"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _kn_bruteforce(texts):
+    """Positional-bigram Kneser-Ney from first principles: bigram (w, nxt)
+    exists iff slot i is non-empty AND the literal next slot i+1 is
+    non-empty — a run of consecutive spaces yields NO bigram across it."""
+    bi = Counter()
+    for t in texts:
+        slots = t.lower().split(" ")
+        for i, w in enumerate(slots[:-1]):
+            nxt = slots[i + 1]
+            if w != "" and nxt != "":
+                bi[(w, nxt)] += 1
+    cw = Counter()
+    n1p_fwd = Counter()
+    n1p_rev = Counter()
+    for (w, nxt), c in bi.items():
+        cw[w] += c
+        n1p_fwd[w] += 1
+        n1p_rev[nxt] += 1
+    nbt = len(bi)
+    out = {}
+    for (w, nxt), cb in bi.items():
+        pkn = (
+            max(cb - _KN_D, 0.0) / cw[w]
+            + _KN_D * n1p_fwd[w] / cw[w] * (n1p_rev[nxt] / nbt)
+        )
+        out[(w, nxt)] = (cb, cw[w], n1p_rev[nxt], math.floor(pkn * 1e9 + 0.5))
+    return out
+
+
+def test_kneser_ney_positional_bigrams_on_consecutive_spaces(spark, tmp_path):
+    # "a  b" (two spaces) must yield NO (a,b) bigram; "x y" repeated pins
+    # the counts; an empty leading slot (" z q") exercises the w='' drop.
+    rows = [
+        (1, "a  b x y"),
+        (2, "x y x y"),
+        (3, " z q"),
+        (4, "a b"),
+    ]
+    sf_dir = _write_documents(tmp_path, rows)
+    expect = _kn_bruteforce([t for _, t in rows])
+    got = {
+        (r["w"], r["nxt"]): (r["cb"], r["cw"], r["n1p_rev"], r["pkn_x1e9"])
+        for r in queries()["text_bigram_kneser_ney"](spark, sf_dir).collect()
+    }
+    # every produced pair must match brute force exactly
+    assert got == {k: v for k, v in expect.items()}  # top-200 >> 6 pairs here
+    # the regression scenario itself: no bigram spans the double space
+    assert ("a", "b") in got and got[("a", "b")][0] == 1  # only from doc 4
+    assert ("y", "x") in got  # doc 2 interior pair still present
+
+
+def _write_events(tmp_path, rows):
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_interval_sla_duplicate_timestamps(spark, tmp_path):
+    """N identical (event_type, ts) rows must each contribute their own
+    raw 30 min AND their own masked overlap — the r5 shape collapsed them
+    into one interval row whose masked summed N-fold (effective_us could
+    go negative)."""
+    import datetime as dt
+
+    t_in = dt.datetime(2024, 1, 1, 3, 10, 0)  # 3:10, fully inside 3-4am mask
+    t_out = dt.datetime(2024, 1, 1, 12, 0, 0)  # untouched by the mask
+    rows = [("click", t_in)] * 3 + [("click", t_out)]
+    sf_dir = _write_events(tmp_path, rows)
+    got = queries()["ts_interval_subtract_sla"](spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    half_hour = 30 * 60 * 1_000_000
+    assert r["raw_us"] == 4 * half_hour
+    # each duplicate is fully masked (30 min inside the window), once each
+    assert r["effective_us"] == 1 * half_hour
+    assert r["effective_us"] >= 0
+    assert r["sla_ppm"] == (1 * half_hour) * 1_000_000 // (4 * half_hour)
+
+
+def _shannon_unats(s):
+    n = len(s)
+    cnt = Counter(s)
+    # sorted distinct fold order, as both engines compute it
+    acc = 0.0
+    for ch in sorted(cnt):
+        acc += cnt[ch] * math.log(cnt[ch])
+    return math.floor((math.log(n) - acc / n) * 1e6 + 0.5)
+
+
+def test_secrets_scan_plants_jwt_and_entropy_gate(spark):
+    rows = queries()["text_secrets_scan"](spark, SF).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    n_docs = 500  # sf0.001 documents table
+    # recall: every planted secret is found, exactly once per planted doc
+    assert len(by_kind["aws_access_key"]) == len(range(0, n_docs, 17))
+    assert len(by_kind["hex_token_32"]) == len(range(0, n_docs, 23))
+    assert len(by_kind["jwt"]) == len(range(0, n_docs, 29))
+    # precision: the low-entropy decoy (tok_ + 32*'a', planted every 31st
+    # doc) matches the hex pattern but must be dropped by the entropy gate
+    assert all("a" * 32 not in r["hit"] for r in by_kind["hex_token_32"])
+    # jwt shape: three dot-separated parts, first two base64url-of-'{"'
+    for r in by_kind["jwt"]:
+        parts = r["hit"].split(".")
+        assert len(parts) == 3 and parts[0].startswith("eyJ") and parts[1].startswith("eyJ")
+    # entropy witness: recompute Shannon micro-nats in pure Python
+    for r in rows:
+        assert r["entropy_unats"] == _shannon_unats(r["hit"])
+        assert r["entropy_unats"] >= (0 if r["kind"] == "aws_access_key" else 1_500_000)
