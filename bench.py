@@ -22,6 +22,9 @@ Protocol (steady-state, mirrors how the DuckDB baseline is measured warm):
 - streaming queries cannot reuse a finished StreamingQuery, so they are
   timed end-to-end (start → availableNow drain → collect) fresh each run;
   their micro-batch floor stays in the headline number.
+- ``queries_extended`` tracks the LLM-pipeline headliners (MinHash-LSH
+  dedup, the curation dedup pipeline, PQ ANN) in a separate section: the
+  15-query headline total stays frozen and round-comparable.
 
 Bench-session tuning (bench-scale knobs, all documented against 100 TB):
 
@@ -76,12 +79,26 @@ HEADLINE = (
 # a stream; plan reuse is impossible, so time the whole call.
 STREAMING = frozenset(n for n in HEADLINE if n.startswith("stream_"))
 
-RUNS = 3
+RUNS = 5  # was 3; r5's recorded 1.948 s vs actual ~1.66 s was pure jitter on
+# sub-50 ms queries — two more reps per query (~3 s total) tighten every min
+# toward the true floor without changing the min-of-N methodology
 # streaming queries are timed END-TO-END fresh each run (checkpoint setup,
 # micro-batch scheduling, no-data flush), so their per-run variance is ~2-3x
 # a batch query's; more reps tighten the min toward the true floor without
 # changing the min-of-N methodology or the frozen query set
 STREAMING_RUNS = 5
+
+# LLM-pipeline headliners (VERDICT r5 item 7): tracked wall-clock for the
+# north-star dedup/curation/ANN surface, reported under a SEPARATE
+# ``queries_extended`` key so the frozen 15-query headline total stays
+# round-comparable.  min-of-2: these are multi-second pipelines where
+# scheduler jitter is proportionally small.
+EXTENDED = (
+    "dedup_minhash_lsh",
+    "curation_dedup_pipeline",
+    "ann_pq_topk",
+)
+EXTENDED_RUNS = 2
 
 
 def main() -> None:
@@ -139,6 +156,16 @@ def main() -> None:
             best = min(best, dt)
         timings[name] = round(best, 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        df = qs[name](spark, sf_dir)
+        best = float("inf")
+        for _ in range(EXTENDED_RUNS):
+            t0 = time.time()
+            df.toPandas()
+            best = min(best, time.time() - t0)
+        extended[name] = round(best, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -151,6 +178,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_extended": extended,
                 "plan_build": plan_build,
                 "cold_run": cold_run,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

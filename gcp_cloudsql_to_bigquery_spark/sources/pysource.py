@@ -200,13 +200,13 @@ def read_sentinel_csv_source(spark: SparkSession, path: str) -> DataFrame:
     """Register (idempotent) and read the custom source with filter
     pushdown enabled.
 
-    ``spark.sql.python.filterPushdown.enabled`` is deliberately left set for
-    the session rather than restored in a try/finally: the conf is consulted
-    by the OPTIMIZER when the returned (lazy) DataFrame is eventually
-    executed, so restoring it here would silently disable the pushdown this
-    function promises.  Session-wide enablement is safe — Spark only routes
-    filters through a reader's own ``pushFilters``, and the API contract
-    lets every reader yield back what it doesn't support.
+    ``spark.sql.python.filterPushdown.enabled`` is an engine default set by
+    ``session.DEFAULT_CONFS`` (and re-pinned here for externally-built
+    sessions): the flag is consulted at ACTION time by the data-source read
+    planner, and a reader implementing ``pushFilters`` raises
+    DATA_SOURCE_PUSHDOWN_DISABLED if it is false then — so a try/finally
+    restore around this call would break the lazy DataFrame it returns
+    (empirically pinned by ``test_pysource_pushdown_conf_is_action_time``).
     """
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SentinelCsvDataSource)

