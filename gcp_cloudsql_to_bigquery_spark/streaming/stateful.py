@@ -173,14 +173,17 @@ def stream_tws_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
 
 
-if _tws_available():  # pragma: no cover — protobuf absent in this container
-    register(
-        "stream_tws_type_totals",
-        oracle="""
-        SELECT event_type, count(*) AS n,
-               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
-        FROM events
-        GROUP BY event_type
-        """,
-        doc=stream_tws_type_totals.__doc__,
-    )(stream_tws_type_totals)
+# The ANSI-SQL equivalent of stream_tws_type_totals' final state, kept for
+# the environment-gated execution test (test_streaming_late.py) — NOT a
+# registry oracle: the operator is explicitly OUT of the registry (VERDICT
+# r5 item 4) because transformWithStateInPandas has never executed in this
+# container (protobuf absent) and an unexercised operator must not enter
+# the driver gate.  Where protobuf exists, the xfail test below runs the
+# operator end-to-end against this SQL; promote it back into the registry
+# only after that test has actually passed in the target environment.
+TWS_ORACLE_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY event_type
+"""

