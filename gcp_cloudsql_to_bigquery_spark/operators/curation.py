@@ -504,11 +504,13 @@ def curation_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("doc_id", "lang")
         .agg(F.sum(F.col("n") * F.col("lr_fp")).alias("score_fp"))
     )
+    # top-100 via orderBy+limit -> TakeOrderedAndProject (map-side top-k per
+    # partition, driver merge); rnk is then a window over the BOUNDED
+    # 100-row result, not a global sort of the doc-grain rollup
+    top = scored.orderBy(F.col("score_fp").desc(), "doc_id").limit(100)
     w = W.orderBy(F.col("score_fp").desc(), "doc_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 100)
-        .select("doc_id", "lang", "score_fp", "rnk")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint")).select(
+        "doc_id", "lang", "score_fp", "rnk"
     )
 
 
@@ -571,11 +573,24 @@ def curation_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFram
     "reuses the exchange under stage1 for stages 2-3), survivors of one "
     "stage feed the next, and the whole funnel materializes in one "
     "action.  Near-dedup here is the pair-greedy policy, not CC "
-    "clustering — at 100 TB the pair list comes from LSH candidates and "
-    "this exact plan follows it.  All counts integer.",
+    "clustering, and the pair list is PREFIX-FILTERED candidates + "
+    "exact verify, not all-pairs: under the global (df, g) shingle "
+    "order, each doc indexes only its |X| - ceil(0.65*|X|) + 1 rarest "
+    "shingles (the PPJoin prefix-filtering principle, Xiao et al. "
+    "WWW'08 — any pair with Jaccard >= t MUST collide on the prefixes, "
+    "so the filter is provably LOSSLESS), then exact Jaccard on the "
+    "candidates' full hashed shingle sets decides.  Hub trigrams "
+    "almost never enter a prefix (the prefix is the rare end of each "
+    "doc), so the df^2 fan-out that made the inlined all-pairs form "
+    "cost 432 s at sf0.1 disappears, while the result is bit-equal to "
+    "ground truth — which is exactly what the ORACLE states (the same "
+    "all-pairs inverted-index CTE as dedup_ngram_jaccard), making the "
+    "losslessness claim itself oracle-checked; the round-6 witness "
+    "test additionally replays the funnel from a pure-Python all-pairs "
+    "computation.  All counts integer.",
 )
 def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import dedup_ngram_jaccard
+    from .dedup import with_shingles
 
     d = load(spark, sf_dir, "documents")
     stage0 = d.select("doc_id", "n_chars")
@@ -587,7 +602,45 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_chars")
     )
-    jac = dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.65)
+    # prefix-filtered candidate pairs: per doc, index the p rarest shingles
+    # under the global (df, g) total order, p = |X| - ceil(t*|X|) + 1 at
+    # t=0.65 (lossless by the prefix-filtering principle); exact verify on
+    # hashed distinct shingle sets (64-bit collisions negligible, same
+    # equivalence dedup_minhash_lsh's verify step documents)
+    sh = with_shingles(d).select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
+    )
+    toks = sh.select("doc_id", F.size("hsh").alias("n_sh"), F.explode("hsh").alias("g"))
+    dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = W.partitionBy("doc_id").orderBy("df", "g")
+    prefix = (
+        toks.join(dfreq, "g")
+        .withColumn("r", F.row_number().over(w_doc))
+        .filter(F.col("r") <= F.col("n_sh") - F.ceil(0.65 * F.col("n_sh")) + 1)
+        .select("doc_id", "g")
+    )
+    pa_ = prefix.select(F.col("doc_id").alias("doc_a"), "g")
+    pb_ = prefix.select(F.col("doc_id").alias("doc_b"), "g")
+    cand = (
+        pa_.join(pb_, "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("sh_b"))
+    jacv = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))),
+        6,
+    )
+    jac = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jacv.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.65)
+    )
     s1a = stage1.select(F.col("doc_id").alias("doc_a"))
     s1b = stage1.select(F.col("doc_id").alias("doc_b"))
     neardrop = (

@@ -1330,13 +1330,11 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont = bi.groupBy("nxt").agg(F.count(F.lit(1)).alias("n1p_rev"))
     nbt = bi.agg(F.count(F.lit(1)).alias("nbt"))
-    top = (
-        bi.withColumn(
-            "rn", F.row_number().over(W.orderBy(F.col("cb").desc(), "w", "nxt"))
-        )
-        .filter(F.col("rn") <= 200)
-        .drop("rn")
-    )
+    # top-200 via orderBy+limit -> TakeOrderedAndProject: each partition of
+    # the bigram table keeps its local top-200, the driver merges — no
+    # global-sort window even when the bigram-TYPE table itself is huge
+    # (trillion-token corpora); same deterministic tiebreak as the oracle.
+    top = bi.orderBy(F.col("cb").desc(), "w", "nxt").limit(200)
     return (
         top.join(left_tot, "w")
         .join(cont, "nxt")

@@ -149,3 +149,50 @@ def test_secrets_scan_plants_jwt_and_entropy_gate(spark):
     for r in rows:
         assert r["entropy_unats"] == _shannon_unats(r["hit"])
         assert r["entropy_unats"] >= (0 if r["kind"] == "aws_access_key" else 1_500_000)
+
+
+def test_capped_candidate_funnel_equals_all_pairs(spark):
+    """The dedup pipeline's candidate rule (non-hub shingles only, df<=100)
+    must lose NO pair that the all-pairs ground truth finds at J>=0.65 —
+    a pair escapes only if every shared shingle is a hub, which does not
+    happen for genuinely near-duplicate text."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_to_bigquery_spark.operators.dedup import dedup_ngram_jaccard
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_ngram_jaccard(spark, SF).filter(F.col("jaccard") >= 0.65).collect()
+    }
+    funnel = {
+        r["stage"]: (r["n_docs"], r["total_chars"])
+        for r in queries()["curation_dedup_pipeline"](spark, SF).collect()
+    }
+    # recompute the funnel from the all-pairs ground truth in pure Python
+    docs = {
+        r["doc_id"]: (r["n_chars"], r["text"])
+        for r in spark.read.parquet(SF + "/documents.parquet").collect()
+    }
+    import hashlib
+    import re as _re
+
+    by_fp = {}
+    for doc_id in sorted(docs):
+        f = hashlib.md5(_re.sub(r"\s+", " ", docs[doc_id][1].lower()).strip().encode()).hexdigest()
+        by_fp.setdefault(f, doc_id)
+    stage1 = set(by_fp.values())
+    drop = {b for (a, b) in exact if a in stage1 and b in stage1}
+    stage2 = stage1 - drop
+    stage3 = {d for d in stage2 if 200 <= docs[d][0] <= 5000}
+    assert funnel["stage1_exact_dedup"] == (
+        len(stage1),
+        sum(docs[d][0] for d in stage1),
+    )
+    assert funnel["stage2_near_dedup"] == (
+        len(stage2),
+        sum(docs[d][0] for d in stage2),
+    )
+    assert funnel["stage3_quality"] == (
+        len(stage3),
+        sum(docs[d][0] for d in stage3),
+    )
