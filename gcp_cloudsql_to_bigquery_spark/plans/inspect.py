@@ -142,3 +142,48 @@ def unpartitioned_fact_window_count(df: DataFrame) -> int:
 
     walk(_unwrap_adaptive(df._jdf.queryExecution().executedPlan()))
     return bad
+
+
+def fact_cartesian_count(df: DataFrame) -> int:
+    """CartesianProductExec / BroadcastNestedLoopJoinExec nodes where BOTH
+    sides reach a datasource scan with no intervening aggregation/limit —
+    i.e. a genuinely quadratic fact-by-fact product.  Scalar binds (a
+    broadcast 1-row aggregate or a bounded plan table crossed onto a fact)
+    have an aggregate/LocalRelation on one side and are NOT counted.
+    Keeping this at zero registry-wide pins the claim that every crossJoin
+    in the engine is a bounded broadcast bind."""
+
+    def reaches_scan_without_agg(node) -> bool:
+        cls = node.getClass().getSimpleName()
+        if (
+            "Aggregate" in cls
+            or "Limit" in cls
+            or "TakeOrdered" in cls
+            or cls == "WindowGroupLimitExec"
+        ):
+            return False
+        if "Scan" in cls:
+            return True
+        ch = node.children()
+        return any(
+            reaches_scan_without_agg(_unwrap_adaptive(ch.apply(i)))
+            for i in range(ch.size())
+        )
+
+    bad = 0
+
+    def walk(node) -> None:
+        nonlocal bad
+        cls = node.getClass().getSimpleName()
+        if cls in ("CartesianProductExec", "BroadcastNestedLoopJoinExec"):
+            ch = node.children()
+            if ch.size() == 2 and all(
+                reaches_scan_without_agg(_unwrap_adaptive(ch.apply(i))) for i in range(2)
+            ):
+                bad += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(_unwrap_adaptive(ch.apply(i)))
+
+    walk(_unwrap_adaptive(df._jdf.queryExecution().executedPlan()))
+    return bad
