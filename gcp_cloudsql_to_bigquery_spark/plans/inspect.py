@@ -116,6 +116,10 @@ def unpartitioned_fact_window_count(df: DataFrame) -> int:
             or cls == "WindowGroupLimitExec"
         ):
             return False
+        if cls in ("LocalTableScanExec", "RDDScanExec"):
+            # createDataFrame literals (LocalTableScan, or ExistingRDD when
+            # the conversion takes the RDD path) — driver-local, bounded
+            return False
         if "Scan" in cls:  # FileSourceScanExec / BatchScanExec / RowDataSourceScanExec
             return True
         ch = node.children()
@@ -161,6 +165,10 @@ def fact_cartesian_count(df: DataFrame) -> int:
             or "TakeOrdered" in cls
             or cls == "WindowGroupLimitExec"
         ):
+            return False
+        if cls in ("LocalTableScanExec", "RDDScanExec"):
+            # createDataFrame literals (LocalTableScan, or ExistingRDD when
+            # the conversion takes the RDD path) — driver-local, bounded
             return False
         if "Scan" in cls:
             return True

@@ -449,3 +449,34 @@ def test_equidepth_histogram_no_ntile_no_global_sort(spark):
     assert "ntile" not in plan, plan
     assert "monotonically_increasing_id" in plan, plan
     assert "rangepartitioning(cents" in plan, plan
+
+
+def test_no_fact_by_fact_cartesian_registry_claim(spark):
+    """Pins the round-5 audit claim that every crossJoin / nested-loop join
+    in the engine is a bounded broadcast bind: the detector flags
+    CartesianProduct / BroadcastNestedLoopJoin nodes where BOTH sides are
+    unaggregated datasource scans.  Full-registry sweep (round 6) found
+    only the two allowlisted below."""
+    for q in (
+        "curation_dedup_pipeline",
+        "dedup_minhash_lsh",
+        "join_salted_skew",
+        "join_band_tiering",
+        "curation_importance_resampling",
+        "analytics_equidepth_histogram",
+    ):
+        df = queries()[q](spark, SF)
+        n = inspect.fact_cartesian_count(df)
+        assert n == 0, f"{q}: {n} fact-by-fact cartesian(s)"
+    # Allowlisted (bounded by the data model or a literal predicate,
+    # invisible to plan shape):
+    # - fn_ip_cidr_lookup probes a CIDR block table derived from the 25-row
+    #   nation DIMENSION; join_theta_range is the theta-join coverage entry
+    #   over two dims — both docstrings carry the at-scale caveat
+    #   (banded/bucketed fallback).
+    # - ann_ivfpq_topk's two BNLJs broadcast the anchor set literal-filtered
+    #   to 16 rows (vec_id < 16 pushed to the scan) — the IVF coarse
+    #   assignment IS corpus x k-centroids by design, with k fixed.
+    for q, expected in (("fn_ip_cidr_lookup", 1), ("join_theta_range", 1), ("ann_ivfpq_topk", 2)):
+        df = queries()[q](spark, SF)
+        assert inspect.fact_cartesian_count(df) == expected, q
