@@ -618,13 +618,19 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(dfreq, "g")
         .withColumn("r", F.row_number().over(w_doc))
         .filter(F.col("r") <= F.col("n_sh") - F.ceil(0.65 * F.col("n_sh")) + 1)
-        .select("doc_id", "g")
+        .select("doc_id", "n_sh", "g")
     )
-    pa_ = prefix.select(F.col("doc_id").alias("doc_a"), "g")
-    pb_ = prefix.select(F.col("doc_id").alias("doc_b"), "g")
+    pa_ = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "g")
+    pb_ = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
+    # length filter (also lossless: J>=t forces t*|B| <= |A|) prunes ~1/3
+    # of the prefix collisions BEFORE the distinct and the array verify
     cand = (
         pa_.join(pb_, "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") >= F.ceil(0.65 * F.col("nb")))
+            & (F.col("nb") >= F.ceil(0.65 * F.col("na")))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
