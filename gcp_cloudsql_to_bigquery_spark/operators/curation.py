@@ -596,11 +596,16 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage0 = d.select("doc_id", "n_chars")
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary"))
     wfp = W.partitionBy("f").orderBy("doc_id")
+    # stage1 feeds three funnel branches plus both neardrop semi-joins;
+    # without truncation Catalyst re-expands the whole subtree per consumer
+    # (20 scans of documents measured at r6).  (doc_id, n_chars) is 16
+    # bytes/row — materializing once beats five recomputes at any scale.
     stage1 = (
         d.select("doc_id", "n_chars", fp.alias("f"))
         .withColumn("rn", F.row_number().over(wfp))
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_chars")
+        .localCheckpoint()
     )
     # prefix-filtered candidate pairs: per doc, index the p rarest shingles
     # under the global (df, g) total order, p = |X| - ceil(t*|X|) + 1 at
@@ -649,11 +654,15 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1a = stage1.select(F.col("doc_id").alias("doc_a"))
     s1b = stage1.select(F.col("doc_id").alias("doc_b"))
+    # neardrop is the OUTPUT of the whole candidate+verify machinery and is
+    # consumed by the stage2 AND stage3 funnel branches — truncating here is
+    # what makes the expensive near-dedup run exactly once per action
     neardrop = (
         jac.join(s1a, "doc_a", "left_semi")
         .join(s1b, "doc_b", "left_semi")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        .localCheckpoint()
     )
     stage2 = stage1.join(neardrop, "doc_id", "left_anti")
     stage3 = stage2.filter(F.col("n_chars").between(200, 5000))
