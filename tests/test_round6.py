@@ -252,3 +252,81 @@ def test_hash_uniformity_chi2_matches_bruteforce(spark):
     assert r["spread"] == max(counts.values()) - min(counts.values())
     assert r["chi2_x1000"] == chi2
     assert r["uniform_at_p001"] == (chi2 < 111000)
+
+
+def test_weighted_sssp_matches_bruteforce(spark):
+    """The SSSP oracle replays the same bounded Bellman-Ford rounds as
+    unrolled SQL (replay-style) — this witness rebuilds the co-purchase
+    graph and runs an INDEPENDENT textbook Bellman-Ford in pure Python."""
+    import hashlib
+    from collections import defaultdict
+
+    li = spark.read.parquet(SF + "/lineitem.parquet").select("l_orderkey", "l_partkey")
+    o = spark.read.parquet(SF + "/orders.parquet").select("o_orderkey", "o_custkey")
+    rows = (
+        li.filter(li.l_partkey % 10 == 0)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_cust = defaultdict(set)
+    for r in rows:
+        by_cust[r["o_custkey"]].add(r["l_partkey"])
+    cooc = Counter()
+    for parts in by_cust.values():
+        ps = sorted(parts)
+        for i, pa in enumerate(ps):
+            for pb in ps[i + 1 :]:
+                cooc[(pa, pb)] += 1
+    adj = defaultdict(list)
+    for (pa, pb), c in cooc.items():
+        if c >= 2:
+            w = int(hashlib.md5(f"w:{pa}:{pb}".encode()).hexdigest()[:5], 16) % 90 + 10
+            adj[pa].append((pb, w))
+            adj[pb].append((pa, w))
+    seeds = [n for n in adj if n % 50 == 0]
+    dist = {n: 0 for n in seeds}
+    for _ in range(6):  # same round bound as the operator
+        nxt = dict(dist)
+        for u, du in dist.items():
+            for v, w in adj[u]:
+                if v not in nxt or du + w < nxt[v]:
+                    nxt[v] = du + w
+        dist = nxt
+    got = {
+        r["node"]: r["dist"] for r in queries()["graph_weighted_sssp"](spark, SF).collect()
+    }
+    assert got == dist
+
+
+def test_longest_streak_matches_bruteforce(spark):
+    """Gaps-and-islands witness: longest consecutive-day run per user from
+    a direct day-by-day walk."""
+    import datetime as dt
+    from collections import defaultdict
+
+    ev = spark.read.parquet(SF + "/events.parquet").select("user_id", "ts").collect()
+    days = defaultdict(set)
+    for r in ev:
+        days[r["user_id"]].add(r["ts"].date())
+    expect = {}
+    for u, ds in days.items():
+        best_len, best_start = 0, None
+        run_len, run_start, prev = 0, None, None
+        for d in sorted(ds):
+            if prev is not None and d == prev + dt.timedelta(days=1):
+                run_len += 1
+            else:
+                run_len, run_start = 1, d
+            # row_number tiebreak: earliest start wins at equal length
+            if run_len > best_len:
+                best_len, best_start = run_len, run_start
+            prev = d
+        if best_len >= 3:
+            expect[u] = (best_len, best_start, best_start + dt.timedelta(days=best_len - 1))
+    got = {
+        r["user_id"]: (r["streak_days"], r["start_day"], r["end_day"])
+        for r in queries()["analytics_longest_streak"](spark, SF).collect()
+    }
+    assert got == expect
