@@ -1,0 +1,83 @@
+"""Registry-wide physical-plan audit: build every query's plan (no
+execution) and check the two scale invariants introduced in round 6:
+
+1. no unpartitioned WindowExec fed by an unaggregated datasource scan
+   (the one-task global sort that caps at a single core no matter the
+   cluster — VERDICT r5 item 3);
+2. no CartesianProduct / BroadcastNestedLoopJoin with BOTH sides
+   unaggregated scans (a genuinely quadratic fact-by-fact product).
+
+Known-justified exceptions are allowlisted with reasons (kept in sync
+with tests/test_plans.py, which pins the same invariants in CI).
+
+Usage:  python scripts/plan_audit.py [--sf /root/testdata/sf0.001]
+Exit status 1 if any non-allowlisted violation is found.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# (query, invariant) -> expected count, with the justification
+ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
+    ("window_ntile_first_last", "window"): (
+        1,
+        "ntile WINDOW-FUNCTION coverage entry over the customer dimension; "
+        "documented single-reducer caveat, scale path is scale.distributed_ntile",
+    ),
+    ("fn_ip_cidr_lookup", "cartesian"): (
+        1,
+        "non-equi probe of a CIDR table derived from the 25-row nation dim",
+    ),
+    ("join_theta_range", "cartesian"): (
+        1,
+        "theta-join coverage entry over two bounded dims (supplier x nation)",
+    ),
+    ("ann_ivfpq_topk", "cartesian"): (
+        2,
+        "IVF coarse assignment: corpus x 16-row literal-filtered anchor set",
+    ),
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    from gcp_cloudsql_to_bigquery_spark.plans import inspect
+    from gcp_cloudsql_to_bigquery_spark.session import get_spark
+    from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+    spark = get_spark(app_name="plan_audit", master="local[8]", shuffle_partitions=8)
+    violations: list[str] = []
+    n_checked = 0
+    for name, fn in queries().items():
+        try:
+            df = fn(spark, args.sf)
+        except Exception as e:  # plan construction itself failed
+            violations.append(f"{name}: plan build error: {e}")
+            continue
+        n_checked += 1
+        for kind, count in (
+            ("window", inspect.unpartitioned_fact_window_count(df)),
+            ("cartesian", inspect.fact_cartesian_count(df)),
+        ):
+            expected, _why = ALLOWLIST.get((name, kind), (0, ""))
+            if count != expected:
+                violations.append(f"{name}: {kind}={count} (expected {expected})")
+    print(f"checked {n_checked} plans")
+    if violations:
+        for v in violations:
+            print("VIOLATION:", v)
+        return 1
+    print("all plan invariants hold (allowlist:",
+          ", ".join(f"{q}/{k}={n}" for (q, k), (n, _) in ALLOWLIST.items()) + ")")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

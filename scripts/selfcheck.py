@@ -108,6 +108,15 @@ def type_mismatches(con, sql: str, spark_schema) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--sample",
+        type=int,
+        default=0,
+        metavar="N",
+        help="check a random sample of N queries (seeded by --seed) instead "
+        "of the full registry — the advisor's spot-check workflow as a flag",
+    )
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -125,6 +134,10 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or list(qs)
+    if args.sample and not args.names:
+        import random
+
+        names = random.Random(args.seed).sample(names, min(args.sample, len(names)))
     n_pass = n_fail = n_rows_only = 0
     for name in names:
         t0 = time.time()
