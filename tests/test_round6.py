@@ -330,3 +330,59 @@ def test_longest_streak_matches_bruteforce(spark):
         for r in queries()["analytics_longest_streak"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_ntile_rank_formula_exhaustive():
+    """distributed_ntile derives the bucket from (rank, n_total) with pure
+    integer arithmetic — check it against SQL ntile semantics (first n%k
+    buckets one row larger) for every n in 1..400 and several k, i.e.
+    every rank of every size: an off-by-one here would silently misbin
+    boundary rows at any scale."""
+    for k in (2, 3, 4, 7, 10, 16):
+        for n in range(1, 401):
+            rem, q = n % k, n // k
+            # ground truth: sizes ceil for first rem buckets, floor after
+            truth = []
+            for b in range(1, k + 1):
+                truth.extend([b] * ((q + 1) if b <= rem else q))
+            for rn in range(1, n + 1):
+                if rn <= rem * (q + 1):
+                    bin_ = (rn - 1) // (q + 1) + 1
+                else:
+                    bin_ = rem + (rn - rem * (q + 1) - 1) // max(q, 1) + 1
+                assert bin_ == truth[rn - 1], (n, k, rn, bin_, truth[rn - 1])
+
+
+def test_prefix_filter_lossless_property():
+    """The PPJoin prefix rule used by curation_dedup_pipeline: with sets
+    ordered by a global (df, token) order and prefix length
+    |X| - ceil(t|X|) + 1, every pair with Jaccard >= t must collide on the
+    prefixes.  Randomized check over small universes — an off-by-one in
+    the prefix length silently drops borderline pairs (exactly the bug
+    class the df-cap attempt had)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    t = 0.65
+    for trial in range(300):
+        n_docs = rng.randint(2, 8)
+        universe = list(range(rng.randint(3, 12)))
+        docs = [
+            set(rng.sample(universe, rng.randint(1, len(universe))))
+            for _ in range(n_docs)
+        ]
+        df = Counter(g for d in docs for g in d)
+        order = sorted(universe, key=lambda g: (df[g], g))
+        pos = {g: i for i, g in enumerate(order)}
+        prefixes = []
+        for d in docs:
+            p = len(d) - math.ceil(t * len(d)) + 1
+            prefixes.append(set(sorted(d, key=lambda g: pos[g])[:p]))
+        for i, j in itertools.combinations(range(n_docs), 2):
+            inter = len(docs[i] & docs[j])
+            union = len(docs[i] | docs[j])
+            if union and inter / union >= t:
+                assert prefixes[i] & prefixes[j], (
+                    trial, sorted(docs[i]), sorted(docs[j]), inter / union
+                )
