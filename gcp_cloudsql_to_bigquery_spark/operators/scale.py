@@ -43,48 +43,90 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
-def distributed_ntile(
-    df: DataFrame, n_buckets: int, order_cols: list[str], out_col: str = "bin",
+def global_order_stats(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str | None = None,
     n_partitions: int = 32,
 ) -> DataFrame:
-    """Exact ``ntile(n_buckets) OVER (ORDER BY order_cols)`` WITHOUT the
-    single-reducer global-sort window (VERDICT r5 item 3's rank-walk remedy).
+    """Exact global ORDER-STATISTICS (rank, total, optional running sum)
+    WITHOUT any unpartitioned window — the building block behind
+    ``distributed_ntile`` and the distributed forms of Pareto/Gini/RFM
+    (VERDICT r5 item 3's rank-walk remedy, generalized).
 
-    Each row's exact global rank is computed distributed: repartitionByRange
-    gives cross-partition order, sortWithinPartitions orders inside each,
-    and ``monotonically_increasing_id`` — whose value is
-    ``(partition_index << 33) | row_index_in_partition`` assigned in stage
-    row order — yields (pid, 1-based local rank) with bit arithmetic, NO
-    WindowExec over the input at all.  A bounded one-row-per-partition
-    cumulative-offset table (the only global step) is broadcast back, and
-    the ntile bucket falls out of rank/total with pure integer arithmetic,
-    bit-identical to SQL ntile semantics (first n%k buckets one row
-    larger).  The input exchange is reused across the count/rank branches
-    (ReusedExchange), so the data is range-shuffled exactly once.
+    Appends to ``df``:
 
-    ``order_cols`` must be a total order (include a unique tiebreak key).
-    Appends ``out_col`` (bigint bucket in 1..n_buckets) to ``df``.
+    - ``_rn``      — 1-based exact global rank in the given sort order;
+    - ``_n_total`` — total row count;
+    - ``_cum``     — inclusive running sum of ``val_col`` (only if given).
+
+    How: repartitionByRange gives cross-partition order and
+    sortWithinPartitions orders inside each.  Without ``val_col``,
+    ``monotonically_increasing_id`` — ``(partition_index << 33) |
+    row_index_in_partition`` assigned in stage row order — yields (pid,
+    local rank) with bit arithmetic and NO WindowExec over the input at
+    all.  With ``val_col``, the per-row running sum needs one window, but
+    it is PARTITIONED by the range-partition id — 32 parallel groups, never
+    a single reducer.  Either way the only global step is the bounded
+    one-row-per-range-partition offsets table (row offset, sum offset,
+    total), broadcast back.  The input exchange is reused across the
+    stats/rank branches (ReusedExchange), so the data is range-shuffled
+    exactly once (+ the pid hash exchange when a running sum is needed).
+
+    ``order_cols`` may mix column names and Column sort orders (e.g.
+    ``F.col("cents").desc()``) and must be a total order (include a unique
+    tiebreak key).
     """
     from pyspark.sql import Window as W
 
+    sort_exprs = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     part = (
-        df.repartitionByRange(n_partitions, *order_cols)
-        .sortWithinPartitions(*order_cols)
+        df.repartitionByRange(n_partitions, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.expr("shiftright(_mid, 33)").cast("bigint"))
         .withColumn("_lrn", F.expr("_mid % shiftleft(1L, 33)") + 1)
     )
-    counts = part.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    aggs = [F.count(F.lit(1)).alias("_c")]
+    if val_col is not None:
+        aggs.append(F.sum(val_col).alias("_s"))
+    pstats = part.groupBy("_pid").agg(*aggs)
     w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     w_tot = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    offs = counts.select(  # bounded: one row per range partition
-        "_pid",
-        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    sel = [  # bounded: one row per range partition
+        F.col("_pid"),
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_roff"),
         F.sum("_c").over(w_tot).alias("_n_total"),
+    ]
+    if val_col is not None:
+        sel.append(F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_soff"))
+    offs = pstats.select(*sel)
+    out = part.join(F.broadcast(offs), "_pid").withColumn(
+        "_rn", F.col("_roff") + F.col("_lrn")
     )
-    ranked = part.join(F.broadcast(offs), "_pid").withColumn(
-        "_rn", F.col("_off") + F.col("_lrn")
-    )
+    drop = ["_mid", "_pid", "_lrn", "_roff"]
+    if val_col is not None:
+        w_in = (
+            W.partitionBy("_pid")
+            .orderBy(*sort_exprs)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        out = out.withColumn("_cum", F.col("_soff") + F.sum(val_col).over(w_in))
+        drop.append("_soff")
+    return out.drop(*drop)
+
+
+def distributed_ntile(
+    df: DataFrame, n_buckets: int, order_cols: list, out_col: str = "bin",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact ``ntile(n_buckets) OVER (ORDER BY order_cols)`` WITHOUT the
+    single-reducer global-sort window: the bucket falls out of
+    :func:`global_order_stats`'s (rank, total) with pure integer
+    arithmetic, bit-identical to SQL ntile semantics (first n%k buckets
+    one row larger; formula checked exhaustively in tests/test_round6.py).
+    Appends ``out_col`` (bigint bucket in 1..n_buckets) to ``df``."""
+    ranked = global_order_stats(df, order_cols, n_partitions=n_partitions)
     k = int(n_buckets)
     return ranked.withColumn(
         out_col,
@@ -94,7 +136,7 @@ def distributed_ntile(
             f"ELSE (_n_total % {k}) + (_rn - (_n_total % {k}) * (_n_total div {k} + 1) - 1) "
             f"div greatest(_n_total div {k}, 1) + 1 END"
         ).cast("bigint"),
-    ).drop("_mid", "_pid", "_lrn", "_off", "_n_total", "_rn")
+    ).drop("_n_total", "_rn")
 
 
 def salted_join(
