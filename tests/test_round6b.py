@@ -1,0 +1,125 @@
+"""Round-6 belt-and-braces witnesses: the last three complex tail queries
+with no pytest coverage (sec_impossible_travel, analytics_fifo_allocation,
+dq_population_stability) are all replay-style — both engines apply the
+same formula — so each gets a from-first-principles Python recomputation."""
+
+import hashlib
+import math
+from collections import defaultdict
+
+from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fifo_allocation_matches_explicit_walk(spark):
+    """The windowed identity alloc = min(qty, max(dem - prior, 0)) must
+    equal an explicit FIFO consumption loop over lots in (date, lot) order."""
+    li = (
+        spark.read.parquet(SF + "/lineitem.parquet")
+        .where("l_partkey % 40 = 0")
+        .select("l_partkey", "l_orderkey", "l_quantity", "l_shipdate")
+        .collect()
+    )
+    lots = defaultdict(list)
+    for r in li:
+        lots[r["l_partkey"]].append(
+            (r["l_shipdate"], r["l_orderkey"], int(r["l_quantity"]))
+        )
+    expect = {}
+    for pk, ls in lots.items():
+        remaining_demand = 15 * len(ls)
+        for d, lot, qty in sorted(ls):
+            alloc = min(qty, max(remaining_demand, 0))
+            boundary = 0 < remaining_demand <= qty
+            remaining_demand -= qty  # FIFO: every lot's qty consumes demand
+            expect[(pk, lot)] = (qty, alloc, qty - alloc, boundary)
+    got = {
+        (r["pk"], r["lot_id"]): (
+            r["qty"],
+            r["allocated"],
+            r["remaining"],
+            r["is_boundary_lot"],
+        )
+        for r in queries()["analytics_fifo_allocation"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def _axis(tag, event_id):
+    return int(hashlib.md5(f"{tag}{event_id}".encode()).hexdigest()[:5], 16) % 100000
+
+
+def test_impossible_travel_matches_bruteforce(spark):
+    from gcp_cloudsql_to_bigquery_spark.operators.quality import _TRAVEL_V2
+
+    ev = spark.read.parquet(SF + "/events.parquet").select(
+        "user_id", "event_id", "ts"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append((r["ts"], r["event_id"]))
+    expect = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        n_hops = n_imp = 0
+        worst = None
+        for (pts, pid), (ts, eid) in zip(evs, evs[1:]):
+            dt = int((ts - pts).total_seconds() * 1_000_000)
+            dx = _axis("gx:", eid) - _axis("gx:", pid)
+            dy = _axis("gy:", eid) - _axis("gy:", pid)
+            d2 = dx * dx + dy * dy
+            n_hops += 1
+            # exact integer compare, no sqrt: d2 * 1e12 > V2 * dt^2
+            if d2 * 10**12 > _TRAVEL_V2 * dt * dt:
+                n_imp += 1
+                worst = d2 if worst is None else max(worst, d2)
+        if n_hops:
+            expect[u] = (n_hops, n_imp, worst)
+    got = {
+        r["user_id"]: (r["n_hops"], r["n_impossible"], r["worst_d2"])
+        for r in queries()["sec_impossible_travel"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_population_stability_matches_bruteforce(spark):
+    rows = spark.read.parquet(SF + "/orders.parquet").select(
+        "o_totalprice", "o_orderdate"
+    ).collect()
+    import datetime as dt
+
+    cut = dt.datetime(1995, 1, 1)
+    vals = [
+        (math.floor(r["o_totalprice"] * 100 + 0.5), r["o_orderdate"] < cut)
+        for r in rows
+    ]
+    lo = min(c for c, _ in vals)
+    hi = max(c for c, _ in vals)
+    n_ref = defaultdict(int)
+    n_cur = defaultdict(int)
+    for c, is_ref in vals:
+        b = min(9, (c - lo) * 10 // (hi - lo + 1))
+        (n_ref if is_ref else n_cur)[b] += 1
+    bins = sorted(set(n_ref) | set(n_cur))
+    tr = sum(n_ref.values())
+    tc = sum(n_cur.values())
+    expect = {}
+    for b in bins:
+        p = (n_ref[b] + 1) / (tr + 10)
+        q = (n_cur[b] + 1) / (tc + 10)
+        expect[b] = (n_ref[b], n_cur[b], math.floor((p - q) * math.log(p / q) * 1e9 + 0.5))
+    got = {
+        r["bin"]: (r["n_ref"], r["n_cur"], r["term_x1e9"])
+        for r in queries()["dq_population_stability"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    total = 0
+    for b, (nr, nc, term) in expect.items():
+        gnr, gnc, gterm = got[b]
+        assert (gnr, gnc) == (nr, nc)
+        # independent float path: allow 1 nano-unit of quantization slack
+        assert abs(gterm - term) <= 1, (b, gterm, term)
+        total += gterm
+    psi = {r["psi_total_x1e9"] for r in queries()["dq_population_stability"](spark, SF).collect()}
+    assert psi == {total}
