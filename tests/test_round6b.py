@@ -123,3 +123,52 @@ def test_population_stability_matches_bruteforce(spark):
         total += gterm
     psi = {r["psi_total_x1e9"] for r in queries()["dq_population_stability"](spark, SF).collect()}
     assert psi == {total}
+
+
+def test_seasonal_strength_matches_bruteforce(spark):
+    """ts_seasonal_strength's oracle replays the identical quantized
+    detrend -> seasonal-mean -> residual pipeline — this witness recomputes
+    strength from first principles with the same 1e-9 quantization."""
+    ev = spark.read.parquet(SF + "/events.parquet").select("event_type", "ts").collect()
+    hourly = defaultdict(int)
+    for r in ev:
+        hourly[(r["event_type"], r["ts"].date(), r["ts"].hour)] += 1
+
+    def quant(v):
+        return math.floor(v * 1e9 + 0.5) / 1e9
+
+    daymean = defaultdict(lambda: (0.0, 0))
+    for (t, d, h), x in hourly.items():
+        s, c = daymean[(t, d)]
+        daymean[(t, d)] = (s + x, c + 1)
+    det = {(t, d, h): quant(x - daymean[(t, d)][0] / daymean[(t, d)][1])
+           for (t, d, h), x in hourly.items()}
+    seas_acc = defaultdict(lambda: (0.0, 0))
+    for (t, d, h), dt_ in det.items():
+        s, c = seas_acc[(t, h)]
+        seas_acc[(t, h)] = (s + dt_, c + 1)
+    seas = {k: quant(s / c) for k, (s, c) in seas_acc.items()}
+    per_type = defaultdict(lambda: [0, 0.0, 0.0])  # n_obs, sum r^2, sum dt^2
+    peak = {}
+    for (t, d, h), dt_ in det.items():
+        r = quant(dt_ - seas[(t, h)])
+        acc = per_type[t]
+        acc[0] += 1
+        acc[1] += r * r
+        acc[2] += dt_ * dt_
+    for (t, h), s_ in seas.items():
+        m = max(v for (tt, hh), v in seas.items() if tt == t)
+        if s_ == m and t not in peak:
+            peak[t] = min(hh for (tt, hh), v in seas.items() if tt == t and v == m)
+    got = {
+        r["event_type"]: (r["n_obs"], r["strength_ppm"], r["peak_hour"])
+        for r in queries()["ts_seasonal_strength"](spark, SF).collect()
+    }
+    assert set(got) == set(per_type)
+    for t, (n_obs, ss_r, ss_dt) in per_type.items():
+        strength = math.floor(max(0.0, 1.0 - ss_r / ss_dt) * 1e6 + 0.5)
+        gn, gs, gp = got[t]
+        assert gn == n_obs
+        # independent summation order: allow 1 micro-unit of slack
+        assert abs(gs - strength) <= 1, (t, gs, strength)
+        assert gp == peak[t]
