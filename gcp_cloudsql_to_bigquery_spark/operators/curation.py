@@ -590,7 +590,7 @@ def curation_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFram
     "computation.  All counts integer.",
 )
 def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import with_shingles
+    from .dedup import dedup_ngram_jaccard
 
     d = load(spark, sf_dir, "documents")
     stage0 = d.select("doc_id", "n_chars")
@@ -607,51 +607,10 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_chars")
         .localCheckpoint()
     )
-    # prefix-filtered candidate pairs: per doc, index the p rarest shingles
-    # under the global (df, g) total order, p = |X| - ceil(t*|X|) + 1 at
-    # t=0.65 (lossless by the prefix-filtering principle); exact verify on
-    # hashed distinct shingle sets (64-bit collisions negligible, same
-    # equivalence dedup_minhash_lsh's verify step documents)
-    sh = with_shingles(d).select(
-        "doc_id",
-        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
-    )
-    toks = sh.select("doc_id", F.size("hsh").alias("n_sh"), F.explode("hsh").alias("g"))
-    dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    w_doc = W.partitionBy("doc_id").orderBy("df", "g")
-    prefix = (
-        toks.join(dfreq, "g")
-        .withColumn("r", F.row_number().over(w_doc))
-        .filter(F.col("r") <= F.col("n_sh") - F.ceil(0.65 * F.col("n_sh")) + 1)
-        .select("doc_id", "n_sh", "g")
-    )
-    pa_ = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "g")
-    pb_ = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
-    # length filter (also lossless: J>=t forces t*|B| <= |A|) prunes ~1/3
-    # of the prefix collisions BEFORE the distinct and the array verify
-    cand = (
-        pa_.join(pb_, "g")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("na") >= F.ceil(0.65 * F.col("nb")))
-            & (F.col("nb") >= F.ceil(0.65 * F.col("na")))
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("sh_b"))
-    jacv = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))),
-        6,
-    )
-    jac = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jacv.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.65)
-    )
+    # near-dup pairs from the ground-truth operator, which is itself
+    # PPJoin prefix-filtered + exact-verified since r6
+    # (dedup.prefix_filtered_candidates — lossless, all-pairs oracle)
+    jac = dedup_ngram_jaccard(spark, sf_dir)
     s1a = stage1.select(F.col("doc_id").alias("doc_a"))
     s1b = stage1.select(F.col("doc_id").alias("doc_b"))
     # neardrop is the OUTPUT of the whole candidate+verify machinery and is

@@ -66,6 +66,48 @@ def with_shingles(docs: DataFrame) -> DataFrame:
     return docs.withColumn("shingles", F.expr(SHINGLE_EXPR))
 
 
+def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
+    """PPJoin-style LOSSLESS candidate pairs for Jaccard >= ``threshold``.
+
+    ``sh``: (doc_id, hsh = distinct hashed shingles).  Under the global
+    (df, g) shingle order, each doc indexes only its
+    ``|X| - ceil(t*|X|) + 1`` rarest shingles — the prefix-filtering
+    principle (Xiao et al., WWW'08) guarantees any pair with Jaccard >= t
+    collides on the prefixes (property-tested on randomized universes in
+    tests/test_round6.py), and the size-band length filter (J >= t forces
+    the two set sizes within a factor t) prunes further, also lossless.
+    Hub shingles almost never enter a prefix (the prefix is the RARE end
+    of each doc), so the df^2 fan-out of a full inverted-index self-join
+    disappears while the candidate set still covers every true pair —
+    exact verification on the candidates then reproduces ground truth
+    bit-for-bit, which the all-pairs oracles of the callers re-prove at
+    every selfcheck.
+    """
+    from pyspark.sql import Window as W
+
+    toks = sh.select("doc_id", F.size("hsh").alias("n_sh"), F.explode("hsh").alias("g"))
+    dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w_doc = W.partitionBy("doc_id").orderBy("df", "g")
+    prefix = (
+        toks.join(dfreq, "g")
+        .withColumn("r", F.row_number().over(w_doc))
+        .filter(F.col("r") <= F.col("n_sh") - F.ceil(threshold * F.col("n_sh")) + 1)
+        .select("doc_id", "n_sh", "g")
+    )
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "g")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
+    return (
+        pa.join(pb, "g")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("na") >= F.ceil(threshold * F.col("nb")))
+            & (F.col("nb") >= F.ceil(threshold * F.col("na")))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 # --- exact dedup ----------------------------------------------------------
 
 
@@ -97,32 +139,38 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_DUCK_JACPAIRS}
     SELECT doc_a, doc_b, jaccard FROM jacpairs WHERE jaccard >= 0.65
     """,
-    doc="Exact character-3-gram Jaccard near-dup (ground truth for LSH). "
-    "Implemented as inverted-index self-join (explode shingle → join on "
-    "shingle → count intersections), NOT an array cross-product: the join "
-    "shuffles on the shingle key, so it distributes; still quadratic in the "
-    "worst case — at scale this runs only on LSH candidates.",
+    doc="Exact character-3-gram Jaccard near-dup (ground truth for LSH), "
+    "computed scale-safely: PPJoin prefix-filtered candidates "
+    "(prefix_filtered_candidates — provably lossless at the 0.65 "
+    "threshold) + exact verify on the candidates' hashed distinct "
+    "shingle sets (64-bit collisions negligible, same equivalence the "
+    "minhash verify documents).  The ORACLE stays the pure all-pairs "
+    "inverted-index CTE, so every selfcheck re-proves the candidate "
+    "rule loses nothing; r6 replaced the full inverted-index self-join "
+    "whose hub-shingle df^2 fan-out was the documented quadratic "
+    "worst case.  The verify joins key on high-cardinality doc ids and "
+    "the corpus-sized shingle table is never hint-broadcast.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = with_shingles(load(spark, sf_dir, "documents"))
-    sizes = d.select("doc_id", F.size("shingles").alias("n_sh"))
-    toks = d.select("doc_id", F.explode("shingles").alias("sh"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cand = prefix_filtered_candidates(sh, 0.65)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("sh_b"))
     jac = F.round(
-        F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / (
+            F.size("sh_a")
+            + F.size("sh_b")
+            - F.size(F.array_intersect("sh_a", "sh_b"))
+        ),
+        6,
     )
-    # the per-doc size table is corpus-sized (one row per doc) — never
-    # hint-broadcast it; the equi-joins key on high-cardinality doc ids.
     return (
-        inter.join(sa, "doc_a")
+        cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.65)

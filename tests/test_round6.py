@@ -156,23 +156,29 @@ def test_capped_candidate_funnel_equals_all_pairs(spark):
     must lose NO pair that the all-pairs ground truth finds at J>=0.65 —
     a pair escapes only if every shared shingle is a hub, which does not
     happen for genuinely near-duplicate text."""
-    from pyspark.sql import functions as F
-
-    from gcp_cloudsql_to_bigquery_spark.operators.dedup import dedup_ngram_jaccard
-
-    exact = {
-        (r["doc_a"], r["doc_b"])
-        for r in dedup_ngram_jaccard(spark, SF).filter(F.col("jaccard") >= 0.65).collect()
-    }
     funnel = {
         r["stage"]: (r["n_docs"], r["total_chars"])
         for r in queries()["curation_dedup_pipeline"](spark, SF).collect()
     }
-    # recompute the funnel from the all-pairs ground truth in pure Python
+    # recompute the funnel from PURE-PYTHON all-pairs ground truth —
+    # independent of BOTH the pipeline and dedup_ngram_jaccard (which now
+    # share the prefix-filter candidate rule)
     docs = {
         r["doc_id"]: (r["n_chars"], r["text"])
         for r in spark.read.parquet(SF + "/documents.parquet").collect()
     }
+    import itertools
+
+    shingle_sets = {
+        did: {t[i : i + 3] for i in range(max(len(t) - 2, 1))}
+        for did, (_, t) in docs.items()
+    }
+    exact = set()
+    for a, b in itertools.combinations(sorted(docs), 2):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        inter = len(sa & sb)
+        if inter and round(inter / (len(sa) + len(sb) - inter), 6) >= 0.65:
+            exact.add((a, b))
     import hashlib
     import re as _re
 
