@@ -172,3 +172,74 @@ def test_seasonal_strength_matches_bruteforce(spark):
         # independent summation order: allow 1 micro-unit of slack
         assert abs(gs - strength) <= 1, (t, gs, strength)
         assert gp == peak[t]
+
+
+def _hourly_cents(spark):
+    ev = spark.read.parquet(SF + "/events.parquet").select(
+        "event_type", "ts", "value"
+    ).collect()
+    hourly = defaultdict(int)
+    for r in ev:
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        hourly[(r["event_type"], h)] += math.floor(r["value"] * 100 + 0.5)
+    return hourly
+
+
+def test_autocorrelation_matches_bruteforce(spark):
+    """Pearson ACF at lags 1 and 24 over the hourly cents series,
+    recomputed from the raw moment sums in pure Python."""
+    hourly = _hourly_cents(spark)
+    series = defaultdict(list)
+    for (t, h), c in sorted(hourly.items()):
+        series[t].append(c)
+    expect = {}
+    for t, xs in series.items():
+        for k in (1, 24):
+            pairs = [(xs[i], xs[i - k]) for i in range(k, len(xs))]
+            if not pairs:
+                continue
+            n = len(pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            sxy = sum(x * y for x, y in pairs)
+            sxx = sum(x * x for x, _ in pairs)
+            syy = sum(y * y for _, y in pairs)
+            r = (n * sxy - sx * sy) / math.sqrt(
+                (n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)
+            )
+            expect[(t, k)] = (n, math.floor(r * 1e6 + 0.5))
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf_x1e6"])
+        for r in queries()["ts_autocorrelation"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, acf) in expect.items():
+        gn, gacf = got[k]
+        assert gn == n
+        assert abs(gacf - acf) <= 1, (k, gacf, acf)  # independent float path
+
+
+def test_ma_decompose_matches_bruteforce(spark):
+    """Centered 25-hour moving-average detrend + hour-of-day seasonal
+    means, all in rounded integer cents, recomputed directly."""
+    hourly = _hourly_cents(spark)
+    series = defaultdict(list)
+    for (t, h), c in sorted(hourly.items()):
+        series[t].append((h, c))
+    resids = defaultdict(list)  # (type, hour-of-day) -> residuals
+    for t, pts in series.items():
+        for i in range(12, len(pts) - 12):
+            window = [c for _, c in pts[i - 12 : i + 13]]
+            wsum, wn = sum(window), 25
+            trend = (2 * wsum + wn) // (2 * wn)  # round-half-up integer mean
+            h, c = pts[i]
+            resids[(t, h.hour)].append(c - trend)
+    expect = {
+        k: (len(v), math.floor((2 * sum(v) + len(v)) / (2.0 * len(v))))
+        for k, v in resids.items()
+    }
+    got = {
+        (r["event_type"], r["hod"]): (r["n"], r["seasonal_cents"])
+        for r in queries()["ts_ma_decompose"](spark, SF).collect()
+    }
+    assert got == expect
