@@ -243,3 +243,84 @@ def test_ma_decompose_matches_bruteforce(spark):
         for r in queries()["ts_ma_decompose"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_seasonal_profile_matches_bruteforce(spark):
+    """Hour-of-day profile: integer-rounded mean cents and each hour's
+    1e-6 share of its type's profile total, recomputed directly."""
+    hourly = _hourly_cents(spark)
+    acc = defaultdict(lambda: (0, 0))  # (type, hod) -> (sum, n)
+    for (t, h), c in hourly.items():
+        s, n = acc[(t, h.hour)]
+        acc[(t, h.hour)] = (s + c, n + 1)
+    avg = {k: (n, math.floor(s / n * 100 + 0.5)) for k, (s, n) in acc.items()}
+    tot = defaultdict(int)
+    for (t, _), (_, a) in avg.items():
+        tot[t] += a
+    got = {
+        (r["event_type"], r["hod"]): (r["n_obs"], r["avg_cents_x100"], r["share_x1e6"])
+        for r in queries()["ts_seasonal_profile"](spark, SF).collect()
+    }
+    assert set(got) == set(avg)
+    for k, (n, a) in avg.items():
+        share = math.floor(a / tot[k[0]] * 1e6 + 0.5)
+        gn, ga, gs = got[k]
+        assert (gn, ga) == (n, a)
+        assert abs(gs - share) <= 1, (k, gs, share)
+
+
+def test_novelty_rate_matches_bruteforce(spark):
+    """First-seen 5-gram novelty per doc (min-doc_id ownership), exact
+    integer ppm, recomputed with plain dict bookkeeping."""
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(SF + "/documents.parquet").collect()
+        if len(r["text"]) > 0
+    )
+    gram_sets = {}
+    for did, text in docs:
+        toks = text.lower().split(" ")
+        n = max(len(toks) - 4, 1)
+        gram_sets[did] = {" ".join(toks[i : i + 5]) for i in range(n)}
+    first = {}
+    for did in sorted(gram_sets):
+        for g in gram_sets[did]:
+            first.setdefault(g, did)
+    expect = {}
+    for did, gs in gram_sets.items():
+        total = len(gs)
+        novel = sum(1 for g in gs if first[g] == did)
+        expect[did] = (total, novel, (2 * 1_000_000 * novel + total) // (2 * total))
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty_ppm"])
+        for r in queries()["text_novelty_rate"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_quantize_int8_matches_bruteforce(spark):
+    """Symmetric int8 quantization: per-vector abs-max scale, round-half-up
+    codes, max reconstruction error — recomputed in numpy-free Python."""
+    rows = spark.read.parquet(SF + "/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    expect = {}
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        scale = max(abs(x) for x in v)
+        q = [math.floor(x / scale * 127 + 0.5) for x in v]
+        err = max(abs(x - qi * scale / 127) for x, qi in zip(v, q))
+        expect[r["vec_id"]] = (
+            math.floor(scale * 1e6 + 0.5),
+            ",".join(str(int(c)) for c in q),
+            math.floor(err * 1e6 + 0.5),
+        )
+    got = {
+        r["vec_id"]: (r["scale_micro"], r["q"], r["err_micro"])
+        for r in queries()["embedding_quantize_int8"](spark, SF).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (sm, q, em) in expect.items():
+        gsm, gq, gem = got[k]
+        assert gq == q, k
+        assert abs(gsm - sm) <= 1 and abs(gem - em) <= 1, (k, gsm, sm, gem, em)
