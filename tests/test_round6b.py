@@ -324,3 +324,93 @@ def test_quantize_int8_matches_bruteforce(spark):
         gsm, gq, gem = got[k]
         assert gq == q, k
         assert abs(gsm - sm) <= 1 and abs(gem - em) <= 1, (k, gsm, sm, gem, em)
+
+
+def test_l_diversity_matches_bruteforce(spark):
+    import re as _re  # noqa: F401  (kept for symmetry with other witnesses)
+
+    rows = spark.read.parquet(SF + "/customer.parquet").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    cls = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        sens = math.floor(r["c_acctbal"] / 1000)
+        cls[(r["c_nationkey"], r["c_mktsegment"])][sens] += 1
+    expect = {}
+    for k, sens_counts in cls.items():
+        size = sum(sens_counts.values())
+        l_d = len(sens_counts)
+        expect[k] = (
+            size,
+            l_d,
+            l_d >= 3,
+            math.floor(max(sens_counts.values()) * 1_000_000.0 / size + 0.5),
+        )
+    got = {
+        (r["c_nationkey"], r["c_mktsegment"]): (
+            r["class_size"], r["l_distinct"], r["meets_l"], r["top_share_ppm"],
+        )
+        for r in queries()["sec_l_diversity_audit"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_sample_weights_export_matches_bruteforce(spark):
+    import re as _re
+
+    rows = spark.read.parquet(SF + "/documents.parquet").select(
+        "doc_id", "source", "n_chars", "text"
+    ).collect()
+    fp = {
+        r["doc_id"]: hashlib.md5(
+            _re.sub(r"\s+", " ", r["text"].lower()).strip().encode()
+        ).hexdigest()
+        for r in rows
+    }
+    keeper_of = {}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        keeper_of.setdefault(fp[r["doc_id"]], r["doc_id"])
+    chars = defaultdict(int)
+    for r in rows:
+        chars[r["source"]] += r["n_chars"]
+    tw = sum(c ** 0.7 for c in chars.values())
+    mix = {s: math.floor(c ** 0.7 / tw * 1e6 + 0.5) for s, c in chars.items()}
+    expect = {}
+    for r in rows:
+        is_keeper = keeper_of[fp[r["doc_id"]]] == r["doc_id"]
+        quality = 200 <= r["n_chars"] <= 5000
+        w = 0 if not is_keeper else (mix[r["source"]] * 2 if quality else mix[r["source"]])
+        expect[r["doc_id"]] = (w, is_keeper, quality)
+    got = {
+        r["doc_id"]: (r["weight_ppm2"], r["is_keeper"], r["quality_pass"])
+        for r in queries()["curation_sample_weights_export"](spark, SF).collect()
+    }
+    assert got == expect
+
+
+def test_lang_confusion_crosstab_math(spark):
+    """Witnesses the confusion-matrix arithmetic (counts + exact ppm
+    shares + the binary-correctness flag) against the langid operator's
+    own predictions collected once — langid's heuristic itself is covered
+    by its oracle differential."""
+    from gcp_cloudsql_to_bigquery_spark.operators.text import text_langid
+
+    pred = [
+        (r["lang"], r["pred_lang"])
+        for r in text_langid(spark, SF).select("lang", "pred_lang").collect()
+    ]
+    n_total = len(pred)
+    cm = defaultdict(int)
+    for a, p in pred:
+        cm[(a, p)] += 1
+    expect = {
+        k: (n, (a == "en") == (p == "en"), (2 * 1_000_000 * n + n_total) // (2 * n_total))
+        for (a, p), n in cm.items()
+        for k in [(a, p)]
+        for a, p in [k]
+    }
+    got = {
+        (r["actual"], r["pred_lang"]): (r["n"], r["correct"], r["share_ppm"])
+        for r in queries()["text_lang_confusion"](spark, SF).collect()
+    }
+    assert got == expect
