@@ -414,3 +414,74 @@ def test_lang_confusion_crosstab_math(spark):
         for r in queries()["text_lang_confusion"](spark, SF).collect()
     }
     assert got == expect
+
+
+def test_linear_attribution_matches_bruteforce(spark):
+    """7-day-lookback linear attribution: per purchase, all prior
+    view/click/signup touches split the cents equally (exact round-half-up
+    micro-cents) — recomputed with explicit loops."""
+    import datetime as dt
+
+    ev = spark.read.parquet(SF + "/events.parquet").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    ).collect()
+    touches = defaultdict(list)
+    convs = []
+    for r in ev:
+        if r["event_type"] in ("view", "click", "signup"):
+            touches[r["user_id"]].append((r["ts"], r["event_id"], r["event_type"]))
+        elif r["event_type"] == "purchase":
+            convs.append(
+                (r["user_id"], r["ts"], r["event_id"], math.floor(r["value"] * 100 + 0.5))
+            )
+    n_credits = defaultdict(int)
+    credited = defaultdict(int)
+    week = dt.timedelta(days=7)
+    for u, cts, cid, cents in convs:
+        tset = [
+            ch
+            for (tts, tid, ch) in touches.get(u, [])
+            if (tts < cts or (tts == cts and tid < cid)) and tts > cts - week
+        ]
+        n = len(tset)
+        for ch in tset:
+            n_credits[ch] += 1
+            credited[ch] += (2 * 1_000_000 * cents + n) // (2 * n)
+    got = {
+        r["channel"]: (r["n_credits"], r["credited_microcents"])
+        for r in queries()["analytics_attribution_linear"](spark, SF).collect()
+    }
+    assert got == {ch: (n_credits[ch], credited[ch]) for ch in n_credits}
+
+
+def test_duplicate_payments_matches_bruteforce(spark):
+    """Same-customer same-price-band order pairs within a year, explicit
+    double loop per customer."""
+    import itertools
+
+    rows = spark.read.parquet(SF + "/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    by_cust = defaultdict(list)
+    for r in rows:
+        by_cust[r["o_custkey"]].append(
+            (
+                r["o_orderkey"],
+                math.floor(r["o_totalprice"] / 100),
+                math.floor(r["o_totalprice"] * 100 + 0.5),
+                r["o_orderdate"].date(),
+            )
+        )
+    expect = set()
+    for ck, orders in by_cust.items():
+        for (ok1, b1, c1, d1), (ok2, b2, c2, d2) in itertools.permutations(orders, 2):
+            if ok1 < ok2 and b1 == b2 and abs((d2 - d1).days) <= 365:
+                expect.add((ck, ok1, ok2, b1, c1, c2, (d2 - d1).days))
+    got = {
+        (
+            r["custkey"], r["order_a"], r["order_b"], r["band"],
+            r["cents_a"], r["cents_b"], r["days_apart"],
+        )
+        for r in queries()["dq_duplicate_payments"](spark, SF).collect()
+    }
+    assert got == expect
