@@ -82,8 +82,20 @@ def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     exact verification on the candidates then reproduces ground truth
     bit-for-bit, which the all-pairs oracles of the callers re-prove at
     every selfcheck.
+
+    ceil(t*n) is computed as ceil(round(t*n, 9)): when t*n is exactly
+    integral in the rationals (e.g. t=0.65, n=20 → 13) the raw double
+    product can land epsilon ABOVE the integer, pushing ceil up by one,
+    shortening the prefix, and silently dropping borderline true pairs.
+    Rounding to 9 decimals first collapses that epsilon while leaving
+    every genuinely fractional product (>= 1e-9 from an integer for any
+    practical t, n) untouched, so losslessness holds for arbitrary
+    thresholds, not just the shipped 0.65.
     """
     from pyspark.sql import Window as W
+
+    def _ceil_tn(n: "F.Column") -> "F.Column":
+        return F.ceil(F.round(F.lit(threshold) * n, 9))
 
     toks = sh.select("doc_id", F.size("hsh").alias("n_sh"), F.explode("hsh").alias("g"))
     dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -91,7 +103,7 @@ def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     prefix = (
         toks.join(dfreq, "g")
         .withColumn("r", F.row_number().over(w_doc))
-        .filter(F.col("r") <= F.col("n_sh") - F.ceil(threshold * F.col("n_sh")) + 1)
+        .filter(F.col("r") <= F.col("n_sh") - _ceil_tn(F.col("n_sh")) + 1)
         .select("doc_id", "n_sh", "g")
     )
     pa = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "g")
@@ -100,8 +112,8 @@ def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         pa.join(pb, "g")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("na") >= F.ceil(threshold * F.col("nb")))
-            & (F.col("nb") >= F.ceil(threshold * F.col("na")))
+            & (F.col("na") >= _ceil_tn(F.col("nb")))
+            & (F.col("nb") >= _ceil_tn(F.col("na")))
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -495,8 +507,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Embedding-cosine near-dup: all pairs ≥ 0.4 cosine via the "
     "size-adaptive GEMM kernel (similarity.pairwise_cosine) — corpus "
     "broadcast + zero-shuffle map pass while N·d·8 fits executor memory, "
-    "blocked block-pair GEMM beyond that. At scale the anchor-LSH bucketing "
-    "runs in front of the dense kernel either way.",
+    "blocked block-pair GEMM beyond that (dispatch pinned past the cap in "
+    "tests/test_scale.py: no corpus broadcast, FlatMapGroupsInPandas "
+    "block-pair plan engages). The blocked kernel bounds MEMORY, not WORK "
+    "— the task as registered is inherently O(N²·d) because its oracle is "
+    "exact all-pairs. THE 100 TB RECIPE is to compose bucketing in front "
+    "and run this dense kernel per bucket: (1) assign each vector to an "
+    "anchor cell exactly as ann_anchor_lsh (similarity.py) / "
+    "dedup_semdedup's k-means cells do — broadcast the small anchor/"
+    "centroid matrix, one map pass; (2) groupBy(cell) and run THIS "
+    "blocked GEMM inside each cell (blocked_pairwise_cosine is already "
+    "the per-bucket kernel — see its docstring); (3) accept the "
+    "candidate-recall/exactness trade the bucketing implies, or multi-"
+    "probe neighboring cells to tighten it. That composition changes the "
+    "result contract (bucketed ≠ exact all-pairs), which is why it is a "
+    "separate registered query family, not a flag here.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import pairwise_cosine, parquet_corpus_hint

@@ -48,6 +48,7 @@ def global_order_stats(
     order_cols: list,
     val_col: str | None = None,
     n_partitions: int = 32,
+    _capacity_rows: int = 1 << 33,
 ) -> DataFrame:
     """Exact global ORDER-STATISTICS (rank, total, optional running sum)
     WITHOUT any unpartitioned window — the building block behind
@@ -76,6 +77,17 @@ def global_order_stats(
     ``order_cols`` may mix column names and Column sort orders (e.g.
     ``F.col("cents").desc()``) and must be a total order (include a unique
     tiebreak key).
+
+    **Capacity bound**: the ``monotonically_increasing_id`` bit-decode
+    assumes < 2^33 rows (~8.6e9) per range partition — Spark's own id
+    layout (33 low bits of per-partition counter).  With the default
+    ``n_partitions=32`` that is ~2.7e11 total rows; beyond it, scale
+    ``n_partitions`` with input size (rows / 1e9 is a safe rule — range
+    partitions stay far under the bound and the offsets table stays
+    trivially broadcastable even at 10^5 partitions).  The bound is
+    ENFORCED, not silent: a JVM-side ``assert_true`` over the bounded
+    per-partition counts fails the job loudly instead of returning a
+    wrong rank (tests/test_scale.py pins both directions).
     """
     from pyspark.sql import Window as W
 
@@ -93,9 +105,25 @@ def global_order_stats(
     pstats = part.groupBy("_pid").agg(*aggs)
     w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     w_tot = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # loud capacity guard: monotonically_increasing_id keeps only 33 bits of
+    # per-partition counter, so a range partition past 2^33 rows would wrap
+    # into the partition-index bits and silently corrupt ranks.  The assert
+    # is folded into _roff (a column every output row consumes) so Catalyst
+    # cannot prune it away; it still evaluates only over the bounded
+    # one-row-per-partition stats — zero extra jobs.
+    guard = F.assert_true(
+        F.col("_c") < F.lit(_capacity_rows),
+        F.lit(
+            "global_order_stats: a range partition exceeds 2^33 rows; "
+            "monotonically_increasing_id bit-decode would wrap — "
+            "raise n_partitions (~rows/1e9 is safe)"
+        ),
+    )
     sel = [  # bounded: one row per range partition
         F.col("_pid"),
-        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_roff"),
+        F.when(
+            guard.isNull(), F.coalesce(F.sum("_c").over(w_off), F.lit(0))
+        ).alias("_roff"),
         F.sum("_c").over(w_tot).alias("_n_total"),
     ]
     if val_col is not None:

@@ -1,5 +1,15 @@
-"""Registry-wide physical-plan audit: build every query's plan (no
-execution) and check the two scale invariants introduced in round 6:
+"""Registry-wide physical-plan audit: build every query's plan and check
+the two scale invariants introduced in round 6.
+
+Plan *building* is lazy for almost every query, but NOT all: queries that
+call eager ``localCheckpoint`` (notably ``curation_dedup_pipeline``)
+materialize real multi-second computation at plan-build time, so a full
+audit run executes those jobs and takes minutes, not seconds.  That is
+accepted here — the checkpointed plan is the plan that ships, and
+auditing a lazy variant would audit a different (20-scan) plan than
+production runs.
+
+Invariants:
 
 1. no unpartitioned WindowExec fed by an unaggregated datasource scan
    (the one-task global sort that caps at a single core no matter the

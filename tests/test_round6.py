@@ -152,10 +152,12 @@ def test_secrets_scan_plants_jwt_and_entropy_gate(spark):
 
 
 def test_capped_candidate_funnel_equals_all_pairs(spark):
-    """The dedup pipeline's candidate rule (non-hub shingles only, df<=100)
-    must lose NO pair that the all-pairs ground truth finds at J>=0.65 —
-    a pair escapes only if every shared shingle is a hub, which does not
-    happen for genuinely near-duplicate text."""
+    """The dedup pipeline's candidate rule (PPJoin prefix filtering: each
+    doc indexes its |X| - ceil(t*|X|) + 1 rarest shingles, plus the
+    size-band length filter) must lose NO pair that the all-pairs ground
+    truth finds at J>=0.65 — prefix filtering is provably lossless (Xiao
+    et al., WWW'08; property-tested on random universes below), so any
+    miss here means the implementation diverged from the principle."""
     funnel = {
         r["stage"]: (r["n_docs"], r["total_chars"])
         for r in queries()["curation_dedup_pipeline"](spark, SF).collect()

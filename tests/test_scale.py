@@ -276,3 +276,80 @@ def test_dynamic_partition_pruning_on_date_layout(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_pairwise_cosine_dispatch_blocked_past_broadcast_cap(spark):
+    """VERDICT r6 item 3: pin the size-adaptive cosine dispatch in BOTH
+    directions.  Past the broadcast cap the blocked block-pair GEMM must
+    engage — the plan is the applyInPandas FlatMapGroupsInPandas over
+    (ba, bb) block pairs and contains NO corpus-broadcast MapInPandas;
+    under the cap it is the reverse.  Both kernels must return identical
+    pairs (drop-in interchangeable), which is what lets the registered
+    dedup_embedding_cosine keep one oracle across the size regimes."""
+    from gcp_cloudsql_to_bigquery_spark.operators.similarity import (
+        pairwise_cosine,
+        parquet_corpus_hint,
+    )
+    from gcp_cloudsql_to_bigquery_spark.plans.inspect import physical_plan
+
+    e = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    hint = parquet_corpus_hint(SF)
+    n, dim = hint
+    assert n > 0 and dim > 0
+
+    # corpus "fits" -> broadcast kernel: map-side pass, no block-pair groupBy
+    under = pairwise_cosine(e, threshold=0.4, n_blocks=4, size_hint=hint,
+                            broadcast_cap_bytes=n * dim * 8 + 1)
+    p_under = physical_plan(under)
+    assert "MapInPandas" in p_under
+    assert "FlatMapGroupsInPandas" not in p_under
+
+    # corpus "exceeds" the cap -> blocked kernel MUST engage: block-pair
+    # FlatMapGroupsInPandas, and no whole-corpus broadcast map pass
+    over = pairwise_cosine(e, threshold=0.4, n_blocks=4, size_hint=hint,
+                           broadcast_cap_bytes=n * dim * 8 - 1)
+    p_over = physical_plan(over)
+    assert "FlatMapGroupsInPandas" in p_over
+    assert "MapInPandas" not in p_over
+
+    # drop-in interchangeable: identical pair sets at 6dp
+    got_u = {(r.vec_a, r.vec_b, r.cosine) for r in under.collect()}
+    got_o = {(r.vec_a, r.vec_b, r.cosine) for r in over.collect()}
+    assert got_u == got_o and got_u
+
+
+def test_global_order_stats_capacity_guard(spark):
+    """The monotonically_increasing_id bit-decode in global_order_stats is
+    only valid below 2^33 rows per range partition; past it the rank would
+    silently corrupt (ADVICE r6).  The guard must (a) fail LOUDLY when a
+    partition exceeds the capacity — simulated by shrinking the private
+    _capacity_rows bound — and (b) cost nothing on the normal path (ranks
+    exact, guard evaluated only over the bounded per-partition stats)."""
+    from gcp_cloudsql_to_bigquery_spark.operators.scale import global_order_stats
+
+    df = load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+
+    # (b) normal path: exact global ranks, guard invisible
+    out = global_order_stats(df, [F.col("o_totalprice").desc(), "o_orderkey"])
+    rows = out.select("o_orderkey", "_rn", "_n_total").collect()
+    n = df.count()
+    assert all(r._n_total == n for r in rows)
+    assert sorted(r._rn for r in rows) == list(range(1, n + 1))
+    want = [
+        r.o_orderkey
+        for r in df.orderBy(F.col("o_totalprice").desc(), "o_orderkey").collect()
+    ]
+    got = [r.o_orderkey for r in sorted(rows, key=lambda r: r._rn)]
+    assert got == want
+
+    # (a) capacity exceeded -> loud JVM-side failure, not a wrong rank
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    bad = global_order_stats(
+        df, [F.col("o_totalprice").desc(), "o_orderkey"],
+        n_partitions=2, _capacity_rows=4,
+    )
+    with pytest.raises(SparkRuntimeException, match="exceeds 2\\^33 rows"):
+        bad.collect()
