@@ -128,6 +128,21 @@ def warehouse_write(
     datasource loader.
     """
     fmt = fmt or os.environ.get("SPARK_GRAFT_WAREHOUSE_FORMAT")
+    if fmt == "bigquery":
+        # validated connector option assembly (sources/bigquery.py): the
+        # reference's WRITE_TRUNCATE load job is mode("overwrite") + the
+        # documented option set; a bucket in `options` selects the
+        # reference-faithful indirect (stage-to-GCS) method.
+        from ..sources.bigquery import bigquery_writer
+
+        opts = dict(options or {})
+        bucket = opts.pop("temporaryGcsBucket", None)
+        method = opts.pop("writeMethod", "indirect" if bucket else "direct")
+        bigquery_writer(
+            df, table, mode=mode, write_method=method,
+            temporary_gcs_bucket=bucket, extra=opts,
+        ).save()
+        return
     if fmt and fmt != "hive":
         writer = df.write.format(fmt).mode(mode)
         for k, v in (options or {}).items():

@@ -299,6 +299,78 @@ def dir_parquet_bytes(path: str) -> int:
     return total
 
 
+def retention_sweep(
+    spark: SparkSession,
+    base_path: str,
+    max_age_days: int,
+    as_of,
+    dry_run: bool = True,
+    partition_col: str = "export_date",
+) -> list[dict]:
+    """TTL enforcement over a date-partitioned layout (SURVEY.md §2A #26).
+
+    The reference delegates this to a GCS lifecycle rule
+    (``/root/reference/main.tf:72-79``: ``action {type = "Delete"},
+    condition {age = 32}``); ``elt_storage_tiering_plan`` already covers
+    the DECISION half (which partitions are hot/warm/expired).  This is
+    the enforcement half: delete ``<partition_col>=YYYY-MM-DD`` partition
+    directories strictly older than ``max_age_days`` relative to
+    ``as_of`` (a ``datetime.date`` — explicit, so runs are reproducible
+    and testable; lifecycle rules evaluate against "now" implicitly).
+
+    Safety model, in order:
+
+    - **dry-run first is the default** — ``dry_run=True`` only reports;
+      the caller re-invokes with ``dry_run=False`` after reviewing.
+    - deletion is PARTITION-granular (whole directories whose key parses
+      as a date); unparseable directory names are reported with action
+      ``"skipped_unparseable"`` and never deleted — a malformed layout
+      degrades to a report, not data loss.
+    - everything goes through the Hadoop ``FileSystem`` API resolved from
+      ``base_path`` itself, so the same code sweeps ``file:``, ``hdfs:``
+      or object-store (``gs:``/``s3a:``) layouts on a real cluster.
+
+    Returns one report dict per partition: ``partition`` (dir name),
+    ``age_days``, ``bytes``, ``action`` in ``{"kept", "deleted",
+    "would_delete", "skipped_unparseable"}`` — the audit trail a
+    lifecycle rule never gives you.
+    """
+    import datetime
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = jvm.org.apache.hadoop.fs.Path(base_path)
+    fs = base.getFileSystem(hconf)
+    out: list[dict] = []
+    for st in fs.listStatus(base):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not name.startswith(partition_col + "="):
+            continue
+        key = name.split("=", 1)[1]
+        try:
+            day = datetime.date.fromisoformat(key)
+        except ValueError:
+            out.append(
+                {"partition": name, "age_days": None, "bytes": None,
+                 "action": "skipped_unparseable"}
+            )
+            continue
+        age = (as_of - day).days
+        nbytes = fs.getContentSummary(st.getPath()).getLength()
+        if age > max_age_days:
+            action = "would_delete" if dry_run else "deleted"
+            if not dry_run:
+                fs.delete(st.getPath(), True)
+        else:
+            action = "kept"
+        out.append(
+            {"partition": name, "age_days": age, "bytes": nbytes, "action": action}
+        )
+    return sorted(out, key=lambda r: r["partition"])
+
+
 def compact_small_files(
     spark: SparkSession, src: str, dst: str, target_file_bytes: int
 ) -> int:

@@ -1,0 +1,203 @@
+"""Round-7 additions: secret resolution (§2A #27), TTL retention sweep
+(§2A #26 enforcement half), and the BigQuery-connector option wiring."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_cloudsql_to_bigquery_spark.catalog import load
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- §2A #27: secret resolution -------------------------------------------
+
+
+def test_secret_resolution_chain(spark, monkeypatch):
+    """conf wins over env wins over default; missing -> loud SecretNotFound
+    naming the whole chain (get_secret.py raises on a missing version too —
+    never a silent empty credential)."""
+    from gcp_cloudsql_to_bigquery_spark.sources.secrets import (
+        SecretNotFound,
+        resolve_secret,
+    )
+
+    monkeypatch.setenv("DB_PASSWORD", "from-env")
+    # 1. conf beats env
+    spark.conf.set("spark.secrets.db.password", "from-conf")
+    try:
+        assert resolve_secret(spark, "db.password") == "from-conf"
+    finally:
+        spark.conf.unset("spark.secrets.db.password")
+    # 2. env when conf is absent (name mangling: db.password -> DB_PASSWORD)
+    assert resolve_secret(spark, "db.password") == "from-env"
+    # 3. default only when both are absent
+    monkeypatch.delenv("DB_PASSWORD")
+    assert resolve_secret(spark, "db.password", default="") == ""
+    # 4. loud failure, chain in the message
+    with pytest.raises(SecretNotFound, match="spark.secrets.db.password"):
+        resolve_secret(spark, "db.password")
+
+
+def test_jdbc_source_from_conf_reads_live_derby(spark, tmp_path):
+    """The full §2A #27 wiring: credentials injected into spark.conf, a
+    JdbcSource assembled purely from them, and a REAL scan through it
+    (embedded Derby) returning the source-of-truth rows."""
+    from gcp_cloudsql_to_bigquery_spark.sources.jdbc import (
+        DERBY_DRIVER,
+        derby_create_nation,
+    )
+    from gcp_cloudsql_to_bigquery_spark.sources.secrets import jdbc_source_from_conf
+
+    dbdir = derby_create_nation(spark, SF)
+    spark.conf.set("spark.secrets.db.url", f"jdbc:derby:{dbdir}")
+    spark.conf.set("spark.secrets.db.user", "app")
+    spark.conf.set("spark.secrets.db.password", "")
+    try:
+        src = jdbc_source_from_conf(spark, "db")
+        src.extra["driver"] = DERBY_DRIVER
+        got = src.read(spark, "nation").count()
+    finally:
+        for k in ("db.url", "db.user", "db.password"):
+            spark.conf.unset("spark.secrets." + k)
+    assert got == load(spark, SF, "nation").count() == 25
+
+
+# --- §2A #26: retention-sweep enforcement ----------------------------------
+
+
+@pytest.fixture()
+def aged_layout(spark, tmp_path):
+    """A date-partitioned events layout whose partition ages are KNOWN
+    relative to a fixed as_of date (no wall clock anywhere)."""
+    from gcp_cloudsql_to_bigquery_spark.sources.files import write_date_partitioned
+
+    ev = load(spark, SF, "events").select("event_id", "user_id", "ts", "value")
+    base = str(tmp_path / "aged")
+    write_date_partitioned(ev, base, "ts", "day")
+    days = sorted(
+        d.split("=", 1)[1] for d in os.listdir(base) if d.startswith("export_date=")
+    )
+    assert len(days) >= 4, days
+    return base, days
+
+
+def test_retention_sweep_dry_run_deletes_nothing(spark, aged_layout):
+    from gcp_cloudsql_to_bigquery_spark.sources.files import retention_sweep
+
+    base, days = aged_layout
+    as_of = datetime.date.fromisoformat(days[-1])
+    max_age = (as_of - datetime.date.fromisoformat(days[2])).days
+    before = spark.read.parquet(base).count()
+    report = retention_sweep(spark, base, max_age, as_of, dry_run=True)
+    # report marks exactly the partitions strictly older than max_age
+    would = {r["partition"] for r in report if r["action"] == "would_delete"}
+    expect = {
+        f"export_date={d}"
+        for d in days
+        if (as_of - datetime.date.fromisoformat(d)).days > max_age
+    }
+    assert would == expect and expect
+    assert all(r["action"] in ("would_delete", "kept") for r in report)
+    # ... and nothing was touched
+    assert spark.read.parquet(base).count() == before
+    assert all(r["bytes"] > 0 for r in report)
+
+
+def test_retention_sweep_enforces_and_preserves_rest(spark, aged_layout):
+    from gcp_cloudsql_to_bigquery_spark.sources.files import retention_sweep
+
+    base, days = aged_layout
+    as_of = datetime.date.fromisoformat(days[-1])
+    cutoff = datetime.date.fromisoformat(days[2])
+    max_age = (as_of - cutoff).days
+    keep_rows = (
+        spark.read.parquet(base)
+        .filter(F.col("export_date") >= F.lit(cutoff.isoformat()))
+        .count()
+    )
+    report = retention_sweep(spark, base, max_age, as_of, dry_run=False)
+    deleted = {r["partition"] for r in report if r["action"] == "deleted"}
+    assert deleted == {
+        f"export_date={d}"
+        for d in days
+        if (as_of - datetime.date.fromisoformat(d)).days > max_age
+    }
+    left = sorted(d for d in os.listdir(base) if d.startswith("export_date="))
+    assert left == [
+        f"export_date={d}"
+        for d in days
+        if (as_of - datetime.date.fromisoformat(d)).days <= max_age
+    ]
+    # surviving data is byte-complete: same rows as the static filter
+    assert spark.read.parquet(base).count() == keep_rows
+
+
+def test_retention_sweep_never_deletes_unparseable(spark, aged_layout):
+    """A malformed partition dir degrades to a report line, never a delete —
+    the lifecycle-rule failure mode (silently matching the wrong objects)
+    is structurally impossible."""
+    from gcp_cloudsql_to_bigquery_spark.sources.files import retention_sweep
+
+    base, days = aged_layout
+    bad = os.path.join(base, "export_date=not-a-date")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "orphan.parquet"), "w") as f:
+        f.write("x")
+    as_of = datetime.date.fromisoformat(days[-1])
+    report = retention_sweep(spark, base, 0, as_of, dry_run=False)
+    byp = {r["partition"]: r["action"] for r in report}
+    assert byp["export_date=not-a-date"] == "skipped_unparseable"
+    assert os.path.exists(bad)
+    # age > 0 partitions were still enforced around it
+    assert all(
+        a == "deleted" for p, a in byp.items()
+        if p not in ("export_date=not-a-date", f"export_date={days[-1]}")
+    )
+
+
+# --- BigQuery connector wiring (VERDICT r6 item 7) -------------------------
+
+
+def test_bigquery_write_options_reference_faithful():
+    """The option dict mirrors bq-importer's load-job config: indirect mode
+    stages via a GCS bucket (the reference's csv_exports_staging role) and
+    WRITE_TRUNCATE is the overwrite SaveMode, not an option."""
+    from gcp_cloudsql_to_bigquery_spark.sources.bigquery import (
+        bigquery_write_options,
+    )
+
+    opts = bigquery_write_options(
+        "proj.dataset.nation", temporary_gcs_bucket="staging"
+    )
+    assert opts == {
+        "table": "proj.dataset.nation",
+        "writeMethod": "indirect",
+        "createDisposition": "CREATE_IF_NEEDED",
+        "temporaryGcsBucket": "staging",
+        "intermediateFormat": "parquet",
+    }
+    direct = bigquery_write_options("d.t", write_method="direct")
+    assert "temporaryGcsBucket" not in direct and direct["writeMethod"] == "direct"
+    # indirect without a bucket is a config error, caught at assembly
+    with pytest.raises(ValueError, match="temporary_gcs_bucket"):
+        bigquery_write_options("d.t")
+    # unknown options fail fast instead of reaching the API as typos
+    with pytest.raises(ValueError, match="unknown"):
+        bigquery_write_options("d.t", write_method="direct",
+                               extra={"tempraryGcsBucket": "oops"})
+
+
+def test_bigquery_writer_configured_and_reaches_loader(spark):
+    """bigquery_writer returns a configured, unexecuted writer; driving it
+    with .save() must reach Spark's datasource resolution and fail on the
+    absent jar BY NAME — real wiring, no pretended execution."""
+    from gcp_cloudsql_to_bigquery_spark.sources.bigquery import bigquery_writer
+
+    n = load(spark, SF, "nation")
+    w = bigquery_writer(n, "proj.dataset.nation", write_method="direct",
+                        extra={"clusteredFields": "n_regionkey"})
+    with pytest.raises(Exception, match="(?i)bigquery"):
+        w.save()
