@@ -201,3 +201,26 @@ def test_bigquery_writer_configured_and_reaches_loader(spark):
                         extra={"clusteredFields": "n_regionkey"})
     with pytest.raises(Exception, match="(?i)bigquery"):
         w.save()
+
+
+def test_retention_sweep_driven_by_tiering_plan(spark, aged_layout):
+    """The two halves of §2A #26 compose: elt_storage_tiering_plan is the
+    DECISION (cold = older than 21 days vs the newest partition) and
+    retention_sweep is the ENFORCEMENT — sweeping with the plan's own
+    cutoff deletes exactly the partition count the plan classified cold."""
+    from gcp_cloudsql_to_bigquery_spark.ingest.queries import elt_storage_tiering_plan
+    from gcp_cloudsql_to_bigquery_spark.sources.files import retention_sweep
+
+    base, days = aged_layout
+    plan = {r["tier"]: r for r in elt_storage_tiering_plan(spark, SF).collect()}
+    as_of = max(datetime.date.fromisoformat(d) for d in days)
+    assert plan["hot"]["newest_day"].isoformat() == as_of.isoformat()
+    report = retention_sweep(spark, base, 21, as_of, dry_run=True)
+    would = [r for r in report if r["action"] == "would_delete"]
+    if "cold" in plan:
+        assert len(would) == plan["cold"]["n_partitions"]
+        assert max(r["partition"].split("=")[1] for r in would) == (
+            plan["cold"]["newest_day"].isoformat()
+        )
+    else:
+        assert not would
