@@ -224,3 +224,53 @@ def test_retention_sweep_driven_by_tiering_plan(spark, aged_layout):
         )
     else:
         assert not would
+
+
+# --- FP-robust prefix ceil (ADVICE r6 #1) ----------------------------------
+
+
+def test_prefix_ceil_fp_robust_grid():
+    """ceil(round(t*n, 9)) == exact-rational ceil for every common
+    threshold x n <= 2000 — the raw double ceil is WRONG in 54 of these
+    cells (first: t=0.55, n=100 -> 56 instead of 55), each one silently
+    shortening the prefix and dropping borderline true pairs."""
+    import math
+    from fractions import Fraction
+
+    hazards = 0
+    for num, den in [(13, 20), (4, 5), (7, 10), (3, 5), (9, 10), (17, 20),
+                     (1, 2), (3, 4), (19, 20), (11, 20)]:
+        t = num / den
+        for n in range(1, 2001):
+            exact = math.ceil(Fraction(num, den) * n)
+            if math.ceil(t * n) != exact:
+                hazards += 1
+            assert math.ceil(round(t * n, 9)) == exact, (num, den, n)
+    assert hazards == 54  # the bug class is real, not hypothetical
+
+
+def test_prefix_filter_survives_fp_hazard_threshold(spark):
+    """End-to-end witness at the t=0.55, |A|=100 hazard point: doc A has
+    45 unique + 55 shared tokens, doc B exactly the 55 shared, so
+    J(A,B) = 55/100 = 0.55 and the pair's ONLY prefix collision is A's
+    46th prefix slot.  The raw-double ceil yields prefix length 45 and
+    silently drops the pair; the FP-robust ceil keeps it."""
+    import math
+
+    from gcp_cloudsql_to_bigquery_spark.operators.dedup import (
+        prefix_filtered_candidates,
+    )
+
+    # the hazard is live in IEEE doubles (same arithmetic the JVM runs)
+    assert math.ceil(0.55 * 100) == 56  # wrong (exact value is 55)
+
+    uniq = [1000 + i for i in range(45)]
+    shared = [2000 + i for i in range(55)]
+    sh = spark.createDataFrame(
+        [(1, uniq + shared), (2, shared)], "doc_id long, hsh array<long>"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filtered_candidates(sh, 0.55).collect()
+    }
+    assert (1, 2) in got
