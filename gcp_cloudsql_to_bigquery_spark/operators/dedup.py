@@ -69,33 +69,58 @@ def with_shingles(docs: DataFrame) -> DataFrame:
 def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     """PPJoin-style LOSSLESS candidate pairs for Jaccard >= ``threshold``.
 
-    ``sh``: (doc_id, hsh = distinct hashed shingles).  Under the global
-    (df, g) shingle order, each doc indexes only its
-    ``|X| - ceil(t*|X|) + 1`` rarest shingles — the prefix-filtering
-    principle (Xiao et al., WWW'08) guarantees any pair with Jaccard >= t
-    collides on the prefixes (property-tested on randomized universes in
-    tests/test_round6.py), and the size-band length filter (J >= t forces
-    the two set sizes within a factor t) prunes further, also lossless.
-    Hub shingles almost never enter a prefix (the prefix is the RARE end
-    of each doc), so the df^2 fan-out of a full inverted-index self-join
-    disappears while the candidate set still covers every true pair —
-    exact verification on the candidates then reproduces ground truth
+    ``sh``: (doc_id, hsh = distinct hashed shingles).  Three stacked
+    lossless prunes (all from Xiao et al., WWW'08 — "Efficient Similarity
+    Joins for Near Duplicate Detection"; randomized-universe property
+    tests in tests/test_round6.py and tests/test_round7.py):
+
+    1. **Prefix filter**: under the global (df, g) shingle order, each doc
+       indexes only its ``|X| - ceil(t*|X|) + 1`` rarest shingles; any
+       pair with J >= t must collide inside both prefixes.
+    2. **Size band**: J >= t forces the two set sizes within a factor t.
+    3. **Positional filter** (r7): a collision row where token g has rank
+       ``ra``/``rb`` in its doc's full sorted order can only witness a
+       pair if ``1 + min(na-ra, nb-rb) >= alpha`` with ``alpha =
+       ceil(t/(1+t)*(na+nb))``, the minimum overlap J >= t requires.
+       The FIRST common token of a qualifying pair always passes (zero
+       common tokens precede it, so overlap <= 1 + min of the suffixes),
+       so per-row filtering keeps at least one witness per true pair —
+       lossless — while discarding the bulk of the collision fan-out
+       BEFORE the distinct.  On a hub-heavy corpus (tiny shingle
+       vocabulary, every prefix token ubiquitous) this is the difference
+       between distinct-ing 134M collision rows and 32M (measured at
+       sf0.1); on a 100 TB real-text corpus prefixes are genuinely rare
+       and the positional cut still strictly shrinks both the shuffle
+       and the verify set.
+
+    Exact verification on the candidates then reproduces ground truth
     bit-for-bit, which the all-pairs oracles of the callers re-prove at
     every selfcheck.
 
-    ceil(t*n) is computed as ceil(round(t*n, 9)): when t*n is exactly
-    integral in the rationals (e.g. t=0.65, n=20 → 13) the raw double
-    product can land epsilon ABOVE the integer, pushing ceil up by one,
-    shortening the prefix, and silently dropping borderline true pairs.
-    Rounding to 9 decimals first collapses that epsilon while leaving
-    every genuinely fractional product (>= 1e-9 from an integer for any
-    practical t, n) untouched, so losslessness holds for arbitrary
-    thresholds, not just the shipped 0.65.
+    ceil(t*n) is computed as ceil(round(t*n, 9)): when the product is
+    exactly integral in the rationals (e.g. t=0.65, n=20 → 13) the raw
+    double product can land epsilon ABOVE the integer, pushing ceil up by
+    one, shortening the prefix, and silently dropping borderline true
+    pairs.  Rounding to 9 decimals first collapses that epsilon while
+    leaving every genuinely fractional product untouched (for a rational
+    threshold p/q the nearest non-integral product is 1/q >> 1e-9 from an
+    integer), so losslessness holds for arbitrary thresholds.  The same
+    guard wraps alpha.
+
+    Callers compare the verified Jaccard ROUNDED to 6dp against t (oracle
+    parity); the filters bound the exact ratio.  A pair could in
+    principle round up across the threshold from within 5e-7 below it,
+    but for set sizes n <= ~10^4 and a small-denominator rational t the
+    nearest attainable ratio below t is >= 1/(q*n) >> 5e-7 away, so the
+    rounded and exact decisions coincide.
     """
     from pyspark.sql import Window as W
 
+    def _ceil9(x: "F.Column") -> "F.Column":
+        return F.ceil(F.round(x, 9))
+
     def _ceil_tn(n: "F.Column") -> "F.Column":
-        return F.ceil(F.round(F.lit(threshold) * n, 9))
+        return _ceil9(F.lit(threshold) * n)
 
     toks = sh.select("doc_id", F.size("hsh").alias("n_sh"), F.explode("hsh").alias("g"))
     dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -104,16 +129,25 @@ def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         toks.join(dfreq, "g")
         .withColumn("r", F.row_number().over(w_doc))
         .filter(F.col("r") <= F.col("n_sh") - _ceil_tn(F.col("n_sh")) + 1)
-        .select("doc_id", "n_sh", "g")
+        .select("doc_id", "n_sh", "g", "r")
     )
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "g")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "g")
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "g",
+        F.col("r").alias("ra"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "g",
+        F.col("r").alias("rb"),
+    )
+    alpha = _ceil9(F.lit(threshold / (1.0 + threshold)) * (F.col("na") + F.col("nb")))
     return (
         pa.join(pb, "g")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.col("na") >= _ceil_tn(F.col("nb")))
             & (F.col("nb") >= _ceil_tn(F.col("na")))
+            & (1 + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
+               >= alpha)
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -181,12 +215,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    return (
+    # score in ONE projection, then a checkpoint BARRIER before the
+    # threshold filter: without it Catalyst pushes `jaccard >= t` down
+    # into the join condition, inlining the alias so array_intersect (a
+    # per-row hash-set build) is evaluated both in the join condition and
+    # in the output projection — measured 67 s -> ~57 s for the verify
+    # stage at sf0.1 (the win is modest because the per-pair set build
+    # dominates either way; the barrier removes the duplicated
+    # evaluations, and codegen subexpression elimination handles the two
+    # references inside the single projection).  The checkpointed
+    # relation is the small (doc_a, doc_b, jaccard) triple per
+    # candidate, never the joined arrays.
+    scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.65)
+        .localCheckpoint()
     )
+    return scored.filter(F.col("jaccard") >= 0.65)
 
 
 # --- MinHash + LSH --------------------------------------------------------

@@ -274,3 +274,57 @@ def test_prefix_filter_survives_fp_hazard_threshold(spark):
         for r in prefix_filtered_candidates(sh, 0.55).collect()
     }
     assert (1, 2) in got
+
+
+def test_positional_filter_lossless_property():
+    """PPJoin positional filter (r7, Xiao et al. WWW'08): a collision row
+    witnesses a pair only if 1 + min(na-ra, nb-rb) >= alpha with alpha =
+    ceil(t/(1+t)*(na+nb)).  A qualifying pair's FIRST common token always
+    passes (no common token precedes it), so the per-row filter is
+    lossless.  Randomized check across thresholds and universes, with the
+    same rounded-ground-truth the oracles use."""
+    import itertools
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+
+    def ceil9(x):
+        return math.ceil(round(x, 9))
+
+    for trial in range(800):
+        t = rng.choice([0.5, 0.55, 0.6, 0.65, 0.7, 0.75, 0.8, 0.85])
+        n_docs = rng.randint(2, 10)
+        universe = list(range(rng.randint(3, 14)))
+        docs = [
+            set(rng.sample(universe, rng.randint(1, len(universe))))
+            for _ in range(n_docs)
+        ]
+        df = Counter(g for d in docs for g in d)
+        pos = {g: i for i, g in enumerate(sorted(universe, key=lambda g: (df[g], g)))}
+        ranks = [
+            {g: i + 1 for i, g in enumerate(sorted(d, key=lambda g: pos[g]))}
+            for d in docs
+        ]
+        cands = set()
+        for i, j in itertools.combinations(range(n_docs), 2):
+            na, nb = len(docs[i]), len(docs[j])
+            if na < ceil9(t * nb) or nb < ceil9(t * na):
+                continue
+            pla = na - ceil9(t * na) + 1
+            plb = nb - ceil9(t * nb) + 1
+            alpha = ceil9(t / (1 + t) * (na + nb))
+            if any(
+                ranks[i][g] <= pla and ranks[j][g] <= plb
+                and 1 + min(na - ranks[i][g], nb - ranks[j][g]) >= alpha
+                for g in docs[i] & docs[j]
+            ):
+                cands.add((i, j))
+        for i, j in itertools.combinations(range(n_docs), 2):
+            inter = len(docs[i] & docs[j])
+            union = len(docs[i] | docs[j])
+            if union and round(inter / union, 6) >= t:
+                assert (i, j) in cands, (
+                    trial, t, sorted(docs[i]), sorted(docs[j]), inter / union
+                )
