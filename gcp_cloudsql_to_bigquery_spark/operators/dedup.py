@@ -264,7 +264,17 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     pair — orders cheaper than exact shingle intersection.  Cut at 0.55 for
     a 0.8 exact threshold: stderr of the estimate is ≈√(j(1-j)/64) ≈ 0.05,
     so true positives sit >4σ above the cut while the j≈0.5 bulk of a
-    near-degenerate corpus is dropped before the expensive verify."""
+    near-degenerate corpus is dropped before the expensive verify.
+
+    Order of operations (r7): the band join emits only bare (doc_a,
+    doc_b) ids and DISTINCTS them BEFORE the estimate — a pair whose
+    docs agree on many bands collides once per band (up to 16×), and
+    evaluating the 64-element zip_with estimate per collision row was
+    the dominant cost on a self-similar corpus (the distinct is a
+    trivial two-long hash-agg per row; the estimate then runs exactly
+    once per surviving pair after re-attaching the two signatures by
+    id-keyed joins).  Same candidate set — the estimate filter commutes
+    with distinct — so recall and the callers' oracles are unchanged."""
     bands = F.array(
         *[
             F.struct(
@@ -279,25 +289,32 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             for bi in range(N_BANDS)
         ]
     )
-    banded = sig.select("doc_id", "sig", F.explode(bands).alias("b")).select(
-        "doc_id", "sig", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    est = (
-        F.size(F.filter(F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y), lambda v: v))
-        / F.lit(N_HASHES)
-    )
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(est >= 0.55)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(N_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(est >= 0.55)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -335,12 +352,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(F.array_union("sh_a", "sh_b")),
         6,
     )
-    return (
+    # same checkpoint barrier as dedup_ngram_jaccard's verify (r7): score
+    # once per candidate, then filter after the barrier — otherwise
+    # Catalyst inlines the threshold into the join condition and
+    # re-evaluates the per-row set intersect/union.  The checkpointed
+    # relation is the small (doc_a, doc_b, jaccard) triple, never the
+    # joined arrays.
+    scored = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.8)
+        .localCheckpoint()
     )
+    return scored.filter(F.col("jaccard") >= 0.8)
 
 
 # --- near-dup clustering ----------------------------------------------------
