@@ -2,12 +2,13 @@
 the two scale invariants introduced in round 6.
 
 Plan *building* is lazy for almost every query, but NOT all: queries that
-call eager ``localCheckpoint`` (notably ``curation_dedup_pipeline``)
-materialize real multi-second computation at plan-build time, so a full
-audit run executes those jobs and takes minutes, not seconds.  That is
-accepted here — the checkpointed plan is the plan that ships, and
-auditing a lazy variant would audit a different (20-scan) plan than
-production runs.
+call eager ``localCheckpoint`` (``curation_dedup_pipeline``, and since
+round 7 ``dedup_ngram_jaccard`` / ``dedup_minhash_lsh`` and their
+consumers via the shared verify barrier) materialize real multi-second
+computation at plan-build time, so a full audit run executes those jobs
+and takes minutes, not seconds.  That is accepted here — the
+checkpointed plan is the plan that ships, and auditing a lazy variant
+would audit a different (20-scan) plan than production runs.
 
 Invariants:
 
