@@ -198,6 +198,27 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the corpus-sized shingle table is never hint-broadcast.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ngram_jaccard_scored(spark, sf_dir).filter(F.col("jaccard") >= 0.65)
+
+
+def _ngram_jaccard_scored(
+    spark: SparkSession, sf_dir: str, barrier: bool = True
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every prefix-filtered candidate pair.
+
+    Scores in ONE projection, then (by default) a checkpoint BARRIER
+    before the caller's threshold filter: without it Catalyst pushes
+    ``jaccard >= t`` down into the join condition, inlining the alias so
+    array_intersect (a per-row hash-set build) is evaluated both in the
+    join condition and in the output projection — measured 67 s → ~57 s
+    for the verify stage at sf0.1 (the win is modest because the
+    per-pair set build dominates either way; codegen subexpression
+    elimination handles the two references inside the single
+    projection).  The checkpointed relation is the small (doc_a, doc_b,
+    jaccard) triple per candidate, never the joined arrays.
+    ``barrier=False`` exists for the plan-invariant sweeps: checkpoints
+    truncate lineage, so the audited plan would otherwise never show
+    this subtree (see :func:`audit_subplans`)."""
     d = with_shingles(load(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id",
@@ -215,24 +236,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    # score in ONE projection, then a checkpoint BARRIER before the
-    # threshold filter: without it Catalyst pushes `jaccard >= t` down
-    # into the join condition, inlining the alias so array_intersect (a
-    # per-row hash-set build) is evaluated both in the join condition and
-    # in the output projection — measured 67 s -> ~57 s for the verify
-    # stage at sf0.1 (the win is modest because the per-pair set build
-    # dominates either way; the barrier removes the duplicated
-    # evaluations, and codegen subexpression elimination handles the two
-    # references inside the single projection).  The checkpointed
-    # relation is the small (doc_a, doc_b, jaccard) triple per
-    # candidate, never the joined arrays.
     scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .localCheckpoint()
     )
-    return scored.filter(F.col("jaccard") >= 0.65)
+    return scored.localCheckpoint() if barrier else scored
 
 
 # --- MinHash + LSH --------------------------------------------------------
@@ -331,16 +340,27 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     "asserts containment + recall explicitly.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_lsh_scored(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
+
+
+def _minhash_lsh_scored(
+    spark: SparkSession, sf_dir: str, barrier: bool = True
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every LSH candidate pair.
+
+    Exact verification on 64-bit-hashed shingle sets: integer intersects
+    are far cheaper than string intersects, and 64-bit collisions are
+    negligible (~(N·250)²/2⁶⁵), so Jaccard values equal the raw-string
+    oracle's.  The per-doc shingle table is the WHOLE corpus — never
+    broadcast it; candidates are already LSH-pruned, so two plain
+    shuffled equi-joins on doc_a/doc_b (each keyed on a high-cardinality
+    doc id) attach the shingle sets with bounded per-task memory at any
+    scale.  Same checkpoint barrier rationale as
+    :func:`_ngram_jaccard_scored`; ``barrier=False`` keeps the plan
+    auditable (see :func:`audit_subplans`)."""
     d = with_shingles(load(spark, sf_dir, "documents"))
     sig = minhash_signatures(d)
     cand = lsh_candidate_pairs(sig)
-    # exact verification on 64-bit-hashed shingle sets: integer intersects
-    # are far cheaper than string intersects, and 64-bit collisions are
-    # negligible (~(N·250)²/2⁶⁵), so Jaccard values equal the raw-string
-    # oracle's.  The per-doc shingle table is the WHOLE corpus — never
-    # broadcast it; candidates are already LSH-pruned, so two plain shuffled
-    # equi-joins on doc_a/doc_b (each keyed on a high-cardinality doc id)
-    # attach the shingle sets with bounded per-task memory at any scale.
     sh = d.select(
         "doc_id",
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
@@ -352,19 +372,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(F.array_union("sh_a", "sh_b")),
         6,
     )
-    # same checkpoint barrier as dedup_ngram_jaccard's verify (r7): score
-    # once per candidate, then filter after the barrier — otherwise
-    # Catalyst inlines the threshold into the join condition and
-    # re-evaluates the per-row set intersect/union.  The checkpointed
-    # relation is the small (doc_a, doc_b, jaccard) triple, never the
-    # joined arrays.
     scored = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .localCheckpoint()
     )
-    return scored.filter(F.col("jaccard") >= 0.8)
+    return scored.localCheckpoint() if barrier else scored
+
+
+def audit_subplans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Pre-barrier plans for the plan-invariant sweeps.
+
+    The r7 verify barriers (eager ``localCheckpoint``) truncate lineage,
+    so the audited plan of ``dedup_ngram_jaccard`` / ``dedup_minhash_lsh``
+    (and their consumers) would otherwise show only a scan of checkpointed
+    blocks — an invariant violation inside the candidate-generation or
+    verify subtrees would be invisible.  ``scripts/plan_audit.py`` and
+    ``tests/test_plans.py`` audit these un-truncated builders in addition
+    to the registry plans."""
+    return {
+        "dedup_ngram_jaccard.pre_barrier": _ngram_jaccard_scored(
+            spark, sf_dir, barrier=False
+        ),
+        "dedup_minhash_lsh.pre_barrier": _minhash_lsh_scored(
+            spark, sf_dir, barrier=False
+        ),
+    }
 
 
 # --- near-dup clustering ----------------------------------------------------

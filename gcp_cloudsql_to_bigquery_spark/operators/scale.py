@@ -107,10 +107,15 @@ def global_order_stats(
     w_tot = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     # loud capacity guard: monotonically_increasing_id keeps only 33 bits of
     # per-partition counter, so a range partition past 2^33 rows would wrap
-    # into the partition-index bits and silently corrupt ranks.  The assert
-    # is folded into _roff (a column every output row consumes) so Catalyst
-    # cannot prune it away; it still evaluates only over the bounded
-    # one-row-per-partition stats — zero extra jobs.
+    # into the partition-index bits and silently corrupt ranks/offsets.
+    # (Detection note: a wrapped partition's overflow rows decode into the
+    # NEXT pid, leaving exactly 2^33 rows in its own decoded group, so the
+    # strict `<` catches the wrap.)  The assert is folded into BOTH offset
+    # columns — _roff (feeds _rn) and _soff (feeds _cum) — so Catalyst
+    # cannot prune it away no matter which output the caller consumes; it
+    # still evaluates only over the bounded one-row-per-partition stats —
+    # zero extra jobs.  _n_total alone needs no guard: the decoded groups
+    # partition the rows, so their counts still sum to the true total.
     guard = F.assert_true(
         F.col("_c") < F.lit(_capacity_rows),
         F.lit(
@@ -127,7 +132,11 @@ def global_order_stats(
         F.sum("_c").over(w_tot).alias("_n_total"),
     ]
     if val_col is not None:
-        sel.append(F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_soff"))
+        sel.append(
+            F.when(
+                guard.isNull(), F.coalesce(F.sum("_s").over(w_off), F.lit(0))
+            ).alias("_soff")
+        )
     offs = pstats.select(*sel)
     out = part.join(F.broadcast(offs), "_pid").withColumn(
         "_rn", F.col("_roff") + F.col("_lrn")

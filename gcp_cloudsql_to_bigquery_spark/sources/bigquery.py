@@ -40,10 +40,14 @@ from pyspark.sql import DataFrame
 _KNOWN_WRITE_OPTIONS = {
     "table", "dataset", "project", "parentProject",
     "writeMethod", "temporaryGcsBucket", "persistentGcsBucket",
-    "intermediateFormat", "createDisposition",
+    "persistentGcsPath", "intermediateFormat", "createDisposition",
     "partitionField", "partitionType", "partitionExpirationMs",
+    "partitionRangeStart", "partitionRangeEnd", "partitionRangeInterval",
     "clusteredFields", "allowFieldAddition", "allowFieldRelaxation",
-    "writeAtLeastOnce", "datePartition", "credentialsFile",
+    "writeAtLeastOnce", "datePartition",
+    "credentials", "credentialsFile", "gcpAccessToken",
+    "bigQueryTableLabel", "destinationTableKmsKeyName",
+    "enableModeCheckForSchemaFields", "queryJobPriority",
 }
 
 
@@ -78,6 +82,13 @@ def bigquery_write_options(
     for k, v in (extra or {}).items():
         if k not in _KNOWN_WRITE_OPTIONS:
             raise ValueError(f"unknown spark-bigquery-connector write option {k!r}")
+        if k in opts:
+            # never let extra silently override what the caller passed
+            # positionally (a 'table' in extra would redirect the write)
+            raise ValueError(
+                f"option {k!r} is already set by an explicit argument "
+                f"({opts[k]!r}); pass it through the argument, not extra"
+            )
         opts[k] = v
     return opts
 

@@ -332,8 +332,13 @@ def retention_sweep(
 
     Returns one report dict per partition: ``partition`` (dir name),
     ``age_days``, ``bytes``, ``action`` in ``{"kept", "deleted",
-    "would_delete", "skipped_unparseable"}`` — the audit trail a
-    lifecycle rule never gives you.
+    "would_delete", "delete_failed", "skipped_unparseable",
+    "error:<msg>"}`` — the audit trail a lifecycle rule never gives you.
+    Per-partition faults (a directory vanishing between list and stat, a
+    permission failure) are RECORDED, not raised, so the report of what
+    was already deleted earlier in the sweep survives; ``fs.delete``'s
+    boolean is honored, so a filesystem that reports failure by return
+    value yields ``delete_failed``, never a phantom ``deleted``.
     """
     import datetime
 
@@ -358,13 +363,21 @@ def retention_sweep(
             )
             continue
         age = (as_of - day).days
-        nbytes = fs.getContentSummary(st.getPath()).getLength()
-        if age > max_age_days:
-            action = "would_delete" if dry_run else "deleted"
-            if not dry_run:
-                fs.delete(st.getPath(), True)
-        else:
-            action = "kept"
+        try:
+            nbytes = fs.getContentSummary(st.getPath()).getLength()
+            if age > max_age_days:
+                if dry_run:
+                    action = "would_delete"
+                else:
+                    action = "deleted" if fs.delete(st.getPath(), True) else "delete_failed"
+            else:
+                action = "kept"
+        except Exception as e:  # noqa: BLE001 — report, never lose the audit trail
+            out.append(
+                {"partition": name, "age_days": age, "bytes": None,
+                 "action": f"error:{type(e).__name__}"}
+            )
+            continue
         out.append(
             {"partition": name, "age_days": age, "bytes": nbytes, "action": action}
         )

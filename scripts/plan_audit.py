@@ -63,10 +63,19 @@ def main() -> int:
     from gcp_cloudsql_to_bigquery_spark.session import get_spark
     from gcp_cloudsql_to_bigquery_spark.workload import queries
 
+    from gcp_cloudsql_to_bigquery_spark.operators.dedup import audit_subplans
+
     spark = get_spark(app_name="plan_audit", master="local[8]", shuffle_partitions=8)
     violations: list[str] = []
     n_checked = 0
-    for name, fn in queries().items():
+    # pre-barrier builders: the r7 verify checkpoints truncate lineage, so
+    # the registered dedup queries' plans no longer show their candidate/
+    # verify subtrees — audit the un-truncated forms alongside the registry
+    targets = dict(queries())
+    targets.update(
+        {n: (lambda s, sf, d=df: d) for n, df in audit_subplans(spark, args.sf).items()}
+    )
+    for name, fn in targets.items():
         try:
             df = fn(spark, args.sf)
         except Exception as e:  # plan construction itself failed

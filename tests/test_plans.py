@@ -92,8 +92,12 @@ def test_minhash_verify_no_forced_broadcast(spark):
     # WHOLE corpus) to the LSH candidates — it must be a plain size-gated
     # equi-join, never a hint-forced broadcast that OOMs the build side at
     # scale.  (The optimizer may still pick BHJ at sf0.001 — that's fine,
-    # it is size-gated; the hint is what's forbidden.)
-    df = queries()["dedup_minhash_lsh"](spark, SF)
+    # it is size-gated; the hint is what's forbidden.)  Inspected on the
+    # PRE-BARRIER plan: the r7 verify checkpoint truncates lineage, so the
+    # registered query's plan no longer shows these joins.
+    from gcp_cloudsql_to_bigquery_spark.operators.dedup import _minhash_lsh_scored
+
+    df = _minhash_lsh_scored(spark, SF, barrier=False)
     assert inspect.broadcast_hint_count(df) == 0
 
 
@@ -110,9 +114,25 @@ def test_anchor_lsh_bucket_shuffle_carries_ids_only(spark):
 
 
 def test_ngram_jaccard_no_forced_broadcast(spark):
-    # per-doc size table is corpus-sized — same rule as the minhash verify.
-    df = queries()["dedup_ngram_jaccard"](spark, SF)
+    # per-doc size table is corpus-sized — same rule as the minhash verify;
+    # pre-barrier plan for the same reason as above.
+    from gcp_cloudsql_to_bigquery_spark.operators.dedup import _ngram_jaccard_scored
+
+    df = _ngram_jaccard_scored(spark, SF, barrier=False)
     assert inspect.broadcast_hint_count(df) == 0
+
+
+def test_dedup_pre_barrier_subplans_hold_invariants(spark):
+    """The r7 verify barriers hide the candidate/verify subtrees from the
+    registered queries' plans; audit_subplans() re-exposes them, and both
+    scale invariants (plus the no-hint rule) must hold there too —
+    closing the audit hole the barrier opened."""
+    from gcp_cloudsql_to_bigquery_spark.operators.dedup import audit_subplans
+
+    for name, df in audit_subplans(spark, SF).items():
+        assert inspect.unpartitioned_fact_window_count(df) == 0, name
+        assert inspect.fact_cartesian_count(df) == 0, name
+        assert inspect.broadcast_hint_count(df) == 0, name
 
 
 def test_q1_aggregation_is_partial_before_shuffle(spark):

@@ -184,6 +184,17 @@ def test_bigquery_write_options_reference_faithful():
     # indirect without a bucket is a config error, caught at assembly
     with pytest.raises(ValueError, match="temporary_gcs_bucket"):
         bigquery_write_options("d.t")
+    # extra may not silently override an explicitly-passed option
+    with pytest.raises(ValueError, match="already set"):
+        bigquery_write_options("d.t", write_method="direct",
+                               extra={"table": "other.ds.t2"})
+    # ... but documented options absent from the positional args pass through
+    ranged = bigquery_write_options(
+        "d.t", write_method="direct",
+        extra={"partitionRangeStart": "0", "partitionRangeEnd": "1000",
+               "partitionRangeInterval": "10", "credentials": "base64..."},
+    )
+    assert ranged["partitionRangeInterval"] == "10"
     # unknown options fail fast instead of reaching the API as typos
     with pytest.raises(ValueError, match="unknown"):
         bigquery_write_options("d.t", write_method="direct",
