@@ -156,6 +156,40 @@ def main() -> None:
             best = min(best, dt)
         timings[name] = round(best, 3)
 
+    # DuckDB oracle side-by-side (VERDICT r7 item 6): the 2x bar is judged
+    # against the oracle's warm wall-clock on identical SQL over the same
+    # parquet; record it in the artifact so the ratio is self-contained
+    # instead of living in PERF.md prose.  Same methodology: min of RUNS
+    # full executions (fetchall), views re-created per bench run.  Note the
+    # streaming queries' oracles are batch rewrites — their Spark numbers
+    # carry the honest micro-batch floor, the oracle numbers don't (the
+    # documented stream_tumbling_window gap).
+    oracle_timings: dict[str, float] = {}
+    try:
+        import duckdb
+
+        from gcp_cloudsql_to_bigquery_spark.catalog import TABLES
+        from gcp_cloudsql_to_bigquery_spark.workload import oracle_sql
+
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        sqls = oracle_sql()
+        for name in HEADLINE:
+            sql = sqls.get(name)
+            if sql is None:
+                continue
+            best = float("inf")
+            for _ in range(RUNS):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                best = min(best, time.time() - t0)
+            oracle_timings[name] = round(best, 3)
+    except Exception as e:  # bench must still emit its JSON line
+        oracle_timings["__error__"] = str(e)[:200]
+
     extended: dict[str, float] = {}
     for name in EXTENDED:
         # end-to-end (plan build + execute) fresh each rep: the curation
@@ -180,6 +214,10 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "oracle": oracle_timings,
+                "oracle_total": round(
+                    sum(v for k, v in oracle_timings.items() if k != "__error__"), 3
+                ),
                 "queries_extended": extended,
                 "plan_build": plan_build,
                 "cold_run": cold_run,

@@ -23,7 +23,12 @@ def upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
         raise ValueError(
             f"schema mismatch: target {sorted(target.columns)} vs updates {sorted(updates.columns)}"
         )
-    untouched = target.join(updates, target[key] == updates[key], "left_anti")
+    # target and updates often share lineage (delta carved from the same
+    # table) — join through explicit plan aliases, not attribute
+    # disambiguation (warns "trivially true equals predicate")
+    untouched = target.alias("t").join(
+        updates.alias("u"), F.col(f"t.{key}") == F.col(f"u.{key}"), "left_anti"
+    )
     return untouched.unionByName(updates)
 
 

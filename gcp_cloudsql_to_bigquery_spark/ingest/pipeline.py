@@ -138,9 +138,23 @@ def warehouse_write(
         opts = dict(options or {})
         bucket = opts.pop("temporaryGcsBucket", None)
         method = opts.pop("writeMethod", "indirect" if bucket else "direct")
+        if method == "direct" and bucket:
+            # previously the bucket was silently dropped; direct (Storage
+            # Write API) never stages, so this is a config contradiction
+            raise ValueError(
+                "writeMethod=direct does not stage via GCS — drop "
+                "temporaryGcsBucket or use writeMethod=indirect"
+            )
+        # options bigquery_write_options always sets itself must ride the
+        # keyword arguments, not extra (extra refuses to override them)
+        kw = {}
+        if "createDisposition" in opts:
+            kw["create_disposition"] = opts.pop("createDisposition")
+        if method == "indirect" and "intermediateFormat" in opts:
+            kw["intermediate_format"] = opts.pop("intermediateFormat")
         bigquery_writer(
             df, table, mode=mode, write_method=method,
-            temporary_gcs_bucket=bucket, extra=opts,
+            temporary_gcs_bucket=bucket, extra=opts, **kw,
         ).save()
         return
     if fmt and fmt != "hive":

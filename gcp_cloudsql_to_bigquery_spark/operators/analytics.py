@@ -1049,9 +1049,12 @@ def analytics_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("c_id"),
         "cents",
     )
-    pairs = conv.join(
-        touches,
-        (conv.user_id == touches.user_id)
+    # conv and touches both derive from ev — explicit plan aliases instead
+    # of self-join attribute disambiguation (warns "trivially true equals
+    # predicate" and is version-fragile)
+    pairs = conv.alias("cv").join(
+        touches.alias("tc"),
+        (F.col("cv.user_id") == F.col("tc.user_id"))
         & (
             (F.col("t_ts") < F.col("c_ts"))
             | ((F.col("t_ts") == F.col("c_ts")) & (F.col("t_id") < F.col("c_id")))

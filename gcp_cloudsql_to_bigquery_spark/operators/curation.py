@@ -600,12 +600,14 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without truncation Catalyst re-expands the whole subtree per consumer
     # (20 scans of documents measured at r6).  (doc_id, n_chars) is 16
     # bytes/row — materializing once beats five recomputes at any scale.
+    # eager=False (r8): same LogicalRDD fence, but the job runs at the
+    # first action, not at plan construction (keeps audits/sweeps lazy).
     stage1 = (
         d.select("doc_id", "n_chars", fp.alias("f"))
         .withColumn("rn", F.row_number().over(wfp))
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_chars")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # near-dup pairs from the ground-truth operator, which is itself
     # PPJoin prefix-filtered + exact-verified since r6
@@ -621,7 +623,7 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s1b, "doc_b", "left_semi")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     stage2 = stage1.join(neardrop, "doc_id", "left_anti")
     stage3 = stage2.filter(F.col("n_chars").between(200, 5000))

@@ -218,7 +218,18 @@ def _ngram_jaccard_scored(
     jaccard) triple per candidate, never the joined arrays.
     ``barrier=False`` exists for the plan-invariant sweeps: checkpoints
     truncate lineage, so the audited plan would otherwise never show
-    this subtree (see :func:`audit_subplans`)."""
+    this subtree (see :func:`audit_subplans`).
+
+    r8: the barrier is ``localCheckpoint(eager=False)`` — the returned
+    plan is the same LogicalRDD optimizer fence (Catalyst still cannot
+    push the caller's threshold filter into the verify join), but the
+    job runs at the FIRST ACTION instead of at plan construction, so
+    merely building the DataFrame (plan audits, registry sweeps,
+    ``oracle_sql`` comparisons that construct both sides up front) stays
+    lazy.  Note localCheckpoint blocks are unreplicated either way; on a
+    real cluster an executor loss after materialization fails the job —
+    acceptable for a barrier whose subtree is deterministic and cheap
+    relative to re-running the query."""
     d = with_shingles(load(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id",
@@ -241,7 +252,7 @@ def _ngram_jaccard_scored(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
-    return scored.localCheckpoint() if barrier else scored
+    return scored.localCheckpoint(eager=False) if barrier else scored
 
 
 # --- MinHash + LSH --------------------------------------------------------
@@ -355,9 +366,10 @@ def _minhash_lsh_scored(
     broadcast it; candidates are already LSH-pruned, so two plain
     shuffled equi-joins on doc_a/doc_b (each keyed on a high-cardinality
     doc id) attach the shingle sets with bounded per-task memory at any
-    scale.  Same checkpoint barrier rationale as
-    :func:`_ngram_jaccard_scored`; ``barrier=False`` keeps the plan
-    auditable (see :func:`audit_subplans`)."""
+    scale.  Same checkpoint barrier rationale (and same r8 lazy
+    ``eager=False`` semantics) as :func:`_ngram_jaccard_scored`;
+    ``barrier=False`` keeps the plan auditable (see
+    :func:`audit_subplans`)."""
     d = with_shingles(load(spark, sf_dir, "documents"))
     sig = minhash_signatures(d)
     cand = lsh_candidate_pairs(sig)
@@ -377,7 +389,7 @@ def _minhash_lsh_scored(
         .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
-    return scored.localCheckpoint() if barrier else scored
+    return scored.localCheckpoint(eager=False) if barrier else scored
 
 
 def audit_subplans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

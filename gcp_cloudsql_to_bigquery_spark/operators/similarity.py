@@ -796,13 +796,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = d2.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "m", "j", "q"
     )
+    # enc and tbl both derive from d2 — explicit plan aliases so the join
+    # condition resolves across the two subtrees by name, not by Spark's
+    # self-join attribute disambiguation (which logs "trivially true
+    # equals predicate" and is version-fragile).
+    enc_a, tbl_a = enc.alias("enc"), tbl.alias("tbl")
     adc = (
-        enc.join(
-            F.broadcast(tbl),
-            (enc.m == tbl.m) & (enc.code == tbl.j) & (enc.vec_id != tbl.query_id),
+        enc_a.join(
+            F.broadcast(tbl_a),
+            (F.col("enc.m") == F.col("tbl.m"))
+            & (F.col("enc.code") == F.col("tbl.j"))
+            & (F.col("enc.vec_id") != F.col("tbl.query_id")),
         )
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("q").cast("bigint").alias("approx_d2_x1e6"))
+        .groupBy(
+            F.col("tbl.query_id").alias("query_id"),
+            F.col("enc.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(F.col("tbl.q")).cast("bigint").alias("approx_d2_x1e6"))
     )
     w_rank = W.partitionBy("query_id").orderBy("approx_d2_x1e6", "neighbor_id")
     return (
@@ -930,17 +940,29 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = d2.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "m", "j", "q"
     )
-    cand = qprobe.join(assign, qprobe.cell == assign.cell).filter(
-        F.col("vec_id") != F.col("query_id")
-    ).select("query_id", F.col("vec_id").alias("nid"))
+    # qprobe/assign and enc/tbl are same-origin subtrees (both pairs derive
+    # from cellscore / d2) — join through explicit plan aliases, not
+    # attribute disambiguation (see ann_pq_topk).
+    cand = (
+        qprobe.alias("qp")
+        .join(assign.alias("asg"), F.col("qp.cell") == F.col("asg.cell"))
+        .filter(F.col("asg.vec_id") != F.col("qp.query_id"))
+        .select(F.col("qp.query_id").alias("query_id"), F.col("asg.vec_id").alias("nid"))
+    )
     adc = (
-        cand.join(enc, "nid")
+        cand.alias("cand")
+        .join(enc.alias("enc"), F.col("cand.nid") == F.col("enc.nid"))
         .join(
-            F.broadcast(tbl),
-            (cand.query_id == tbl.query_id) & (enc.m == tbl.m) & (enc.code == tbl.j),
+            F.broadcast(tbl.alias("tbl")),
+            (F.col("cand.query_id") == F.col("tbl.query_id"))
+            & (F.col("enc.m") == F.col("tbl.m"))
+            & (F.col("enc.code") == F.col("tbl.j")),
         )
-        .groupBy(cand.query_id, F.col("nid").alias("neighbor_id"))
-        .agg(F.sum("q").cast("bigint").alias("approx_d2_x1e6"))
+        .groupBy(
+            F.col("cand.query_id").alias("query_id"),
+            F.col("cand.nid").alias("neighbor_id"),
+        )
+        .agg(F.sum(F.col("tbl.q")).cast("bigint").alias("approx_d2_x1e6"))
     )
     w_rank = W.partitionBy("query_id").orderBy("approx_d2_x1e6", "neighbor_id")
     return (
@@ -1114,13 +1136,20 @@ def ann_pq_topk_candidates(spark: SparkSession, sf_dir: str, k: int) -> DataFram
     tbl = d2.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "m", "j", "q"
     )
+    # same-origin subtrees — explicit plan aliases (see ann_pq_topk)
     adc = (
-        enc.join(
-            F.broadcast(tbl),
-            (enc.m == tbl.m) & (enc.code == tbl.j) & (enc.vec_id != tbl.query_id),
+        enc.alias("enc")
+        .join(
+            F.broadcast(tbl.alias("tbl")),
+            (F.col("enc.m") == F.col("tbl.m"))
+            & (F.col("enc.code") == F.col("tbl.j"))
+            & (F.col("enc.vec_id") != F.col("tbl.query_id")),
         )
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum("q").cast("bigint").alias("approx_d2_x1e6"))
+        .groupBy(
+            F.col("tbl.query_id").alias("query_id"),
+            F.col("enc.vec_id").alias("neighbor_id"),
+        )
+        .agg(F.sum(F.col("tbl.q")).cast("bigint").alias("approx_d2_x1e6"))
     )
     w_rank = W.partitionBy("query_id").orderBy("approx_d2_x1e6", "neighbor_id")
     return (

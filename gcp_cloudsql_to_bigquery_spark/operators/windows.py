@@ -252,11 +252,19 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("hour_value")
     )
-    joined = spine.join(
-        agg,
-        (spine.event_type == agg.event_type) & (spine.bucket == agg.h),
-        "left",
-    ).select(spine.event_type, "bucket", "n", "hour_value")
+    # spine and agg both derive from ev — explicit plan aliases instead of
+    # self-join attribute disambiguation (warns "trivially true equals
+    # predicate" and is version-fragile)
+    joined = (
+        spine.alias("s")
+        .join(
+            agg.alias("a"),
+            (F.col("s.event_type") == F.col("a.event_type"))
+            & (F.col("s.bucket") == F.col("a.h")),
+            "left",
+        )
+        .select(F.col("s.event_type").alias("event_type"), "bucket", "n", "hour_value")
+    )
     w = (
         W.partitionBy("event_type")
         .orderBy("bucket")
@@ -345,9 +353,17 @@ def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type", "h").agg(
         F.round(F.sum("value") * 100).cast("long").alias("hv_c")
     )
-    j = spine.join(
-        agg, (spine.event_type == agg.event_type) & (spine.bucket == agg.h), "left"
-    ).select(spine.event_type, "bucket", "hv_c")
+    # same-origin spine/agg — explicit aliases (see ts_gapfill_locf)
+    j = (
+        spine.alias("s")
+        .join(
+            agg.alias("a"),
+            (F.col("s.event_type") == F.col("a.event_type"))
+            & (F.col("s.bucket") == F.col("a.h")),
+            "left",
+        )
+        .select(F.col("s.event_type").alias("event_type"), "bucket", "hv_c")
+    )
     w_back = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
         W.unboundedPreceding, 0
     )

@@ -314,9 +314,14 @@ def retention_sweep(
     condition {age = 32}``); ``elt_storage_tiering_plan`` already covers
     the DECISION half (which partitions are hot/warm/expired).  This is
     the enforcement half: delete ``<partition_col>=YYYY-MM-DD`` partition
-    directories strictly older than ``max_age_days`` relative to
-    ``as_of`` (a ``datetime.date`` — explicit, so runs are reproducible
-    and testable; lifecycle rules evaluate against "now" implicitly).
+    directories at least ``max_age_days`` old relative to ``as_of``
+    (a ``datetime.date`` — explicit, so runs are reproducible and
+    testable; lifecycle rules evaluate against "now" implicitly).
+    ``age >= max_age_days`` matches GCS lifecycle semantics exactly —
+    ``condition {age = 32}`` fires once an object is 32 days old, so a
+    partition exactly ``max_age_days`` old IS deleted (r8; previously
+    strictly-older, a deliberate-looking but undiscussed off-by-one vs
+    the reference).
 
     Safety model, in order:
 
@@ -365,7 +370,7 @@ def retention_sweep(
         age = (as_of - day).days
         try:
             nbytes = fs.getContentSummary(st.getPath()).getLength()
-            if age > max_age_days:
+            if age >= max_age_days:
                 if dry_run:
                     action = "would_delete"
                 else:

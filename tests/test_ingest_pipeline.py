@@ -116,6 +116,35 @@ def test_warehouse_write_bigquery_branch_reaches_datasource_loader(spark, sf_dir
                         options={"temporaryGcsBucket": "staging"})
 
 
+def test_warehouse_write_config_driven_bigquery_options(spark, sf_dir):
+    """ADVICE r7: a purely config-driven caller must be able to pass every
+    documented connector option through `options` — including the ones
+    bigquery_write_options sets itself (createDisposition /
+    intermediateFormat, re-routed to keyword args instead of raising
+    'already set by an explicit argument'); and a contradictory
+    writeMethod=direct + temporaryGcsBucket raises instead of silently
+    dropping the bucket."""
+    import pytest
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+    from gcp_cloudsql_to_bigquery_spark.ingest.pipeline import warehouse_write
+
+    n = load(spark, sf_dir, "nation")
+    # createDisposition + intermediateFormat via options: accepted, and the
+    # write proceeds all the way to the (absent-jar) datasource lookup
+    with pytest.raises(Exception, match="(?i)bigquery|DATA_SOURCE_NOT_FOUND|Failed to find"):
+        warehouse_write(
+            n, "proj.dataset.nation", fmt="bigquery",
+            options={"temporaryGcsBucket": "staging",
+                     "createDisposition": "CREATE_NEVER",
+                     "intermediateFormat": "orc"},
+        )
+    with pytest.raises(ValueError, match="direct does not stage"):
+        warehouse_write(
+            n, "proj.dataset.nation", fmt="bigquery",
+            options={"writeMethod": "direct", "temporaryGcsBucket": "staging"},
+        )
+
+
 def test_load_table_observed_single_pass_qa(spark, sf_dir):
     # op #21 upgrade: QA metrics ride the load action itself (no second
     # scan); the observation must match a direct recount

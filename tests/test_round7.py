@@ -92,12 +92,13 @@ def test_retention_sweep_dry_run_deletes_nothing(spark, aged_layout):
     max_age = (as_of - datetime.date.fromisoformat(days[2])).days
     before = spark.read.parquet(base).count()
     report = retention_sweep(spark, base, max_age, as_of, dry_run=True)
-    # report marks exactly the partitions strictly older than max_age
+    # report marks exactly the partitions at least max_age old (GCS
+    # lifecycle semantics: condition {age = N} fires at age >= N)
     would = {r["partition"] for r in report if r["action"] == "would_delete"}
     expect = {
         f"export_date={d}"
         for d in days
-        if (as_of - datetime.date.fromisoformat(d)).days > max_age
+        if (as_of - datetime.date.fromisoformat(d)).days >= max_age
     }
     assert would == expect and expect
     assert all(r["action"] in ("would_delete", "kept") for r in report)
@@ -115,7 +116,7 @@ def test_retention_sweep_enforces_and_preserves_rest(spark, aged_layout):
     max_age = (as_of - cutoff).days
     keep_rows = (
         spark.read.parquet(base)
-        .filter(F.col("export_date") >= F.lit(cutoff.isoformat()))
+        .filter(F.col("export_date") > F.lit(cutoff.isoformat()))
         .count()
     )
     report = retention_sweep(spark, base, max_age, as_of, dry_run=False)
@@ -123,13 +124,13 @@ def test_retention_sweep_enforces_and_preserves_rest(spark, aged_layout):
     assert deleted == {
         f"export_date={d}"
         for d in days
-        if (as_of - datetime.date.fromisoformat(d)).days > max_age
+        if (as_of - datetime.date.fromisoformat(d)).days >= max_age
     }
     left = sorted(d for d in os.listdir(base) if d.startswith("export_date="))
     assert left == [
         f"export_date={d}"
         for d in days
-        if (as_of - datetime.date.fromisoformat(d)).days <= max_age
+        if (as_of - datetime.date.fromisoformat(d)).days < max_age
     ]
     # surviving data is byte-complete: same rows as the static filter
     assert spark.read.parquet(base).count() == keep_rows
@@ -151,10 +152,10 @@ def test_retention_sweep_never_deletes_unparseable(spark, aged_layout):
     byp = {r["partition"]: r["action"] for r in report}
     assert byp["export_date=not-a-date"] == "skipped_unparseable"
     assert os.path.exists(bad)
-    # age > 0 partitions were still enforced around it
+    # every parseable partition (age >= 0, i.e. all of them) was still
+    # enforced around the malformed one
     assert all(
-        a == "deleted" for p, a in byp.items()
-        if p not in ("export_date=not-a-date", f"export_date={days[-1]}")
+        a == "deleted" for p, a in byp.items() if p != "export_date=not-a-date"
     )
 
 
@@ -218,7 +219,9 @@ def test_retention_sweep_driven_by_tiering_plan(spark, aged_layout):
     """The two halves of §2A #26 compose: elt_storage_tiering_plan is the
     DECISION (cold = older than 21 days vs the newest partition) and
     retention_sweep is the ENFORCEMENT — sweeping with the plan's own
-    cutoff deletes exactly the partition count the plan classified cold."""
+    cutoff deletes exactly the partition count the plan classified cold.
+    The plan's cold tier is age > 21; the sweep deletes age >= N (GCS
+    lifecycle semantics), so the matching sweep argument is 22."""
     from gcp_cloudsql_to_bigquery_spark.ingest.queries import elt_storage_tiering_plan
     from gcp_cloudsql_to_bigquery_spark.sources.files import retention_sweep
 
@@ -226,7 +229,7 @@ def test_retention_sweep_driven_by_tiering_plan(spark, aged_layout):
     plan = {r["tier"]: r for r in elt_storage_tiering_plan(spark, SF).collect()}
     as_of = max(datetime.date.fromisoformat(d) for d in days)
     assert plan["hot"]["newest_day"].isoformat() == as_of.isoformat()
-    report = retention_sweep(spark, base, 21, as_of, dry_run=True)
+    report = retention_sweep(spark, base, 22, as_of, dry_run=True)
     would = [r for r in report if r["action"] == "would_delete"]
     if "cold" in plan:
         assert len(would) == plan["cold"]["n_partitions"]
