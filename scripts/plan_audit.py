@@ -6,9 +6,14 @@ verify barriers in ``dedup_ngram_jaccard`` / ``dedup_minhash_lsh`` /
 ``curation_dedup_pipeline`` are now ``localCheckpoint(eager=False)``
 (same LogicalRDD fence in the audited plan, job deferred to the first
 action), so building those plans is cheap again.  The remaining
-construction-time execution is the iterative connected-components
-family, whose driver-side convergence counts are inherent to the
-algorithm — a full audit runs in ~3 minutes, dominated by those loops.
+construction-time execution: the iterative connected-components family
+(driver-side convergence counts, inherent to the algorithm) plus two
+small single-job eager checkpoints left deliberately in place
+(``dedup_containment``'s df-capped posting list, the 20-row
+``curation_temperature_sampling`` plan table — both r7-witnessed, and
+re-witnessing them for a construction-latency nicety isn't worth the
+gate slots).  A full audit runs in ~3 minutes, dominated by the CC
+loops.
 
 Invariants:
 
