@@ -192,15 +192,20 @@ def main() -> None:
 
     extended: dict[str, float] = {}
     for name in EXTENDED:
-        # end-to-end (plan build + execute) fresh each rep: the curation
-        # pipeline materializes shared intermediates via localCheckpoint at
-        # BUILD time, so timing execution alone would miss most of its work
+        # end-to-end (plan build + execute) fresh each rep.  The dedup
+        # barriers are persist() fences since r8 and the CacheManager
+        # dedups by plan equality, so without clearCache rep 2 would read
+        # rep 1's materialized candidates and record a cache hit instead
+        # of a full re-execution — clear between reps to keep the number
+        # honest.
         best = float("inf")
         for _ in range(EXTENDED_RUNS):
+            spark.catalog.clearCache()
             t0 = time.time()
             qs[name](spark, sf_dir).toPandas()
             best = min(best, time.time() - t0)
         extended[name] = round(best, 3)
+    spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

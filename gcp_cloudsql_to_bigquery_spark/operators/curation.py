@@ -10,6 +10,7 @@ partials per column.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -597,17 +598,19 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary"))
     wfp = W.partitionBy("f").orderBy("doc_id")
     # stage1 feeds three funnel branches plus both neardrop semi-joins;
-    # without truncation Catalyst re-expands the whole subtree per consumer
+    # without a fence Catalyst re-expands the whole subtree per consumer
     # (20 scans of documents measured at r6).  (doc_id, n_chars) is 16
     # bytes/row — materializing once beats five recomputes at any scale.
-    # eager=False (r8): same LogicalRDD fence, but the job runs at the
-    # first action, not at plan construction (keeps audits/sweeps lazy).
+    # persist (r8, ADVICE r7): the InMemoryRelation is an analysis-time
+    # optimizer fence like the old checkpoint, but construction stays
+    # fully lazy and lost blocks recompute from lineage instead of
+    # failing the job (see _ngram_jaccard_scored for the full rationale).
     stage1 = (
         d.select("doc_id", "n_chars", fp.alias("f"))
         .withColumn("rn", F.row_number().over(wfp))
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_chars")
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # near-dup pairs from the ground-truth operator, which is itself
     # PPJoin prefix-filtered + exact-verified since r6
@@ -623,7 +626,7 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s1b, "doc_b", "left_semi")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stage2 = stage1.join(neardrop, "doc_id", "left_anti")
     stage3 = stage2.filter(F.col("n_chars").between(200, 5000))

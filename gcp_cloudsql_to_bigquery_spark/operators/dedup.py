@@ -21,6 +21,7 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -220,16 +221,23 @@ def _ngram_jaccard_scored(
     truncate lineage, so the audited plan would otherwise never show
     this subtree (see :func:`audit_subplans`).
 
-    r8: the barrier is ``localCheckpoint(eager=False)`` — the returned
-    plan is the same LogicalRDD optimizer fence (Catalyst still cannot
-    push the caller's threshold filter into the verify join), but the
-    job runs at the FIRST ACTION instead of at plan construction, so
-    merely building the DataFrame (plan audits, registry sweeps,
-    ``oracle_sql`` comparisons that construct both sides up front) stays
-    lazy.  Note localCheckpoint blocks are unreplicated either way; on a
-    real cluster an executor loss after materialization fails the job —
-    acceptable for a barrier whose subtree is deterministic and cheap
-    relative to re-running the query."""
+    r8: the barrier is ``persist(MEMORY_AND_DISK)``, not an eager
+    ``localCheckpoint`` (ADVICE r7).  The CacheManager substitutes an
+    ``InMemoryRelation`` at ANALYSIS time, which is a genuine optimizer
+    fence — Catalyst cannot push the caller's threshold filter back into
+    the verify join, so array_intersect is still evaluated once (the r7
+    win stands) — while construction stays fully lazy: zero jobs until
+    the first action (``localCheckpoint(eager=False)`` still materializes
+    every AQE shuffle stage at build time, measured 5 jobs here).  It is
+    also strictly better at scale: cache blocks keep their lineage, so an
+    executor loss recomputes the lost partitions instead of failing the
+    job the way unreplicated localCheckpoint blocks do.  MEMORY_AND_DISK
+    spills instead of evicting (the scored triple is ~24 B/row).  Note
+    the CacheManager dedups by plan equality, so a same-session consumer
+    (the curation pipeline building this same subtree) legitimately
+    reuses the materialized candidates; bench.py calls
+    ``spark.catalog.clearCache()`` between extended reps so its recorded
+    wall-clocks stay full re-executions."""
     d = with_shingles(load(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id",
@@ -252,7 +260,7 @@ def _ngram_jaccard_scored(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
-    return scored.localCheckpoint(eager=False) if barrier else scored
+    return scored.persist(StorageLevel.MEMORY_AND_DISK) if barrier else scored
 
 
 # --- MinHash + LSH --------------------------------------------------------
@@ -366,10 +374,9 @@ def _minhash_lsh_scored(
     broadcast it; candidates are already LSH-pruned, so two plain
     shuffled equi-joins on doc_a/doc_b (each keyed on a high-cardinality
     doc id) attach the shingle sets with bounded per-task memory at any
-    scale.  Same checkpoint barrier rationale (and same r8 lazy
-    ``eager=False`` semantics) as :func:`_ngram_jaccard_scored`;
-    ``barrier=False`` keeps the plan auditable (see
-    :func:`audit_subplans`)."""
+    scale.  Same barrier rationale (and same r8 lazy cache-fence
+    semantics) as :func:`_ngram_jaccard_scored`; ``barrier=False`` keeps
+    the plan auditable (see :func:`audit_subplans`)."""
     d = with_shingles(load(spark, sf_dir, "documents"))
     sig = minhash_signatures(d)
     cand = lsh_candidate_pairs(sig)
@@ -389,19 +396,20 @@ def _minhash_lsh_scored(
         .join(b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
-    return scored.localCheckpoint(eager=False) if barrier else scored
+    return scored.persist(StorageLevel.MEMORY_AND_DISK) if barrier else scored
 
 
 def audit_subplans(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Pre-barrier plans for the plan-invariant sweeps.
 
-    The r7 verify barriers (eager ``localCheckpoint``) truncate lineage,
-    so the audited plan of ``dedup_ngram_jaccard`` / ``dedup_minhash_lsh``
-    (and their consumers) would otherwise show only a scan of checkpointed
-    blocks — an invariant violation inside the candidate-generation or
-    verify subtrees would be invisible.  ``scripts/plan_audit.py`` and
-    ``tests/test_plans.py`` audit these un-truncated builders in addition
-    to the registry plans."""
+    The verify barriers (r7 eager ``localCheckpoint``, r8 ``persist``
+    cache fence) hide the candidate/verify subtrees behind the fence
+    node, so the audited plan of ``dedup_ngram_jaccard`` /
+    ``dedup_minhash_lsh`` (and their consumers) would otherwise show only
+    the fenced relation — an invariant violation inside the candidate-
+    generation or verify subtrees would be invisible.
+    ``scripts/plan_audit.py`` and ``tests/test_plans.py`` audit these
+    un-fenced builders in addition to the registry plans."""
     return {
         "dedup_ngram_jaccard.pre_barrier": _ngram_jaccard_scored(
             spark, sf_dir, barrier=False

@@ -449,3 +449,36 @@ def test_prefix_candidate_growth_linear_on_realistic_corpus(spark):
     # growth exponent in corpus size: linear-ish, nowhere near quadratic
     exponent = math.log(counts[2000] / counts[500]) / math.log(2000 / 500)
     assert exponent < 1.3, (counts, exponent)
+
+
+def test_dedup_barriers_construct_lazily(spark):
+    """ADVICE r7: merely CONSTRUCTING the dedup/curation DataFrames must
+    not execute the candidate+verify job.  The r8 barrier is a persist()
+    cache fence (InMemoryRelation at analysis time) instead of an eager
+    localCheckpoint, so plan builds — audits, sweeps, oracle comparisons
+    — stay lazy.  Pinned via job groups: zero jobs may run while the
+    three builders construct (the parquet-footer schema read is cached
+    per session by catalog.load, warmed here first)."""
+    from gcp_cloudsql_to_bigquery_spark.operators.curation import (
+        curation_dedup_pipeline,
+    )
+    from gcp_cloudsql_to_bigquery_spark.operators.dedup import (
+        _minhash_lsh_scored,
+        dedup_ngram_jaccard,
+    )
+
+    sc = spark.sparkContext
+    load(spark, SF, "documents")  # warm the footer/schema cache
+    sc.setJobGroup("lazy-barrier-check", "construction only")
+    try:
+        df1 = dedup_ngram_jaccard(spark, SF)
+        df2 = _minhash_lsh_scored(spark, SF)
+        df3 = curation_dedup_pipeline(spark, SF)
+        jobs = list(sc.statusTracker().getJobIdsForGroup("lazy-barrier-check"))
+        assert jobs == [], f"construction ran jobs: {jobs}"
+    finally:
+        sc.setJobGroup("lazy-barrier-exec", "positive control")
+    # positive control: the fence is real work deferred, not removed
+    assert df3.count() == 4
+    assert len(sc.statusTracker().getJobIdsForGroup("lazy-barrier-exec")) > 0
+    df1, df2  # constructed plans above are part of the assertion surface
