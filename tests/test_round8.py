@@ -1,0 +1,154 @@
+"""Round-8 witnesses for the four rounds-9 gate-tail queries that had no
+dedicated test (stream_chained_stateful_aggs, src_python_datasource_stream,
+fn_pandas_on_spark_api) or only a structural property test (graph_hits).
+
+graph_hits is replay-style — the DuckDB oracle unrolls the identical
+max-normalized power iteration — so per the README third-witness rule its
+ground truth is recomputed here in pure Python from the raw parquet,
+independent of both engines.  The other three are behavioral contracts
+(chained watermark frontier, exactly-once block delivery, pandas-dialect
+== native plan) recomputed from first principles the same way.
+"""
+
+import datetime as dt
+import math
+from collections import Counter, defaultdict
+
+import pyarrow.parquet as pq
+
+from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def _col(path, table, name):
+    return pq.read_table(f"{path}/{table}.parquet", columns=[name]).column(0).to_pylist()
+
+
+def test_hits_matches_bruteforce(spark):
+    """Full pure-Python replay of the 3-iteration HITS loop: edge weights
+    from the 4-way join, h0=1, per-half-round dst/src-keyed weighted sums,
+    MAX-normalize over raw scores, micro-quantize to 1e-9 — then compare
+    the x1e9 integers.  Summation-order float drift can move a quantized
+    value by at most one 1e-9 step, so the assertion allows |delta| <= 1;
+    any algorithmic bug (wrong key direction, missing coalesce-to-zero,
+    normalizing before the sum, L1 instead of max) shifts scores by
+    orders of magnitude more."""
+    lk = _col(SF, "lineitem", "l_orderkey")
+    ls = _col(SF, "lineitem", "l_suppkey")
+    o = dict(zip(_col(SF, "orders", "o_orderkey"), _col(SF, "orders", "o_custkey")))
+    c = dict(zip(_col(SF, "customer", "c_custkey"), _col(SF, "customer", "c_nationkey")))
+    s = dict(zip(_col(SF, "supplier", "s_suppkey"), _col(SF, "supplier", "s_nationkey")))
+    nations = sorted(_col(SF, "nation", "n_nationkey"))
+
+    w = Counter((c[o[ok]], s[sk]) for ok, sk in zip(lk, ls))
+
+    def quant(x):
+        return math.floor(x * 1e9 + 0.5) / 1e9
+
+    def half_round(score, from_idx, to_idx):
+        raw = defaultdict(float)
+        for (src, dst), wt in w.items():
+            key = (src, dst)
+            raw[key[to_idx]] += score[key[from_idx]] * wt
+        m = max(raw.values())
+        return {n: quant(raw.get(n, 0.0) / m) for n in nations}
+
+    h = {n: 1.0 for n in nations}
+    for _ in range(3):
+        a = half_round(h, 0, 1)  # authority: dst-keyed sum of h[src]*w
+        h = half_round(a, 1, 0)  # hub: src-keyed sum of a[dst]*w
+    want_a = {n: math.floor(a[n] * 1e9 + 0.5) for n in nations}
+    want_h = {n: math.floor(h[n] * 1e9 + 0.5) for n in nations}
+
+    rows = queries()["graph_hits"](spark, SF).collect()
+    assert len(rows) == len(nations)
+    for r in rows:
+        n = r["n_nationkey"]
+        assert abs(r["auth_x1e9"] - want_a[n]) <= 1, (n, r["auth_x1e9"], want_a[n])
+        assert abs(r["hub_x1e9"] - want_h[n]) <= 1, (n, r["hub_x1e9"], want_h[n])
+        # zero/positive structure must be exact (no quantization slack):
+        # a nation has authority iff an edge points at it, hub iff it
+        # sources one
+        assert (r["auth_x1e9"] > 0) == (want_a[n] > 0)
+        assert (r["hub_x1e9"] > 0) == (want_h[n] > 0)
+    # non-degenerate: the corpus has real asymmetry to rank
+    assert len({r["auth_x1e9"] for r in rows}) > 2
+
+
+def test_chained_stateful_aggs_match_manual_rollup(spark):
+    """The two-level streaming rollup (hourly counts -> 6h peak/n_hours)
+    recomputed from the raw events: hour buckets floor to the hour, the
+    downstream window buckets the hourly window's event-time into epoch-
+    aligned 6h cells, and only 6h windows whose END has been passed by
+    the final watermark (max ts - 1h) may emit in append mode.  Catches
+    frontier bugs (emitting unfinalized windows / dropping finalized
+    ones) and bucket misalignment that the rows-only driver check for
+    streaming queries would miss."""
+    t = pq.read_table(f"{SF}/events.parquet", columns=["ts", "event_type"])
+    ts = t.column("ts").to_pylist()
+    et = t.column("event_type").to_pylist()
+
+    hourly = Counter(
+        (u.replace(minute=0, second=0, microsecond=0), e) for u, e in zip(ts, et)
+    )
+    epoch = dt.datetime(1970, 1, 1)
+    six = defaultdict(list)
+    for (h, e), n in hourly.items():
+        hrs = int((h - epoch).total_seconds()) // 3600
+        win = epoch + dt.timedelta(hours=hrs // 6 * 6)
+        six[(win, e)].append(n)
+    wm = max(ts) - dt.timedelta(hours=1)
+    want = {
+        (win, e): (max(ns), len(ns))
+        for (win, e), ns in six.items()
+        if win + dt.timedelta(hours=6) <= wm
+    }
+    assert want  # frontier keeps a non-empty, strict subset
+    assert len(want) < len(six)
+
+    got = {
+        (r["win_start"], r["event_type"]): (r["peak_hourly"], r["n_hours"])
+        for r in queries()["stream_chained_stateful_aggs"](spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_python_datasource_stream_delivers_each_key_once(spark):
+    """Exactly-once block delivery of the streaming Python data source at
+    sf0.01 (1500 keys -> 3 distinct 500-key blocks, so offset advancement
+    is exercised across multiple micro-batches): every customer key lands
+    exactly once, with its acctbal in integer cents and the block lineage
+    k // 500 the offset contract promises."""
+    keys = _col(SF01, "customer", "c_custkey")
+    bals = _col(SF01, "customer", "c_acctbal")
+    want = {
+        k: (math.floor(b * 100 + 0.5), k // 500) for k, b in zip(keys, bals)
+    }
+
+    rows = queries()["src_python_datasource_stream"](spark, SF01).collect()
+    assert len(rows) == len(want)  # no duplicate delivery, no loss
+    got = {r["k"]: (r["cents"], r["block"]) for r in rows}
+    assert got == want
+    # multi-batch: the offset really advanced across >=3 blocks
+    assert len({b for _, b in got.values()}) >= 3
+
+
+def test_pandas_on_spark_api_matches_python(spark):
+    """The pandas-dialect grouped aggregate recomputed with a plain dict
+    sweep over the raw orders parquet — integer cents end-to-end, so the
+    comparison is exact."""
+    pri = _col(SF, "orders", "o_orderpriority")
+    tp = _col(SF, "orders", "o_totalprice")
+    want = {}
+    for p, v in zip(pri, tp):
+        cents = math.floor(v * 100 + 0.5)
+        n, tot, mx = want.get(p, (0, 0, 0))
+        want[p] = (n + 1, tot + cents, max(mx, cents))
+
+    got = {
+        r["pri"]: (r["n"], r["cents"], r["max_cents"])
+        for r in queries()["fn_pandas_on_spark_api"](spark, SF).collect()
+    }
+    assert got == want
