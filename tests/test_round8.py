@@ -135,6 +135,93 @@ def test_python_datasource_stream_delivers_each_key_once(spark):
     assert len({b for _, b in got.values()}) >= 3
 
 
+def _jaccard_edges(path, thresh=0.65):
+    """Ground-truth near-dup edge set recomputed from raw text: distinct
+    character 3-gram shingles (``substring(text, i, 3)`` for i in
+    1..max(len-2, 1), exactly the engine's SHINGLE_EXPR), exact pairwise
+    Jaccard over the STRING sets (the engine compares xxhash64-hashed
+    sets — an xxhash64 collision would surface here as a diff), rounded
+    half-up to 6dp like both engines, thresholded.  Pairs (a < b)."""
+    t = pq.read_table(f"{path}/documents.parquet", columns=["doc_id", "text"])
+    shingles = {
+        i: frozenset(x[j : j + 3] for j in range(max(len(x) - 2, 1)))
+        for i, x in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist())
+    }
+    ids = sorted(shingles)
+    edges = set()
+    for i, a in enumerate(ids):
+        sa = shingles[a]
+        for b in ids[i + 1 :]:
+            sb = shingles[b]
+            inter = len(sa & sb)
+            if inter and math.floor(inter / (len(sa) + len(sb) - inter) * 1e6 + 0.5) / 1e6 >= thresh:
+                edges.add((a, b))
+    return edges
+
+
+def test_kcore_matches_bruteforce_peel(spark):
+    """graph_kcore's oracle unrolls the same 8 peel rounds the Spark loop
+    runs (replay-style), so the peel is recomputed here from first
+    principles: symmetric edge set from _jaccard_edges, iteratively drop
+    nodes of degree < 2 plus their edges until fixpoint, compare the
+    surviving (node, core_degree) map exactly.  Also asserts the peel
+    reaches fixpoint within the 8 shared rounds — the premise that makes
+    the fixed unroll exact."""
+    edges = _jaccard_edges(SF)
+    assert edges  # non-degenerate corpus
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    rounds = 0
+    while True:
+        drop = {n for n, nb in adj.items() if len(nb) < 2}
+        if not drop:
+            break
+        rounds += 1
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+        adj = {n: nb for n, nb in adj.items() if nb}
+    assert rounds <= 8  # fixpoint inside the shared unroll bound
+    want = {n: len(nb) for n, nb in adj.items()}
+
+    got = {
+        r["doc_id"]: r["core_degree"]
+        for r in queries()["graph_kcore"](spark, SF).collect()
+    }
+    assert got == want
+    assert want  # the 2-core is non-empty at this SF
+
+
+def test_bfs_layers_match_bruteforce_bfs(spark):
+    """graph_bfs_layers' oracle is the same recursive expansion in CTE
+    form (replay-style): recompute min-hop distances with a plain BFS
+    from the % 100 == 0 seed set over the recomputed edge set, capped at
+    depth 6, and compare (doc_id, depth) exactly."""
+    edges = _jaccard_edges(SF)
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    seeds = {n for n in adj if n % 100 == 0}
+    assert seeds  # non-degenerate: the seed filter selects real nodes
+    dist = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for d in range(1, 7):
+        frontier = {v for u in frontier for v in adj[u] if v not in dist}
+        for v in frontier:
+            dist[v] = d
+
+    got = {
+        r["doc_id"]: r["depth"]
+        for r in queries()["graph_bfs_layers"](spark, SF).collect()
+    }
+    assert got == dist
+    assert len({d for d in dist.values()}) > 1  # more than just the seed layer
+
+
 def test_pandas_on_spark_api_matches_python(spark):
     """The pandas-dialect grouped aggregate recomputed with a plain dict
     sweep over the raw orders parquet — integer cents end-to-end, so the
