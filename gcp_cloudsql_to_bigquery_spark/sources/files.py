@@ -789,6 +789,57 @@ def elt_format_migration_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parse_fixed_width_feed(files: DataFrame) -> DataFrame:
+    """Read side of the fixed-width feed, pure narrow SQL over (shard,
+    content) blobs: split lines, parse D records at their fixed offsets,
+    parse each shard's T trailer, and verify the trailer's declared
+    count/checksum against the parsed body — every output row carries
+    its shard's audit verdict, so a tampered or truncated shard flags
+    count_ok/checksum_ok=false on its rows instead of poisoning the
+    load.  Module-level so the tamper paths are testable with crafted
+    feeds the consistent producer can never emit."""
+    lines = files.select(
+        "shard", F.explode(F.split("content", "\n")).alias("line")
+    )
+    body = lines.filter(F.substring("line", 1, 1) == "D").select(
+        "shard",
+        F.substring("line", 2, 9).cast("bigint").alias("custkey"),
+        F.rtrim(F.substring("line", 11, 18)).alias("name"),
+        (
+            F.when(F.substring("line", 29, 1) == "-", -1).otherwise(1)
+            * F.substring("line", 30, 11).cast("bigint")
+        ).alias("bal_cents"),
+        F.rtrim(F.substring("line", 41, 10)).alias("segment"),
+    )
+    trailer = lines.filter(F.substring("line", 1, 1) == "T").select(
+        "shard",
+        F.substring("line", 2, 9).cast("bigint").alias("n_declared"),
+        (
+            F.when(F.substring("line", 11, 1) == "-", -1).otherwise(1)
+            * F.substring("line", 12, 15).cast("bigint")
+        ).alias("sum_declared"),
+    )
+    stats = body.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_parsed"), F.sum("bal_cents").alias("sum_parsed")
+    )
+    audit = F.broadcast(
+        stats.join(trailer, "shard").select(
+            "shard",
+            (F.col("n_parsed") == F.col("n_declared")).alias("count_ok"),
+            (F.col("sum_parsed") == F.col("sum_declared")).alias("checksum_ok"),
+        )
+    )
+    return body.join(audit, "shard").select(
+        "custkey",
+        "name",
+        "bal_cents",
+        "segment",
+        F.col("shard").cast("bigint").alias("shard"),
+        "count_ok",
+        "checksum_ok",
+    )
+
+
 @register(
     "src_fixed_width_trailer",
     oracle="""
@@ -854,51 +905,50 @@ def src_fixed_width_trailer(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = c.groupBy("shard").applyInPandas(
         render_shard, schema="shard int, content string"
     )
-
-    lines = files.select(
-        "shard", F.explode(F.split("content", "\n")).alias("line")
-    )
-    body = lines.filter(F.substring("line", 1, 1) == "D").select(
-        "shard",
-        F.substring("line", 2, 9).cast("bigint").alias("custkey"),
-        F.rtrim(F.substring("line", 11, 18)).alias("name"),
-        (
-            F.when(F.substring("line", 29, 1) == "-", -1).otherwise(1)
-            * F.substring("line", 30, 11).cast("bigint")
-        ).alias("bal_cents"),
-        F.rtrim(F.substring("line", 41, 10)).alias("segment"),
-    )
-    trailer = lines.filter(F.substring("line", 1, 1) == "T").select(
-        "shard",
-        F.substring("line", 2, 9).cast("bigint").alias("n_declared"),
-        (
-            F.when(F.substring("line", 11, 1) == "-", -1).otherwise(1)
-            * F.substring("line", 12, 15).cast("bigint")
-        ).alias("sum_declared"),
-    )
-    stats = body.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_parsed"), F.sum("bal_cents").alias("sum_parsed")
-    )
-    audit = F.broadcast(
-        stats.join(trailer, "shard").select(
-            "shard",
-            (F.col("n_parsed") == F.col("n_declared")).alias("count_ok"),
-            (F.col("sum_parsed") == F.col("sum_declared")).alias("checksum_ok"),
-        )
-    )
-    return body.join(audit, "shard").select(
-        "custkey",
-        "name",
-        "bal_cents",
-        "segment",
-        F.col("shard").cast("bigint").alias("shard"),
-        "count_ok",
-        "checksum_ok",
-    )
+    return parse_fixed_width_feed(files)
 
 
 _SNIFF_DELIMS = (",", "|", "\t")
 _SNIFF_NAMES = ("comma", "pipe", "tab")
+
+
+def sniff_and_parse_feed(feeds: DataFrame) -> DataFrame:
+    """Read side of the delimiter-sniffed feed: detect each shard's
+    separator by plurality count over the HEADER line (greatest over
+    (count, name) structs — ties break to the lexicographically larger
+    name, deterministic), then split every body line on the detected
+    separator.  Module-level so detection is testable on ambiguous
+    headers the fixture producer never emits."""
+    lines = feeds.select(
+        "shard", F.posexplode(F.split("content", "\n")).alias("ln", "line")
+    )
+    header = lines.filter(F.col("ln") == 0)
+
+    def n_occ(delim: str):
+        return F.length("line") - F.length(F.replace(F.col("line"), F.lit(delim)))
+
+    detected = header.select(
+        "shard",
+        F.greatest(
+            *[
+                F.struct(n_occ(d).alias("n"), F.lit(name).alias("nm"))
+                for d, name in zip(_SNIFF_DELIMS, _SNIFF_NAMES)
+            ]
+        )["nm"].alias("detected"),
+    )
+    body = lines.filter(F.col("ln") > 0).join(F.broadcast(detected), "shard")
+    delim_chr = (
+        F.when(F.col("detected") == "comma", ",")
+        .when(F.col("detected") == "pipe", r"\|")
+        .otherwise("\t")
+    )
+    cells = F.split(F.col("line"), delim_chr)
+    return body.select(
+        cells.getItem(0).cast("bigint").alias("custkey"),
+        cells.getItem(1).alias("name"),
+        cells.getItem(2).alias("segment"),
+        "detected",
+    )
 
 
 @register(
@@ -945,34 +995,4 @@ def elt_delimiter_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_mktsegment", (F.col("c_custkey") % 3).cast("int").alias("shard")
     )
     feeds = c.groupBy("shard").applyInPandas(render, schema="shard int, content string")
-
-    lines = feeds.select(
-        "shard", F.posexplode(F.split("content", "\n")).alias("ln", "line")
-    )
-    header = lines.filter(F.col("ln") == 0)
-
-    def n_occ(delim: str):
-        return F.length("line") - F.length(F.replace(F.col("line"), F.lit(delim)))
-
-    detected = header.select(
-        "shard",
-        F.greatest(
-            *[
-                F.struct(n_occ(d).alias("n"), F.lit(name).alias("nm"))
-                for d, name in zip(_SNIFF_DELIMS, _SNIFF_NAMES)
-            ]
-        )["nm"].alias("detected"),
-    )
-    body = lines.filter(F.col("ln") > 0).join(F.broadcast(detected), "shard")
-    delim_chr = (
-        F.when(F.col("detected") == "comma", ",")
-        .when(F.col("detected") == "pipe", r"\|")
-        .otherwise("\t")
-    )
-    cells = F.split(F.col("line"), delim_chr)
-    return body.select(
-        cells.getItem(0).cast("bigint").alias("custkey"),
-        cells.getItem(1).alias("name"),
-        cells.getItem(2).alias("segment"),
-        "detected",
-    )
+    return sniff_and_parse_feed(feeds)

@@ -175,3 +175,73 @@ def test_bmff_overflowing_child_inside_container_raises():
     payload = moov + _bmff_box(b"free", bytes(32))
     with pytest.raises(ValueError, match="bad box size 48"):
         _one(walk_bmff_batch, 1, payload)
+
+
+# --- fixed-width trailer audit: tamper paths (src_fixed_width_trailer) ---
+#
+# The producer inside the query is consistent by construction, so the
+# audit's false branches never fire on fixture data.  These feeds are
+# crafted by hand from the format spec (D = 1+9 key+18 name+1 sign+11
+# cents+10 segment; T = 1+9 count+1 sign+15 total) — an independent
+# witness of the offsets as well as of the audit verdicts.
+
+
+def _d_rec(key, name, cents, seg):
+    sign = "-" if cents < 0 else "+"
+    return f"D{key:09d}{name:<18.18}{sign}{abs(cents):011d}{seg:<10.10}"
+
+
+def _t_rec(count, total):
+    sign = "-" if total < 0 else "+"
+    return f"T{count:09d}{sign}{abs(total):015d}"
+
+
+def test_fixed_width_trailer_audit_flags_tampering(spark):
+    from gcp_cloudsql_to_bigquery_spark.sources.files import parse_fixed_width_feed
+
+    good = "\n".join(
+        ["H000000000", _d_rec(8, "ALICE", 12345, "AUTO"),
+         _d_rec(16, "BOB", -678, "MACHINERY"), _t_rec(2, 11667)]
+    )
+    bad_count = "\n".join(
+        ["H000000001", _d_rec(24, "CAROL", 500, "HOUSEHOLD"), _t_rec(2, 500)]
+    )
+    bad_sum = "\n".join(
+        ["H000000002", _d_rec(32, "DAVE", -40, "FURNITURE"), _t_rec(1, 40)]
+    )
+    feeds = spark.createDataFrame(
+        [(0, good), (1, bad_count), (2, bad_sum)], "shard int, content string"
+    )
+    rows = {r["custkey"]: r for r in parse_fixed_width_feed(feeds).collect()}
+
+    assert rows[8]["name"] == "ALICE" and rows[8]["bal_cents"] == 12345
+    assert rows[16]["segment"] == "MACHINERY" and rows[16]["bal_cents"] == -678
+    assert rows[8]["count_ok"] and rows[8]["checksum_ok"]
+    # count tampered: count_ok false, checksum still consistent
+    assert not rows[24]["count_ok"] and rows[24]["checksum_ok"]
+    # checksum tampered (sign flipped): checksum_ok false, count fine
+    assert rows[32]["count_ok"] and not rows[32]["checksum_ok"]
+    assert rows[32]["bal_cents"] == -40
+
+
+# --- delimiter sniffing: plurality + tie-break (elt_delimiter_sniffing) ---
+
+
+def test_sniffing_plurality_and_tiebreak(spark):
+    from gcp_cloudsql_to_bigquery_spark.sources.files import sniff_and_parse_feed
+
+    feeds = spark.createDataFrame(
+        [
+            # header holds 1 comma AND 2 pipes: plurality must pick pipe
+            (0, "a,b|c|d\n5|x,y|SEG"),
+            # exact tie comma-vs-pipe: greatest((1,'comma'),(1,'pipe'))
+            # breaks to the lexicographically larger name — pipe, stably
+            (1, "k,v|w\n7|n|s"),
+            (2, "k\tv\tw\n9\tTABBY\tTS"),
+        ],
+        "shard int, content string",
+    )
+    got = {r["custkey"]: r for r in sniff_and_parse_feed(feeds).collect()}
+    assert got[5]["detected"] == "pipe" and got[5]["name"] == "x,y"
+    assert got[7]["detected"] == "pipe" and got[7]["segment"] == "s"
+    assert got[9]["detected"] == "tab" and got[9]["name"] == "TABBY"
