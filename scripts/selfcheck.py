@@ -117,6 +117,21 @@ def main() -> int:
         "of the full registry — the advisor's spot-check workflow as a flag",
     )
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--master",
+        default="local[8]",
+        help="Spark master — vary the core count to prove results don't "
+        "depend on task parallelism",
+    )
+    ap.add_argument(
+        "--shuffle",
+        type=int,
+        default=8,
+        metavar="N",
+        help="spark.sql.shuffle.partitions — a hostile (prime, mismatched) "
+        "value is the partition-invariance check: order-dependent results "
+        "or limit-without-sort bugs flip the value hash here",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -126,7 +141,7 @@ def main() -> int:
     from gcp_cloudsql_to_bigquery_spark.catalog import TABLES
     from gcp_cloudsql_to_bigquery_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark = get_spark(master=args.master, shuffle_partitions=args.shuffle)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'")
