@@ -174,3 +174,19 @@ def test_sniffer_seeded_fuzz(spark):
     assert len(rows) == len(truth)
     for r in rows:
         assert (r["name"], r["segment"], r["detected"]) == truth[r["custkey"]]
+
+
+# --- registry binding invariant ---
+
+
+def test_registry_names_bind_their_own_functions():
+    """Every registered query's fn.__name__ must equal its registry key.
+    Pins the decorator-binding hazard: a module-level helper inserted
+    between @register(...) and the query def silently rebinds the entry
+    to the helper (caught live during the r8 feed-helper extraction —
+    selfcheck failed with 'takes 1 positional argument but 2 were
+    given'); this makes the mistake a unit-test failure instead."""
+    from gcp_cloudsql_to_bigquery_spark.workload import REGISTRY
+
+    mismatched = {k: q.fn.__name__ for k, q in REGISTRY.items() if q.fn.__name__ != k}
+    assert not mismatched
