@@ -145,12 +145,21 @@ def warehouse_write(
                 "writeMethod=direct does not stage via GCS — drop "
                 "temporaryGcsBucket or use writeMethod=indirect"
             )
+        if method == "direct" and "intermediateFormat" in opts:
+            # same contradiction class (ADVICE r8): intermediateFormat only
+            # applies to the indirect staging file; passing it through to
+            # the connector as a meaningless option hides the misconfig
+            raise ValueError(
+                "writeMethod=direct streams via the Storage Write API and "
+                "never writes an intermediate file — drop "
+                "intermediateFormat or use writeMethod=indirect"
+            )
         # options bigquery_write_options always sets itself must ride the
         # keyword arguments, not extra (extra refuses to override them)
         kw = {}
         if "createDisposition" in opts:
             kw["create_disposition"] = opts.pop("createDisposition")
-        if method == "indirect" and "intermediateFormat" in opts:
+        if "intermediateFormat" in opts:
             kw["intermediate_format"] = opts.pop("intermediateFormat")
         bigquery_writer(
             df, table, mode=mode, write_method=method,

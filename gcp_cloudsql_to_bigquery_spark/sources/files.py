@@ -796,8 +796,12 @@ def parse_fixed_width_feed(files: DataFrame) -> DataFrame:
     count/checksum against the parsed body — every output row carries
     its shard's audit verdict, so a tampered or truncated shard flags
     count_ok/checksum_ok=false on its rows instead of poisoning the
-    load.  Module-level so the tamper paths are testable with crafted
-    feeds the consistent producer can never emit."""
+    load.  A shard truncated BEFORE its T trailer (no trailer line at
+    all) is the same verdict, not a silent drop: stats joins the trailer
+    LEFT and the null comparisons coalesce to false (ADVICE r8), so the
+    body rows survive with both flags false.  Module-level so the tamper
+    paths are testable with crafted feeds the consistent producer can
+    never emit."""
     lines = files.select(
         "shard", F.explode(F.split("content", "\n")).alias("line")
     )
@@ -822,11 +826,20 @@ def parse_fixed_width_feed(files: DataFrame) -> DataFrame:
     stats = body.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_parsed"), F.sum("bal_cents").alias("sum_parsed")
     )
+    # LEFT join + coalesce-to-false: a shard with body rows but no trailer
+    # (truncated mid-feed) must flag its rows, not drop them — the inner
+    # join silently discarded exactly the shards most in need of the audit.
+    # Every shard with >=1 body row has a stats row, so audit still covers
+    # every body row and the body join below can stay inner.
     audit = F.broadcast(
-        stats.join(trailer, "shard").select(
+        stats.join(trailer, "shard", "left").select(
             "shard",
-            (F.col("n_parsed") == F.col("n_declared")).alias("count_ok"),
-            (F.col("sum_parsed") == F.col("sum_declared")).alias("checksum_ok"),
+            F.coalesce(
+                F.col("n_parsed") == F.col("n_declared"), F.lit(False)
+            ).alias("count_ok"),
+            F.coalesce(
+                F.col("sum_parsed") == F.col("sum_declared"), F.lit(False)
+            ).alias("checksum_ok"),
         )
     )
     return body.join(audit, "shard").select(

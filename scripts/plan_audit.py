@@ -1,19 +1,31 @@
 """Registry-wide physical-plan audit: build every query's plan and check
 the two scale invariants introduced in round 6.
 
-Plan *building* is lazy for almost every query since round 8: the r7
-verify barriers in ``dedup_ngram_jaccard`` / ``dedup_minhash_lsh`` /
-``curation_dedup_pipeline`` are now ``localCheckpoint(eager=False)``
-(same LogicalRDD fence in the audited plan, job deferred to the first
-action), so building those plans is cheap again.  The remaining
-construction-time execution: the iterative connected-components family
-(driver-side convergence counts, inherent to the algorithm) plus two
-small single-job eager checkpoints left deliberately in place
-(``dedup_containment``'s df-capped posting list, the 20-row
-``curation_temperature_sampling`` plan table — both r7-witnessed, and
-re-witnessing them for a construction-latency nicety isn't worth the
-gate slots).  A full audit runs in ~3 minutes, dominated by the CC
-loops.
+Plan *building* is lazy for almost every query since round 8: the verify
+barriers in ``dedup_ngram_jaccard`` / ``dedup_minhash_lsh`` /
+``curation_dedup_pipeline`` are ``persist(MEMORY_AND_DISK)`` cache
+fences — the CacheManager substitutes an ``InMemoryRelation`` at
+analysis time (the optimizer fence), so the audited plan shows an
+``InMemoryTableScan`` fence node and building the plan runs zero jobs.
+The remaining construction-time execution: the iterative
+connected-components family (driver-side convergence counts, inherent
+to the algorithm) plus two small single-job eager checkpoints left
+deliberately in place (``dedup_containment``'s df-capped posting list,
+the 20-row ``curation_temperature_sampling`` plan table — both
+r7-witnessed, and re-witnessing them for a construction-latency nicety
+isn't worth the gate slots).  A full audit runs in ~3 minutes,
+dominated by the CC loops.
+
+Audit-order hazard (ADVICE r8, fixed r9): building a registry dedup
+query calls ``.persist()``, registering its plan with the CacheManager;
+any canonically-equal DataFrame whose ``executedPlan`` is computed
+AFTERWARDS gets the cached plan substituted in (``withCachedData``),
+collapsing the un-fenced candidate/verify subtrees to a single
+``InMemoryTableScan`` — the invariant checks would pass vacuously on
+exactly the plans ``audit_subplans`` exists to expose.  So the
+pre-barrier plans are inspected FIRST, before any registry plan is
+built, with a guard asserting no ``InMemoryTableScan`` leaked into
+them.
 
 Invariants:
 
@@ -73,24 +85,9 @@ def main() -> int:
     spark = get_spark(app_name="plan_audit", master="local[8]", shuffle_partitions=8)
     violations: list[str] = []
     n_checked = 0
-    # pre-barrier builders: the r7 verify checkpoints truncate lineage, so
-    # the registered dedup queries' plans no longer show their candidate/
-    # verify subtrees — audit the un-truncated forms alongside the registry
-    targets = dict(queries())
-    # a failure building either pre-barrier DataFrame is recorded as a
-    # per-plan violation like any registry query, not a whole-audit abort
-    try:
-        targets.update(
-            {n: (lambda s, sf, d=df: d) for n, df in audit_subplans(spark, args.sf).items()}
-        )
-    except Exception as e:
-        violations.append(f"audit_subplans: plan build error: {e}")
-    for name, fn in targets.items():
-        try:
-            df = fn(spark, args.sf)
-        except Exception as e:  # plan construction itself failed
-            violations.append(f"{name}: plan build error: {e}")
-            continue
+
+    def check(name: str, df) -> None:
+        nonlocal n_checked
         n_checked += 1
         for kind, count in (
             ("window", inspect.unpartitioned_fact_window_count(df)),
@@ -99,6 +96,39 @@ def main() -> int:
             expected, _why = ALLOWLIST.get((name, kind), (0, ""))
             if count != expected:
                 violations.append(f"{name}: {kind}={count} (expected {expected})")
+
+    # pre-barrier builders FIRST: the verify barriers fence the candidate/
+    # verify subtrees out of the registered queries' plans, so the audit
+    # would otherwise never see them — and they must be inspected BEFORE
+    # any registry plan is built, or the CacheManager substitutes the
+    # fenced (persisted) plan into these canonically-equal DataFrames and
+    # the checks pass vacuously (see module docstring).  A failure building
+    # either pre-barrier DataFrame is recorded as a per-plan violation like
+    # any registry query, not a whole-audit abort.
+    try:
+        pre = audit_subplans(spark, args.sf)
+    except Exception as e:
+        violations.append(f"audit_subplans: plan build error: {e}")
+        pre = {}
+    for name, df in pre.items():
+        if "InMemoryTableScan" in inspect.physical_plan(df):
+            violations.append(
+                f"{name}: pre-barrier plan contains InMemoryTableScan — "
+                "cache substitution collapsed the subtree; the invariant "
+                "check would be vacuous (audit-order bug)"
+            )
+            continue
+        check(name, df)
+    # belt-and-braces: drop anything construction may have registered so
+    # the registry pass below starts from a cold CacheManager too
+    spark.catalog.clearCache()
+    for name, fn in queries().items():
+        try:
+            df = fn(spark, args.sf)
+        except Exception as e:  # plan construction itself failed
+            violations.append(f"{name}: plan build error: {e}")
+            continue
+        check(name, df)
     print(f"checked {n_checked} plans")
     if violations:
         for v in violations:

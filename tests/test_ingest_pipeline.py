@@ -143,6 +143,14 @@ def test_warehouse_write_config_driven_bigquery_options(spark, sf_dir):
             n, "proj.dataset.nation", fmt="bigquery",
             options={"writeMethod": "direct", "temporaryGcsBucket": "staging"},
         )
+    # same contradiction class (ADVICE r8): intermediateFormat only applies
+    # to the indirect staging file — direct must raise, not silently pass
+    # a meaningless option through to the connector
+    with pytest.raises(ValueError, match="never writes an intermediate"):
+        warehouse_write(
+            n, "proj.dataset.nation", fmt="bigquery",
+            options={"writeMethod": "direct", "intermediateFormat": "orc"},
+        )
 
 
 def test_load_table_observed_single_pass_qa(spark, sf_dir):

@@ -123,13 +123,26 @@ def test_ngram_jaccard_no_forced_broadcast(spark):
 
 
 def test_dedup_pre_barrier_subplans_hold_invariants(spark):
-    """The r7 verify barriers hide the candidate/verify subtrees from the
+    """The verify barriers hide the candidate/verify subtrees from the
     registered queries' plans; audit_subplans() re-exposes them, and both
     scale invariants (plus the no-hint rule) must hold there too —
-    closing the audit hole the barrier opened."""
+    closing the audit hole the barrier opened.
+
+    Cache hazard (ADVICE r8): under the session-scoped fixture an earlier
+    test may have built a registered dedup query, whose ``.persist()``
+    fence would be substituted into these canonically-equal plans
+    (``withCachedData``), collapsing the subtrees to one
+    ``InMemoryTableScan`` and making the checks vacuous.  Clear the cache
+    first, then assert the inspected plans really are un-fenced."""
     from gcp_cloudsql_to_bigquery_spark.operators.dedup import audit_subplans
 
+    spark.catalog.clearCache()
     for name, df in audit_subplans(spark, SF).items():
+        plan = inspect.physical_plan(df)
+        assert "InMemoryTableScan" not in plan, (
+            name,
+            "pre-barrier plan was cache-substituted; audit would be vacuous",
+        )
         assert inspect.unpartitioned_fact_window_count(df) == 0, name
         assert inspect.fact_cartesian_count(df) == 0, name
         assert inspect.broadcast_hint_count(df) == 0, name

@@ -1,0 +1,133 @@
+"""Round-9 additions.
+
+1. Fixed-width feed: a shard truncated BEFORE its T trailer must flag its
+   rows (count_ok/checksum_ok = false), not silently drop them (ADVICE r8
+   — the r8 inner joins discarded exactly the shards most in need of the
+   audit).
+2. Alias hygiene pinned in CI: the self-join families that once emitted
+   Spark's "trivially true equals predicate" analyzer warning (fixed in r8
+   by explicit ``.alias()`` plan aliases) are rebuilt with the JVM log
+   captured and the absence of the warning is asserted, so a refactor
+   can't silently regress the fix (VERDICT r8 item 4).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- 1. fixed-width feed: missing-trailer shard -----------------------------
+
+
+def _d_rec(key, name, cents, seg):
+    sign = "-" if cents < 0 else "+"
+    return f"D{key:09d}{name:<18.18}{sign}{abs(cents):011d}{seg:<10.10}"
+
+
+def _t_rec(count, total):
+    sign = "-" if total < 0 else "+"
+    return f"T{count:09d}{sign}{abs(total):015d}"
+
+
+def test_fixed_width_missing_trailer_flags_rows_not_drops(spark):
+    from gcp_cloudsql_to_bigquery_spark.sources.files import parse_fixed_width_feed
+
+    good = "\n".join(
+        ["H000000000", _d_rec(8, "ALICE", 12345, "AUTO"), _t_rec(1, 12345)]
+    )
+    # truncated mid-feed: header + body records, no T trailer at all
+    truncated = "\n".join(
+        ["H000000001", _d_rec(16, "BOB", -678, "MACHINERY"),
+         _d_rec(24, "CAROL", 500, "HOUSEHOLD")]
+    )
+    feeds = spark.createDataFrame(
+        [(0, good), (1, truncated)], "shard int, content string"
+    )
+    rows = {r["custkey"]: r for r in parse_fixed_width_feed(feeds).collect()}
+
+    # the truncated shard's rows SURVIVE, correctly parsed, with both
+    # verdicts false — the r8 inner join dropped them entirely
+    assert set(rows) == {8, 16, 24}
+    assert rows[8]["count_ok"] and rows[8]["checksum_ok"]
+    for key in (16, 24):
+        assert not rows[key]["count_ok"], rows[key]
+        assert not rows[key]["checksum_ok"], rows[key]
+    assert rows[16]["bal_cents"] == -678 and rows[24]["segment"] == "HOUSEHOLD"
+
+
+# --- 2. alias hygiene: zero trivially-true-equals warnings in CI ------------
+#
+# Spark's analyzer logs "Join condition is missing or trivially true" /
+# "trivially true" style warnings through log4j when a self-join condition
+# degenerates to `col = col` on the SAME attribute id — the bug class the
+# r8 explicit-alias sweep fixed in the PQ family, the gapfill spine joins,
+# the merge upsert, and linear attribution.  The r8 acceptance was an
+# artifact convention (zero hits in plan_audit_warn.log); this pins it as a
+# test: rebuild each once-offending plan with the JVM's root-logger output
+# captured and assert the warning never fires.
+
+
+_ONCE_OFFENDING = (
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_rerank",
+    "ts_gapfill_locf",
+    "ts_gapfill_interpolate",
+    "elt_merge_upsert",
+    "analytics_attribution_linear",
+)
+
+
+@pytest.fixture(scope="module")
+def _jvm_log_capture(spark):
+    """Attach a log4j2 StringWriter appender to the JVM root logger for the
+    duration of the module; yields a callable draining captured text."""
+    jvm = spark._sc._jvm
+    sw = jvm.java.io.StringWriter()
+    ctx = jvm.org.apache.logging.log4j.core.LoggerContext.getContext(False)
+    cfg = ctx.getConfiguration()
+    layout = jvm.org.apache.logging.log4j.core.layout.PatternLayout.newBuilder() \
+        .withPattern("%p %c: %m%n").withConfiguration(cfg).build()
+    app = jvm.org.apache.logging.log4j.core.appender.WriterAppender.createAppender(
+        layout, None, sw, "pytest_r9_capture", False, True
+    )
+    app.start()
+    root = cfg.getRootLogger()
+    root.addAppender(app, jvm.org.apache.logging.log4j.Level.WARN, None)
+    ctx.updateLoggers()
+
+    def drain() -> str:
+        buf = sw.getBuffer()
+        out = buf.toString()
+        buf.setLength(0)
+        return out
+
+    yield drain
+    root.removeAppender("pytest_r9_capture")
+    app.stop()
+    ctx.updateLoggers()
+
+
+def test_capture_detects_deliberate_offender(spark, _jvm_log_capture):
+    """Positive control: the appender really sees the Column warning — so
+    the clean assertions below cannot pass vacuously if the capture or the
+    warning text ever changes."""
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+
+    _jvm_log_capture()
+    n = load(spark, SF, "nation")
+    n.join(n, n.n_nationkey == n.n_nationkey)  # deliberate offender
+    assert "trivially true" in _jvm_log_capture()
+
+
+@pytest.mark.parametrize("name", _ONCE_OFFENDING)
+def test_alias_hygiene_no_trivially_true_join_warnings(spark, _jvm_log_capture, name):
+    from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+    _jvm_log_capture()  # drain anything earlier tests logged
+    df = queries()[name](spark, SF)
+    df._jdf.queryExecution().executedPlan()  # force full analysis/planning
+    captured = _jvm_log_capture()
+    assert "trivially true" not in captured, (name, captured[-2000:])
