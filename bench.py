@@ -206,7 +206,9 @@ def main() -> None:
     scaling: dict[str, dict[str, float]] = {}
     for name in SCALING:
         row: dict[str, float] = {}
-        for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01", sf_dir):
+        for d in dict.fromkeys(
+            ("/root/testdata/sf0.001", "/root/testdata/sf0.01", sf_dir)
+        ):
             if not os.path.isdir(d):
                 continue
             sdf = qs[name](spark, d)
