@@ -57,6 +57,61 @@ def test_fixed_width_missing_trailer_flags_rows_not_drops(spark):
     assert rows[16]["bal_cents"] == -678 and rows[24]["segment"] == "HOUSEHOLD"
 
 
+def test_fixed_width_tamper_matrix_seeded_fuzz(spark):
+    """Seeded fuzz over the full tamper matrix: each shard independently
+    draws a mode from {consistent, count-tampered, checksum-tampered,
+    trailer-missing}; expected per-row verdicts are computed pure-Python
+    from the mode, so the audit's truth table (including the r9
+    missing-trailer branch) is witnessed on feeds the consistent
+    producer can never emit."""
+    import random
+
+    from gcp_cloudsql_to_bigquery_spark.sources.files import parse_fixed_width_feed
+
+    rng = random.Random(0x9A0D)
+    shards, expect = [], {}
+    key = 1
+    for shard in range(12):
+        mode = rng.choice(["ok", "count", "sum", "no_trailer"])
+        n_recs = rng.randint(1, 20)
+        lines = [f"H{shard:09d}"]
+        total = 0
+        keys = []
+        for _ in range(n_recs):
+            cents = rng.randint(-10**10, 10**10)
+            lines.append(
+                f"D{key:09d}{'N%d' % key:<18.18}"
+                + ("-" if cents < 0 else "+")
+                + f"{abs(cents):011d}" + f"{'SEG':<10.10}"
+            )
+            total += cents
+            keys.append(key)
+            key += 1
+        n_decl, sum_decl = n_recs, total
+        if mode == "count":
+            n_decl += rng.choice([-1, 1, 7])
+        elif mode == "sum":
+            sum_decl += rng.choice([-1, 1, 1000])
+        if mode != "no_trailer":
+            lines.append(
+                f"T{n_decl:09d}" + ("-" if sum_decl < 0 else "+")
+                + f"{abs(sum_decl):015d}"
+            )
+        shards.append((shard, "\n".join(lines)))
+        count_ok = mode in ("ok", "sum")
+        checksum_ok = mode in ("ok", "count")
+        for k in keys:
+            expect[k] = (count_ok, checksum_ok)
+
+    feeds = spark.createDataFrame(shards, "shard int, content string")
+    rows = parse_fixed_width_feed(feeds).collect()
+    assert len(rows) == len(expect)  # no mode drops rows
+    for r in rows:
+        assert (r["count_ok"], r["checksum_ok"]) == expect[r["custkey"]], (
+            r["custkey"], r["shard"],
+        )
+
+
 # --- 2. alias hygiene: zero trivially-true-equals warnings in CI ------------
 #
 # Spark's analyzer logs "Join condition is missing or trivially true" /
