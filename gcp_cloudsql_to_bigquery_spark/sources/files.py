@@ -799,7 +799,10 @@ def parse_fixed_width_feed(files: DataFrame) -> DataFrame:
     load.  A shard truncated BEFORE its T trailer (no trailer line at
     all) is the same verdict, not a silent drop: stats joins the trailer
     LEFT and the null comparisons coalesce to false (ADVICE r8), so the
-    body rows survive with both flags false.  Module-level so the tamper
+    body rows survive with both flags false.  A shard carrying MORE than
+    one trailer is equally tampered: trailers aggregate to one audit row
+    per shard (never fanning the body join out into duplicate rows) and
+    n_trailers != 1 fails both verdicts.  Module-level so the tamper
     paths are testable with crafted feeds the consistent producer can
     never emit."""
     lines = files.select(
@@ -826,19 +829,31 @@ def parse_fixed_width_feed(files: DataFrame) -> DataFrame:
     stats = body.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_parsed"), F.sum("bal_cents").alias("sum_parsed")
     )
+    # Trailers are aggregated per shard BEFORE the audit join: a tampered
+    # feed carrying two T lines for one shard would otherwise fan the
+    # audit out to two rows and DUPLICATE every body row through the join
+    # below — poisoning the load in the one way the verdict columns can't
+    # even signal.  Exactly-one is part of the verdict: n_trailers != 1
+    # fails both checks.
+    trailer_agg = trailer.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_trailers"),
+        F.min("n_declared").alias("n_declared"),
+        F.min("sum_declared").alias("sum_declared"),
+    )
     # LEFT join + coalesce-to-false: a shard with body rows but no trailer
     # (truncated mid-feed) must flag its rows, not drop them — the inner
     # join silently discarded exactly the shards most in need of the audit.
     # Every shard with >=1 body row has a stats row, so audit still covers
     # every body row and the body join below can stay inner.
+    one = F.col("n_trailers") == 1
     audit = F.broadcast(
-        stats.join(trailer, "shard", "left").select(
+        stats.join(trailer_agg, "shard", "left").select(
             "shard",
             F.coalesce(
-                F.col("n_parsed") == F.col("n_declared"), F.lit(False)
+                one & (F.col("n_parsed") == F.col("n_declared")), F.lit(False)
             ).alias("count_ok"),
             F.coalesce(
-                F.col("sum_parsed") == F.col("sum_declared"), F.lit(False)
+                one & (F.col("sum_parsed") == F.col("sum_declared")), F.lit(False)
             ).alias("checksum_ok"),
         )
     )

@@ -57,13 +57,30 @@ def test_fixed_width_missing_trailer_flags_rows_not_drops(spark):
     assert rows[16]["bal_cents"] == -678 and rows[24]["segment"] == "HOUSEHOLD"
 
 
+def test_fixed_width_duplicate_trailer_flags_without_fanout(spark):
+    """A shard carrying TWO trailer lines must not fan the audit join out
+    into duplicate body rows (load poisoning the verdicts can't signal);
+    it yields each body row exactly once with both verdicts false."""
+    from gcp_cloudsql_to_bigquery_spark.sources.files import parse_fixed_width_feed
+
+    dup_trailer = "\n".join(
+        ["H000000000", _d_rec(8, "ALICE", 12345, "AUTO"),
+         _t_rec(1, 12345), _t_rec(1, 12345)]
+    )
+    feeds = spark.createDataFrame([(0, dup_trailer)], "shard int, content string")
+    rows = parse_fixed_width_feed(feeds).collect()
+    assert len(rows) == 1  # exactly once, no join fan-out
+    assert rows[0]["custkey"] == 8 and rows[0]["bal_cents"] == 12345
+    assert not rows[0]["count_ok"] and not rows[0]["checksum_ok"]
+
+
 def test_fixed_width_tamper_matrix_seeded_fuzz(spark):
     """Seeded fuzz over the full tamper matrix: each shard independently
     draws a mode from {consistent, count-tampered, checksum-tampered,
-    trailer-missing}; expected per-row verdicts are computed pure-Python
-    from the mode, so the audit's truth table (including the r9
-    missing-trailer branch) is witnessed on feeds the consistent
-    producer can never emit."""
+    trailer-missing, duplicate-trailer}; expected per-row verdicts are
+    computed pure-Python from the mode, so the audit's truth table
+    (including the r9 missing-trailer and duplicate-trailer branches) is
+    witnessed on feeds the consistent producer can never emit."""
     import random
 
     from gcp_cloudsql_to_bigquery_spark.sources.files import parse_fixed_width_feed
@@ -71,8 +88,8 @@ def test_fixed_width_tamper_matrix_seeded_fuzz(spark):
     rng = random.Random(0x9A0D)
     shards, expect = [], {}
     key = 1
-    for shard in range(12):
-        mode = rng.choice(["ok", "count", "sum", "no_trailer"])
+    for shard in range(15):
+        mode = rng.choice(["ok", "count", "sum", "no_trailer", "dup_trailer"])
         n_recs = rng.randint(1, 20)
         lines = [f"H{shard:09d}"]
         total = 0
@@ -93,10 +110,13 @@ def test_fixed_width_tamper_matrix_seeded_fuzz(spark):
         elif mode == "sum":
             sum_decl += rng.choice([-1, 1, 1000])
         if mode != "no_trailer":
-            lines.append(
+            t = (
                 f"T{n_decl:09d}" + ("-" if sum_decl < 0 else "+")
                 + f"{abs(sum_decl):015d}"
             )
+            lines.append(t)
+            if mode == "dup_trailer":  # second, self-consistent trailer —
+                lines.append(t)  # the COUNT of trailers is the tamper
         shards.append((shard, "\n".join(lines)))
         count_ok = mode in ("ok", "sum")
         checksum_ok = mode in ("ok", "count")
