@@ -203,13 +203,20 @@ def main() -> None:
     # its own rebuttal.  A real regression (cost growing with data) shows
     # up here as a non-flat row.
     SCALING = ("topk_per_group",)
+    bench_dir = os.path.abspath(sf_dir.rstrip("/"))
     scaling: dict[str, dict[str, float]] = {}
     for name in SCALING:
         row: dict[str, float] = {}
         for d in dict.fromkeys(
-            ("/root/testdata/sf0.001", "/root/testdata/sf0.01", sf_dir)
+            ("/root/testdata/sf0.001", "/root/testdata/sf0.01", bench_dir)
         ):
             if not os.path.isdir(d):
+                continue
+            key = "sf" + d.rsplit("sf", 1)[-1] if "sf" in os.path.basename(d) else d
+            if d == bench_dir and name in timings:
+                # the headline loop just measured this exact point under
+                # the identical protocol — reuse it instead of re-running
+                row[key] = timings[name]
                 continue
             sdf = qs[name](spark, d)
             best = float("inf")
@@ -217,7 +224,7 @@ def main() -> None:
                 t0 = time.time()
                 sdf.toPandas()
                 best = min(best, time.time() - t0)
-            row["sf" + d.rstrip("/").rsplit("sf", 1)[-1]] = round(best, 3)
+            row[key] = round(best, 3)
         scaling[name] = row
 
     extended: dict[str, float] = {}

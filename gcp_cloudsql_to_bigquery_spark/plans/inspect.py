@@ -195,3 +195,18 @@ def fact_cartesian_count(df: DataFrame) -> int:
 
     walk(_unwrap_adaptive(df._jdf.queryExecution().executedPlan()))
     return bad
+
+
+def is_cache_substituted(df: DataFrame) -> bool:
+    """True if the CacheManager substituted a cached plan into this
+    DataFrame (an ``InMemoryTableScan`` in the executed plan).
+
+    The audit contract for ``dedup.audit_subplans`` is that its plans are
+    UN-fenced: if a canonically-equal registry query was persist()ed
+    first, ``withCachedData`` collapses the candidate/verify subtrees to
+    a single InMemoryTableScan at executedPlan time and any invariant
+    check passes vacuously.  Every consumer of pre-barrier plans must
+    call this at INSPECTION time (substitution happens when the executed
+    plan is computed, not when the DataFrame is built — so the guard
+    cannot live inside audit_subplans itself)."""
+    return "InMemoryTableScan" in physical_plan(df)

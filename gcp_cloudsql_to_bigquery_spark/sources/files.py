@@ -796,7 +796,11 @@ def parse_fixed_width_feed(files: DataFrame) -> DataFrame:
     count/checksum against the parsed body — every output row carries
     its shard's audit verdict, so a tampered or truncated shard flags
     count_ok/checksum_ok=false on its rows instead of poisoning the
-    load.  A shard truncated BEFORE its T trailer (no trailer line at
+    load.  (The verdict is row-grain by design: a shard stripped of ALL
+    its D records has no rows to carry a verdict and contributes
+    nothing — detecting whole-shard loss is the caller's
+    completeness-check concern, e.g. verify_rowcount, not this
+    parser's.)  A shard truncated BEFORE its T trailer (no trailer line at
     all) is the same verdict, not a silent drop: stats joins the trailer
     LEFT and the null comparisons coalesce to false (ADVICE r8), so the
     body rows survive with both flags false.  A shard carrying MORE than

@@ -103,15 +103,16 @@ def main() -> int:
     # any registry plan is built, or the CacheManager substitutes the
     # fenced (persisted) plan into these canonically-equal DataFrames and
     # the checks pass vacuously (see module docstring).  A failure building
-    # either pre-barrier DataFrame is recorded as a per-plan violation like
-    # any registry query, not a whole-audit abort.
+    # the pre-barrier DataFrames is recorded as a violation (the whole
+    # pre-barrier set aborts — audit_subplans constructs both builders in
+    # one call) rather than aborting the registry audit below.
     try:
         pre = audit_subplans(spark, args.sf)
     except Exception as e:
         violations.append(f"audit_subplans: plan build error: {e}")
         pre = {}
     for name, df in pre.items():
-        if "InMemoryTableScan" in inspect.physical_plan(df):
+        if inspect.is_cache_substituted(df):
             violations.append(
                 f"{name}: pre-barrier plan contains InMemoryTableScan — "
                 "cache substitution collapsed the subtree; the invariant "

@@ -138,8 +138,7 @@ def test_dedup_pre_barrier_subplans_hold_invariants(spark):
 
     spark.catalog.clearCache()
     for name, df in audit_subplans(spark, SF).items():
-        plan = inspect.physical_plan(df)
-        assert "InMemoryTableScan" not in plan, (
+        assert not inspect.is_cache_substituted(df), (
             name,
             "pre-barrier plan was cache-substituted; audit would be vacuous",
         )

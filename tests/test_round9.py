@@ -86,21 +86,19 @@ def test_fixed_width_tamper_matrix_seeded_fuzz(spark):
     from gcp_cloudsql_to_bigquery_spark.sources.files import parse_fixed_width_feed
 
     rng = random.Random(0x9A0D)
+    modes_drawn = set()
     shards, expect = [], {}
     key = 1
     for shard in range(15):
         mode = rng.choice(["ok", "count", "sum", "no_trailer", "dup_trailer"])
+        modes_drawn.add(mode)
         n_recs = rng.randint(1, 20)
         lines = [f"H{shard:09d}"]
         total = 0
         keys = []
         for _ in range(n_recs):
             cents = rng.randint(-10**10, 10**10)
-            lines.append(
-                f"D{key:09d}{'N%d' % key:<18.18}"
-                + ("-" if cents < 0 else "+")
-                + f"{abs(cents):011d}" + f"{'SEG':<10.10}"
-            )
+            lines.append(_d_rec(key, "N%d" % key, cents, "SEG"))
             total += cents
             keys.append(key)
             key += 1
@@ -110,18 +108,18 @@ def test_fixed_width_tamper_matrix_seeded_fuzz(spark):
         elif mode == "sum":
             sum_decl += rng.choice([-1, 1, 1000])
         if mode != "no_trailer":
-            t = (
-                f"T{n_decl:09d}" + ("-" if sum_decl < 0 else "+")
-                + f"{abs(sum_decl):015d}"
-            )
-            lines.append(t)
+            lines.append(_t_rec(n_decl, sum_decl))
             if mode == "dup_trailer":  # second, self-consistent trailer —
-                lines.append(t)  # the COUNT of trailers is the tamper
+                lines.append(_t_rec(n_decl, sum_decl))  # the COUNT is the tamper
         shards.append((shard, "\n".join(lines)))
         count_ok = mode in ("ok", "sum")
         checksum_ok = mode in ("ok", "count")
         for k in keys:
             expect[k] = (count_ok, checksum_ok)
+    # seed-fragility guard: the truth table is only witnessed if every
+    # branch was actually drawn — a future edit shifting RNG consumption
+    # must re-pick the seed, not silently drop a branch
+    assert modes_drawn == {"ok", "count", "sum", "no_trailer", "dup_trailer"}
 
     feeds = spark.createDataFrame(shards, "shard int, content string")
     rows = parse_fixed_width_feed(feeds).collect()
