@@ -204,3 +204,53 @@ def test_alias_hygiene_no_trivially_true_join_warnings(spark, _jvm_log_capture, 
     df._jdf.queryExecution().executedPlan()  # force full analysis/planning
     captured = _jvm_log_capture()
     assert "trivially true" not in captured, (name, captured[-2000:])
+
+
+# --- 3. partition invariance pinned in CI (sampled) -------------------------
+#
+# The per-round full-registry sweep at the hostile local[3]/shuffle=7
+# config is the repo's strongest transfers-to-a-real-cluster evidence, but
+# it runs once per round; this pins the property per-commit for a sample of
+# the most accumulation/order-sensitive shapes (rank ties, double sums,
+# running windows, weighted order statistics).  newSession() shares the
+# SparkContext but scopes spark.sql.shuffle.partitions per session, so the
+# re-plan is real and cheap.
+
+
+def _canon_rows(df):
+    cols = sorted(df.columns)
+    out = []
+    for row in df.collect():
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "topk_per_group",          # rank ties
+        "agg_rollup",              # double sums across partial aggs
+        "window_running_sum",      # running frame over shuffled input
+        "agg_weighted_median",     # order statistic
+        "ts_moving_median",        # sliding order statistic
+        "analytics_rfm_segmentation",  # quantile-bucketed segmentation
+    ],
+)
+def test_partition_invariance_ci_sample(spark, name):
+    from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+    q = queries()[name]
+    base = _canon_rows(q(spark, SF))
+    # drop shared cache entries so the alternate session genuinely
+    # re-executes under its own partitioning (the CacheManager is
+    # SparkContext-scoped and substitutes by plan equality)
+    spark.catalog.clearCache()
+    alt = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "5")
+    assert _canon_rows(q(alt, SF)) == base, name
