@@ -968,7 +968,12 @@ def sniff_and_parse_feed(feeds: DataFrame) -> DataFrame:
             ]
         )["nm"].alias("detected"),
     )
-    body = lines.filter(F.col("ln") > 0).join(F.broadcast(detected), "shard")
+    # length guard: a feed ending in a trailing newline (the common real
+    # delivery) splits into a final EMPTY line — without the filter it
+    # parses into a junk all-null row per shard
+    body = lines.filter(
+        (F.col("ln") > 0) & (F.length("line") > 0)
+    ).join(F.broadcast(detected), "shard")
     delim_chr = (
         F.when(F.col("detected") == "comma", ",")
         .when(F.col("detected") == "pipe", r"\|")

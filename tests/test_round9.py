@@ -130,6 +130,21 @@ def test_fixed_width_tamper_matrix_seeded_fuzz(spark):
         )
 
 
+def test_sniffer_trailing_newline_emits_no_junk_row(spark):
+    """A feed delivered with a trailing newline (the common real-world
+    variant the fixture producer never emits) must not parse the final
+    empty line into an all-null row."""
+    from gcp_cloudsql_to_bigquery_spark.sources.files import sniff_and_parse_feed
+
+    content = "custkey,name,segment\n1,ALICE,AUTO\n2,BOB,MACHINERY\n"
+    feeds = spark.createDataFrame([(0, content)], "shard int, content string")
+    rows = sorted(sniff_and_parse_feed(feeds).collect(), key=lambda r: r["custkey"])
+    assert len(rows) == 2, rows  # trailing empty line dropped, not a null row
+    assert [r["custkey"] for r in rows] == [1, 2]
+    assert rows[0]["name"] == "ALICE" and rows[1]["segment"] == "MACHINERY"
+    assert all(r["detected"] == "comma" for r in rows)
+
+
 # --- 2. alias hygiene: zero trivially-true-equals warnings in CI ------------
 #
 # Spark's analyzer logs "Join condition is missing or trivially true" /
