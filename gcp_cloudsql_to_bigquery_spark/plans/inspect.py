@@ -210,3 +210,20 @@ def is_cache_substituted(df: DataFrame) -> bool:
     plan is computed, not when the DataFrame is built — so the guard
     cannot live inside audit_subplans itself)."""
     return "InMemoryTableScan" in physical_plan(df)
+
+
+def final_plan_tree(df: DataFrame) -> str:
+    """The node-tree text of the plan that actually runs.
+
+    Before execution this is simply the formatted tree.  AFTER execution
+    under AQE (``isFinalPlan=true``) both ``executedPlan().toString()``
+    and the formatted output repeat every node in an ``== Initial Plan
+    ==`` section — substring-counting helpers like ``exchange_count`` /
+    ``broadcast_join_count`` would roughly double-count there (today's
+    tests only inspect unexecuted plans, where no such section exists).
+    Use this to scope node counting on executed plans."""
+    import re
+
+    plan = formatted_plan(df)
+    m = re.search(r"== Final Plan ==(.*?)== Initial Plan ==", plan, re.S)
+    return m.group(1) if m else plan.split("\n\n", 1)[0]
