@@ -105,6 +105,9 @@ EXTENDED = (
 )
 EXTENDED_RUNS = 2
 
+# flat-scaling evidence set (see module docstring `scaling` bullet)
+SCALING = ("topk_per_group",)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -202,7 +205,6 @@ def main() -> None:
     # wall-clock across 100x data IN the artifact, so the number carries
     # its own rebuttal.  A real regression (cost growing with data) shows
     # up here as a non-flat row.
-    SCALING = ("topk_per_group",)
     bench_dir = os.path.abspath(sf_dir.rstrip("/"))
     scaling: dict[str, dict[str, "float | str"]] = {}
     for name in SCALING:
