@@ -290,3 +290,119 @@ def test_bench_query_sets_are_registered_and_oracle_backed():
     assert not (set(bench.EXTENDED) & set(bench.HEADLINE))
     for name in bench.SCALING:
         assert name in qs and name in sqls
+
+
+# --- 5. PNG integrity kernel: seeded structural fuzz ------------------------
+#
+# The round-8 tests pin each rejection branch individually; this fuzzes the
+# WHOLE decode tuple against an independent model over random dimensions,
+# random (non-gradient) pixel data, ancillary tEXt chunks the fixture
+# encoder never emits, and random corruption targets (IDAT body byte or any
+# chunk's CRC field) — all pure Python, no Spark session needed.
+
+
+def test_png_integrity_seeded_structural_fuzz():
+    import random
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    from gcp_cloudsql_to_bigquery_spark.operators.multimodal import (
+        _png_chunk,
+        decode_png_batch,
+    )
+
+    rng = random.Random(0x916)
+    for case in range(40):
+        w, h = rng.randint(1, 32), rng.randint(1, 24)
+        pixels = [[rng.randrange(256) for _ in range(w)] for _ in range(h)]
+        raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+        n_text = rng.randint(0, 2)
+        chunks = [_png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))]
+        for t in range(n_text):
+            chunks.append(_png_chunk(b"tEXt", b"k%d\x00v%d" % (t, case)))
+        chunks.append(_png_chunk(b"IDAT", zlib.compress(raw, rng.randint(0, 9))))
+        chunks.append(_png_chunk(b"IEND", b""))
+        png = bytearray(b"\x89PNG\r\n\x1a\n" + b"".join(chunks))
+
+        mode = rng.choice(["clean", "idat_body", "any_crc"])
+        if mode == "idat_body":
+            # first IDAT body byte: 8 sig + IHDR chunk + tEXt chunks + 8 hdr
+            off = 8 + len(chunks[0]) + sum(len(c) for c in chunks[1:1 + n_text]) + 8
+            png[off] ^= 0xFF
+        elif mode == "any_crc":
+            # last 4 bytes of a random chunk are its CRC field
+            ci = rng.randrange(len(chunks))
+            start = 8 + sum(len(c) for c in chunks[:ci])
+            png[start + len(chunks[ci]) - rng.randint(1, 4)] ^= 0xFF
+
+        batch = pd.DataFrame({"doc_id": [case], "payload": [bytes(png)]})
+        (dec,) = list(decode_png_batch(iter([batch])))
+        row = dec.iloc[0]
+        assert (row["width"], row["height"]) == (w, h), (case, mode)
+        assert row["n_chunks"] == 3 + n_text, (case, mode)
+        if mode == "clean":
+            assert bool(row["crc_ok"]), (case, mode)
+            assert int(row["px_sum"]) == sum(map(sum, pixels)), (case, mode)
+        else:
+            assert not bool(row["crc_ok"]), (case, mode)
+            assert row["px_sum"] is None or pd.isna(row["px_sum"]), (case, mode)
+
+
+# --- 6. BMFF box walker: seeded structural fuzz -----------------------------
+#
+# Random box TREES (the fixture's tree is fixed-shape): leaves with random
+# tags/body sizes, containers (moov/trak) recursing to random depth, plus
+# corruption modes (size overflowing the parent, size < 8, truncated
+# header) — expected rows modeled independently during generation.
+
+
+def test_bmff_walker_seeded_structural_fuzz():
+    import random
+    import struct
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from gcp_cloudsql_to_bigquery_spark.operators.multimodal import walk_bmff_batch
+
+    rng = random.Random(0xB0FF)
+    _LEAF_TAGS = [b"ftyp", b"mvhd", b"tkhd", b"mdat", b"free", b"udta"]
+
+    def gen_boxes(depth, path, expect, doc_id):
+        n = rng.randint(1, 3) if depth else rng.randint(2, 4)
+        out = b""
+        for _ in range(n):
+            if depth < 2 and rng.random() < 0.4:
+                tag = rng.choice([b"moov", b"trak"])
+                body = gen_boxes(depth + 1, f"{path}/{tag.decode()}", expect, doc_id)
+            else:
+                tag = rng.choice(_LEAF_TAGS)
+                body = bytes(rng.randrange(256) for _ in range(rng.randint(0, 20)))
+            size = 8 + len(body)
+            expect.append((doc_id, f"{path}/{tag.decode()}", size, depth))
+            out += struct.pack(">I", size) + tag + body
+        return out
+
+    for case in range(30):
+        expect = []
+        payload = bytearray(gen_boxes(0, "", expect, case))
+        mode = rng.choice(["clean", "overflow", "tiny_size", "truncate"])
+        if mode == "overflow":
+            struct.pack_into(">I", payload, 0, len(payload) + rng.randint(1, 99))
+        elif mode == "tiny_size":
+            struct.pack_into(">I", payload, 0, rng.randint(0, 7))
+        elif mode == "truncate":
+            payload = payload[: len(payload) - rng.randint(1, 7)]
+        batch = pd.DataFrame({"doc_id": [case], "payload": [bytes(payload)]})
+        if mode == "clean":
+            (out,) = list(walk_bmff_batch(iter([batch])))
+            got = [tuple(r) for r in out.itertuples(index=False)]
+            # walker emits parent-before-children depth-first; the generator
+            # appends in the same order EXCEPT containers append their
+            # children first — compare as multisets plus per-path equality
+            assert sorted(got) == sorted(expect), (case, got, expect)
+        else:
+            with _pytest.raises(ValueError, match="truncated box|bad box size"):
+                list(walk_bmff_batch(iter([batch])))
