@@ -406,3 +406,56 @@ def test_bmff_walker_seeded_structural_fuzz():
         else:
             with _pytest.raises(ValueError, match="truncated box|bad box size"):
                 list(walk_bmff_batch(iter([batch])))
+
+
+# --- 7. TIFF IFD walker: seeded structural fuzz -----------------------------
+#
+# Random endianness, a random header->IFD gap (real scanners place data
+# before the IFD; the offset field must be honored, not assumed 8), extra
+# SHORT tags beyond the required five, random values — plus every loud
+# rejection mode (bad BOM, bad magic, unsupported entry type, chained IFD).
+
+
+def test_tiff_walker_seeded_structural_fuzz():
+    import random
+    import struct
+
+    import pandas as pd
+    import pytest as _pytest
+
+    from gcp_cloudsql_to_bigquery_spark.operators.multimodal import decode_tiff_batch
+
+    rng = random.Random(0x71FF)
+    REQUIRED = (256, 257, 258, 259, 274)
+    for case in range(40):
+        e = rng.choice(["<", ">"])
+        gap = rng.randint(0, 16)
+        off = 8 + gap
+        vals = {t: rng.randint(0, 0xFFFF) for t in REQUIRED}
+        extra = sorted(rng.sample(range(300, 400), rng.randint(0, 3)))
+        entries = sorted(list(vals.items()) + [(t, rng.randint(0, 0xFFFF)) for t in extra])
+        mode = rng.choice(["clean", "bad_bom", "bad_magic", "bad_type", "chained"])
+
+        ifd = struct.pack(e + "H", len(entries))
+        for i, (tag, val) in enumerate(entries):
+            typ = 9 if (mode == "bad_type" and i == 0) else 3
+            ifd += struct.pack(e + "HHI", tag, typ, 1) + struct.pack(e + "H", val) + b"\x00\x00"
+        ifd += struct.pack(e + "I", 77 if mode == "chained" else 0)
+        bom = b"XX" if mode == "bad_bom" else (b"II" if e == "<" else b"MM")
+        magic = 43 if mode == "bad_magic" else 42
+        payload = bom + struct.pack(e + "HI", magic, off) + bytes(gap) + ifd
+
+        batch = pd.DataFrame({"doc_id": [case], "payload": [payload]})
+        if mode == "clean":
+            (out,) = list(decode_tiff_batch(iter([batch])))
+            row = out.iloc[0]
+            assert row["byte_order"] == ("II" if e == "<" else "MM"), case
+            assert row["n_entries"] == len(entries), case
+            got = (row["width"], row["height"], row["bits"],
+                   row["compression"], row["orientation"])
+            assert got == tuple(vals[t] for t in REQUIRED), (case, got)
+        else:
+            pat = {"bad_bom": "byte-order", "bad_magic": "magic",
+                   "bad_type": "unsupported entry", "chained": "chained"}[mode]
+            with _pytest.raises(ValueError, match=pat):
+                list(decode_tiff_batch(iter([batch])))
