@@ -214,7 +214,10 @@ def main() -> None:
         ):
             if not os.path.isdir(d):
                 continue
-            key = "sf" + d.rsplit("sf", 1)[-1] if "sf" in os.path.basename(d) else d
+            # the basename IS the key (ADVICE r9: splitting the full path
+            # on 'sf' mangled custom dirs whose basename merely contains
+            # the substring, e.g. '.../transfers' -> 'sfers')
+            key = os.path.basename(d)
             if d == bench_dir and name in timings:
                 # the headline loop just measured this exact point under
                 # the identical protocol — reuse it instead of re-running
@@ -271,6 +274,11 @@ def main() -> None:
                 "scaling": scaling,
                 "plan_build": plan_build,
                 "cold_run": cold_run,
+                # environment context (VERDICT r9 item 7): shared-host load
+                # moved r9's recorded numbers ±30% with the DuckDB oracle
+                # inflating in lockstep, so the artifact carries the 1/5/15
+                # min loadavg it was recorded under
+                "loadavg_1_5_15": [round(x, 2) for x in os.getloadavg()],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -951,8 +951,18 @@ def sniff_and_parse_feed(feeds: DataFrame) -> DataFrame:
     name, deterministic), then split every body line on the detected
     separator.  Module-level so detection is testable on ambiguous
     headers the fixture producer never emits."""
+    # strip exactly ONE trailing newline (\\z = true end-of-input; a bare
+    # $ would also eat the penultimate newline of a "\\n\\n" tail) before
+    # splitting: a feed delivered with a final newline (the common real
+    # delivery) must not parse a junk all-null row, but an INTERIOR blank
+    # line is a corruption signal and must stay visible as an all-null row
+    # rather than vanish silently (ADVICE r9: the r9 length-guard dropped
+    # every empty line, losing that signal)
     lines = feeds.select(
-        "shard", F.posexplode(F.split("content", "\n")).alias("ln", "line")
+        "shard",
+        F.posexplode(
+            F.split(F.regexp_replace("content", r"\n\z", ""), "\n")
+        ).alias("ln", "line"),
     )
     header = lines.filter(F.col("ln") == 0)
 
@@ -968,12 +978,7 @@ def sniff_and_parse_feed(feeds: DataFrame) -> DataFrame:
             ]
         )["nm"].alias("detected"),
     )
-    # length guard: a feed ending in a trailing newline (the common real
-    # delivery) splits into a final EMPTY line — without the filter it
-    # parses into a junk all-null row per shard
-    body = lines.filter(
-        (F.col("ln") > 0) & (F.length("line") > 0)
-    ).join(F.broadcast(detected), "shard")
+    body = lines.filter(F.col("ln") > 0).join(F.broadcast(detected), "shard")
     delim_chr = (
         F.when(F.col("detected") == "comma", ",")
         .when(F.col("detected") == "pipe", r"\|")

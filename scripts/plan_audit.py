@@ -120,10 +120,15 @@ def main() -> int:
             )
             continue
         check(name, df)
-    # belt-and-braces: drop anything construction may have registered so
-    # the registry pass below starts from a cold CacheManager too
-    spark.catalog.clearCache()
     for name, fn in queries().items():
+        # cold CacheManager per build (ADVICE r9): constructing a dedup/
+        # curation query calls .persist() on its fence subtrees, so WITHIN
+        # this loop a later canonically-equal plan would be cache-
+        # substituted and its invariant checks would pass vacuously — the
+        # residual registry-pass form of the pre-barrier ordering hazard
+        # guarded above.  Clearing before every build means each query's
+        # plan can only ever contain its OWN intentional fences.
+        spark.catalog.clearCache()
         try:
             df = fn(spark, args.sf)
         except Exception as e:  # plan construction itself failed
