@@ -436,3 +436,186 @@ def stream_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_events",
         "cents",
     )
+
+
+# --- streaming near-dup dedup with TTL state eviction (round 10) ------------
+
+_LSH_TTL = 100  # dedup horizon in doc_id units (stream order ≡ doc_id order)
+
+
+def _banded_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) for a micro-batch: stateless per-row
+    MinHash(64) banded 16×4.  Same signature values as the batch
+    ``dedup.minhash_signatures`` — min of seeded xxhash64 over the shingle
+    set commutes with the batch explode/groupBy formulation — but computed
+    as narrow per-row expressions so a micro-batch maps with ZERO shuffle
+    (no stateful aggregation inside the stream)."""
+    from ..operators.dedup import N_BANDS, N_HASHES, ROWS_PER_BAND, with_shingles
+
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("shingles", lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", bi * ROWS_PER_BAND + r + 1)
+                        for r in range(ROWS_PER_BAND)
+                    ]
+                ).alias("bucket"),
+            )
+            for bi in range(N_BANDS)
+        ]
+    )
+    return (
+        with_shingles(docs)
+        .withColumn("sig", sig)
+        .select("doc_id", F.explode(bands).alias("b"))
+        .select("doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket"))
+    )
+
+
+from ..operators.dedup import _DUCK_JACPAIRS as _JACPAIRS_CTE  # noqa: E402
+
+
+@register(
+    "stream_lsh_dedup_ttl",
+    oracle=f"""
+    WITH {_JACPAIRS_CTE}
+    SELECT doc_a, doc_b, jaccard FROM jacpairs
+    WHERE jaccard >= 0.8 AND doc_b - doc_a <= {_LSH_TTL}
+    """,
+    doc=f"Streaming near-dup dedup with TTL state eviction (round-10 gap "
+    f"analysis / VERDICT r9 item 2): documents arrive as an id-ordered "
+    f"stream (3 range-sharded files, maxFilesPerTrigger=1, so stream "
+    f"order ≡ doc_id order ≡ event time); each micro-batch computes "
+    f"stateless per-row MinHash(64)+LSH(16×4) buckets, joins them against "
+    f"a persisted (band,bucket,doc_id) index of the RECENT past, and "
+    f"emits candidate pairs only within the TTL={_LSH_TTL} horizon.  The "
+    f"index then EVICTS every entry older than frontier−TTL — semantically "
+    f"free given in-order arrival (an evicted doc can never satisfy "
+    f"doc_b-doc_a<=TTL for any future arrival; an out-of-order batch "
+    f"raises rather than silently missing pairs), which is exactly why "
+    f"watermark-TTL state eviction is sound: state is O(horizon) — "
+    f"asserted ≤ 16×TTL rows per fold — not O(stream length).  After the "
+    f"stream drains, accumulated candidates get the exact-Jaccard ≥0.8 "
+    f"verify of dedup_minhash_lsh (ALL banded candidates verified, no "
+    f"0.55-estimate pre-filter, so recall dominates the batch query's "
+    f"≥0.9996).  Oracle = exact all-pairs Jaccard with the same TTL "
+    f"window.  At 100 TB: the index is a keyed state store (band,bucket "
+    f"→ recent ids), arrivals shuffle only (id,band,bucket) triples, and "
+    f"the TTL bound makes state size independent of history — the shape "
+    f"transformWithStateInPandas ships natively once protobuf exists.",
+)
+def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from ..operators.dedup import N_BANDS, with_shingles
+
+    base = _tf.mkdtemp(prefix="lshttl_")
+    feed_dir = os.path.join(base, "feed")
+    cand_dir = os.path.join(base, "cand")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()  # driver scalar: shard boundaries only
+    cuts = (0, n_docs // 3, 2 * n_docs // 3, None)
+    for shard in range(3):
+        part = docs.filter(F.col("doc_id") >= cuts[shard])
+        if cuts[shard + 1] is not None:
+            part = part.filter(F.col("doc_id") < cuts[shard + 1])
+        # one file per shard: a multi-file shard would split into multiple
+        # micro-batches with arbitrary id ranges, breaking id-ordered arrival
+        part.coalesce(1).write.parquet(os.path.join(feed_dir, f"arr_{shard}"))
+
+    state = {"version": 0, "frontier": -1}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        sp = batch.sparkSession
+        bounds = batch.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        if bounds["lo"] is None:
+            return
+        if bounds["lo"] <= state["frontier"]:
+            raise RuntimeError(
+                "stream_lsh_dedup_ttl: out-of-order arrival "
+                f"(batch lo={bounds['lo']} <= frontier={state['frontier']}) — "
+                "TTL eviction semantics require id-ordered delivery"
+            )
+        prev_v, next_v = state["version"], state["version"] + 1
+        arr = _banded_buckets(batch)
+        pool = (
+            sp.read.parquet(os.path.join(base, f"idx_v{prev_v}")).unionByName(arr)
+            if prev_v > 0
+            else arr
+        )
+        # candidates: (earlier, later-in-THIS-batch) bucket collisions inside
+        # the TTL window; doc_b ∈ arr only, so a pair is emitted exactly once
+        # (in the batch its later doc arrives in)
+        cand = (
+            pool.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+            .join(
+                arr.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .filter(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.col("doc_b") - F.col("doc_a") <= _LSH_TTL)
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        cand.write.mode("append").parquet(cand_dir)
+        # evict: future arrivals have doc_id > hi, so entries below
+        # hi+1-TTL can never pair again — drop them (the watermark purge)
+        nxt = pool.filter(F.col("doc_id") >= bounds["hi"] + 1 - _LSH_TTL)
+        nxt.write.parquet(os.path.join(base, f"idx_v{next_v}"))
+        n_idx = sp.read.parquet(os.path.join(base, f"idx_v{next_v}")).count()
+        if n_idx > N_BANDS * _LSH_TTL:
+            raise RuntimeError(
+                f"stream_lsh_dedup_ttl: state bound violated — {n_idx} index "
+                f"rows > {N_BANDS * _LSH_TTL} (TTL eviction not effective)"
+            )
+        state["version"] = next_v
+        state["frontier"] = bounds["hi"]
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir + "/arr_*")
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="ckpt_lshttl_", dir=_CKPT_DIR))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if state["version"] < 3:
+        raise RuntimeError(
+            f"expected >=3 incremental index folds, got {state['version']}"
+        )
+
+    # exact-Jaccard verify on the accumulated candidates (batch side, after
+    # the stream drains) — identical kernel to dedup_minhash_lsh's verify
+    cand = spark.read.parquet(cand_dir)
+    sh = with_shingles(docs).select(
+        "doc_id",
+        F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = F.round(
+        inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter), 6
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+    )

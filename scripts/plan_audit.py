@@ -68,6 +68,11 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
         2,
         "IVF coarse assignment: corpus x 16-row literal-filtered anchor set",
     ),
+    ("ann_recall_report", "cartesian"): (
+        2,
+        "inherits ann_ivfpq_topk's two bounded coarse-assignment cartesians "
+        "by composition (the report unions all six ANN family subplans)",
+    ),
 }
 
 

@@ -509,6 +509,13 @@ def test_no_fact_by_fact_cartesian_registry_claim(spark):
     # - ann_ivfpq_topk's two BNLJs broadcast the anchor set literal-filtered
     #   to 16 rows (vec_id < 16 pushed to the scan) — the IVF coarse
     #   assignment IS corpus x k-centroids by design, with k fixed.
-    for q, expected in (("fn_ip_cidr_lookup", 1), ("join_theta_range", 1), ("ann_ivfpq_topk", 2)):
+    # - ann_recall_report (r10) unions all six ANN family subplans, so it
+    #   inherits exactly ann_ivfpq_topk's two bounded cartesians.
+    for q, expected in (
+        ("fn_ip_cidr_lookup", 1),
+        ("join_theta_range", 1),
+        ("ann_ivfpq_topk", 2),
+        ("ann_recall_report", 2),
+    ):
         df = queries()[q](spark, SF)
         assert inspect.fact_cartesian_count(df) == expected, q

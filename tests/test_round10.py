@@ -39,3 +39,97 @@ def test_sniffer_double_trailing_newline_keeps_one_blank(spark):
     rows = sniff_and_parse_feed(feeds).collect()
     assert len(rows) == 2, rows  # 1 data row + 1 visible blank-line row
     assert sorted([r["custkey"] for r in rows], key=lambda x: (x is None, x)) == [1, None]
+
+
+# --- round-10 registry additions (gap analysis, VERDICT r9 item 2) ----------
+
+
+def _py_shingles(text: str) -> set:
+    """Pure-Python mirror of SHINGLE_EXPR: distinct char 3-grams at
+    1-indexed positions 1..max(len-2, 1)."""
+    return {text[i - 1 : i + 2] for i in range(1, max(len(text) - 2, 1) + 1)}
+
+
+def test_stream_lsh_dedup_ttl_matches_python_bruteforce(spark):
+    """Third witness (pure Python, independent of Spark AND DuckDB): the
+    streaming TTL dedup's verified pairs equal the exact all-pairs Jaccard
+    >= 0.8 within the TTL window, computed row-by-row from the parquet."""
+    import pyarrow.parquet as pq
+
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import (
+        _LSH_TTL,
+        stream_lsh_dedup_ttl,
+    )
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    docs = sorted(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    sh = {d: _py_shingles(t) for d, t in docs}
+    expect = {}
+    ids = [d for d, _ in docs]
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if b - a > _LSH_TTL:
+                continue
+            inter = len(sh[a] & sh[b])
+            jac = round(inter / (len(sh[a]) + len(sh[b]) - inter), 6)
+            if jac >= 0.8:
+                expect[(a, b)] = jac
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in stream_lsh_dedup_ttl(spark, SF).collect()
+    }
+    assert set(got) == set(expect), (
+        sorted(set(expect) - set(got)),
+        sorted(set(got) - set(expect)),
+    )
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9, (k, got[k], v)
+
+
+def test_ann_recall_report_matches_manual_intersection(spark):
+    """The report layer (join/agg/floor) witnessed against a manual
+    intersection: numpy exact top-5 vs each method's own collected top-5."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from gcp_cloudsql_to_bigquery_spark.operators import similarity as S
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.array(tbl["vec_id"].to_pylist())
+    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+    q_mask = ids < 10
+    cos = np.round(mat[q_mask] @ mat.T / np.outer(norms[q_mask], norms), 6)
+    exact = set()
+    for qi, qid in enumerate(ids[q_mask]):
+        mask = ids != qid
+        cand_ids, cand_cos = ids[mask], cos[qi][mask]
+        for j in np.lexsort((cand_ids, -cand_cos))[:5]:
+            exact.add((int(qid), int(cand_ids[j])))
+    n_q = int(q_mask.sum())
+    assert len(exact) == 5 * n_q
+
+    rep = {r["method"]: r for r in S.ann_recall_report(spark, SF).collect()}
+    fns = {
+        "ann_ivf_topk": S.ann_ivf_topk,
+        "ann_ivf_kmeans_topk": S.ann_ivf_kmeans_topk,
+        "ann_ivfpq_topk": S.ann_ivfpq_topk,
+        "ann_matryoshka_rerank": S.ann_matryoshka_rerank,
+        "ann_pq_topk": S.ann_pq_topk,
+        "ann_pq_rerank": S.ann_pq_rerank,
+    }
+    assert set(rep) == set(fns)
+    for m, fn in fns.items():
+        approx = {
+            (r["query_id"], r["neighbor_id"]) for r in fn(spark, SF).collect()
+        }
+        hits = len(exact & approx)
+        assert rep[m]["n_queries"] == n_q, m
+        assert rep[m]["hits"] == hits, (m, rep[m]["hits"], hits)
+        assert rep[m]["recall_at5_x1e4"] == math.floor(
+            hits * 1e4 / len(exact) + 0.5
+        ), m
