@@ -601,8 +601,11 @@ def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # exact-Jaccard verify on the accumulated candidates (batch side, after
-    # the stream drains) — identical kernel to dedup_minhash_lsh's verify
-    cand = spark.read.parquet(cand_dir)
+    # the stream drains) — identical kernel to dedup_minhash_lsh's verify.
+    # Explicit schema: a fold whose candidate batch was EMPTY appends no
+    # data files, so a collision-free corpus would otherwise fail schema
+    # inference instead of returning the (correct) empty result.
+    cand = spark.read.schema("doc_a long, doc_b long").parquet(cand_dir)
     sh = with_shingles(docs).select(
         "doc_id",
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
