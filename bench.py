@@ -112,6 +112,9 @@ SCALING = ("topk_per_group",)
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # ambient host load BEFORE Spark starts — sampled at emit time the
+    # 1-min figure would mostly measure the bench itself
+    loadavg_at_start = [round(x, 2) for x in os.getloadavg()]
 
     from gcp_cloudsql_to_bigquery_spark.session import get_spark
     from gcp_cloudsql_to_bigquery_spark.workload import queries
@@ -277,8 +280,8 @@ def main() -> None:
                 # environment context (VERDICT r9 item 7): shared-host load
                 # moved r9's recorded numbers ±30% with the DuckDB oracle
                 # inflating in lockstep, so the artifact carries the 1/5/15
-                # min loadavg it was recorded under
-                "loadavg_1_5_15": [round(x, 2) for x in os.getloadavg()],
+                # min AMBIENT loadavg sampled before Spark started
+                "loadavg_1_5_15": loadavg_at_start,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
