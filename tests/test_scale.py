@@ -524,3 +524,56 @@ def test_dedup_barriers_construct_lazily(spark):
     assert df3.count() == 4
     assert len(sc.statusTracker().getJobIdsForGroup("lazy-barrier-exec")) > 0
     df1, df2  # constructed plans above are part of the assertion surface
+
+
+def test_ttl_horizon_bounds_lsh_candidates_linear_on_degenerate_corpus(spark):
+    """Round-10 growth evidence for ``stream_lsh_dedup_ttl``'s candidate
+    model: on a DEGENERATE corpus (every doc a near-copy of one template —
+    the worst case where full LSH banding goes quadratic because every
+    doc collides on every band), the TTL horizon caps each arriving doc
+    at <= TTL predecessors, so candidates grow LINEARLY in corpus size
+    with the TTL fixed.  Measured via the same banding kernel the
+    streaming fold uses (batch replication of pool x arrivals with the
+    window predicate): exponent ~1 windowed vs ~2 unwindowed — the
+    property that makes bounded-state streaming dedup survive unbounded
+    history at 100 TB."""
+    import math
+    import random
+
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import _banded_buckets
+
+    TTL = 50
+    r = random.Random(7)
+    template = " ".join(
+        "".join(r.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+        for _ in range(30)
+    )
+
+    def degenerate(n):
+        # one-character suffix mutation: jaccard vs template stays ~1, so
+        # every pair shares nearly every band bucket
+        return spark.createDataFrame(
+            [(i, template + " x" + str(i % 7)) for i in range(n)],
+            "doc_id long, text string",
+        )
+
+    windowed, full = {}, {}
+    for n in (300, 1200):
+        banded = _banded_buckets(degenerate(n))
+        a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+        b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+        pairs = a.join(b, ["band", "bucket"]).filter(F.col("doc_a") < F.col("doc_b"))
+        full[n] = pairs.select("doc_a", "doc_b").distinct().count()
+        windowed[n] = (
+            pairs.filter(F.col("doc_b") - F.col("doc_a") <= TTL)
+            .select("doc_a", "doc_b")
+            .distinct()
+            .count()
+        )
+    exp_win = math.log(windowed[1200] / windowed[300]) / math.log(1200 / 300)
+    exp_full = math.log(full[1200] / full[300]) / math.log(1200 / 300)
+    assert exp_win < 1.3, (windowed, exp_win)
+    assert exp_full > 1.7, (full, exp_full)  # control: unwindowed IS quadratic
+    # the absolute bound the fold asserts per batch, here corpus-wide:
+    # each doc pairs with at most TTL predecessors
+    assert windowed[1200] <= 1200 * TTL, windowed
