@@ -452,14 +452,16 @@ def _banded_buckets(docs: DataFrame) -> DataFrame:
     (no stateful aggregation inside the stream)."""
     from ..operators.dedup import N_BANDS, N_HASHES, ROWS_PER_BAND, with_shingles
 
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("shingles", lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(N_HASHES)
-        ]
-    )
+    def _minhash(i: int):
+        # closure factory, NOT a `lambda s, i=i:` default-arg bind: transform
+        # inspects the lambda's arity, and a two-parameter lambda is called
+        # as (element, INDEX) — the array index would shadow the seed, fusing
+        # all 64 hash functions into one position-coupled hash and silently
+        # destroying recall for shifted near-dups (caught at sf0.1: a
+        # j=0.983 pair with zero shared bands)
+        return F.array_min(F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s)))
+
+    sig = F.array(*[_minhash(i) for i in range(N_HASHES)])
     bands = F.array(
         *[
             F.struct(

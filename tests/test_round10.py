@@ -133,3 +133,28 @@ def test_ann_recall_report_matches_manual_intersection(spark):
         assert rep[m]["recall_at5_x1e4"] == math.floor(
             hits * 1e4 / len(exact) + 0.5
         ), m
+
+
+def test_banded_buckets_shift_invariant(spark):
+    """Regression for the transform-arity bug: a two-parameter lambda
+    (``lambda s, i=i:``) is called by ``F.transform`` as (element, INDEX),
+    so the array index silently shadowed the minhash seed and coupled
+    every hash to shingle POSITION — two near-identical docs offset by a
+    3-char prefix then shared ZERO bands (caught live at sf0.1: a
+    j=0.983 pair missed).  Correct MinHash is position-free: the shifted
+    pair must collide on (nearly) every band."""
+    from collections import defaultdict
+
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import _banded_buckets
+
+    t = "the quick brown fox jumps over the lazy dog " * 10
+    docs = spark.createDataFrame(
+        [(0, t), (1, "xy " + t)], "doc_id long, text string"
+    )
+    m = defaultdict(dict)
+    for r in _banded_buckets(docs).collect():
+        m[r["band"]][r["doc_id"]] = r["bucket"]
+    shared = sum(
+        1 for d in m.values() if len(d) == 2 and len(set(d.values())) == 1
+    )
+    assert shared >= 8, f"only {shared}/16 bands shared — position-coupled hash?"
