@@ -257,7 +257,10 @@ def main() -> None:
         extended[name] = round(best, 3)
     spark.catalog.clearCache()
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # basename-derived like the scaling keys (same ADVICE r9 bug class:
+    # rsplit on 'sf' over the full path mangles '/x/transfers' to 'ers')
+    _bn = os.path.basename(sf_dir.rstrip("/"))
+    sf = _bn[2:] if _bn.startswith("sf") else _bn
     print(
         json.dumps(
             {

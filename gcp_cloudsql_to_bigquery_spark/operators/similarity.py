@@ -1478,7 +1478,17 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ann_pq_topk": ann_pq_topk,
         "ann_pq_rerank": ann_pq_rerank,
     }
-    exact = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    from pyspark import StorageLevel
+
+    # persist fence (the dedup/curation barrier pattern): exact top-5 is
+    # the most expensive component and every one of the six union branches
+    # joins against it — without the fence the brute-force corpus pass
+    # would re-execute per branch (review r10).  50 rows cached.
+    exact = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     parts = []
     for m in _RECALL_METHODS:
         approx = (

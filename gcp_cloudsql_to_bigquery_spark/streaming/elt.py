@@ -523,12 +523,17 @@ def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = _tf.mkdtemp(prefix="lshttl_")
     feed_dir = os.path.join(base, "feed")
-    cand_dir = os.path.join(base, "cand")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = docs.count()  # driver scalar: shard boundaries only
-    cuts = (0, n_docs // 3, 2 * n_docs // 3, None)
+    # shard boundaries from id QUANTILES, not row count: a sparse or
+    # offset doc_id domain (valid data) must still split into three
+    # non-empty id-ordered ranges (review r10); boundaries only affect
+    # batch sizing, never semantics — the fold is range-order-exact
+    q1, q2 = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.001)
+    cuts = (None, int(q1), int(q2), None)
     for shard in range(3):
-        part = docs.filter(F.col("doc_id") >= cuts[shard])
+        part = docs
+        if cuts[shard] is not None:
+            part = part.filter(F.col("doc_id") >= cuts[shard])
         if cuts[shard + 1] is not None:
             part = part.filter(F.col("doc_id") < cuts[shard + 1])
         # one file per shard: a multi-file shard would split into multiple
@@ -551,39 +556,59 @@ def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "TTL eviction semantics require id-ordered delivery"
             )
         prev_v, next_v = state["version"], state["version"] + 1
-        arr = _banded_buckets(batch)
+        # persist the pooled index for the fold's duration: cand and nxt
+        # both consume it, and without the fence the 64-hash banding of
+        # the batch (and the prev-index scan) would execute twice per
+        # micro-batch (review r10)
+        from pyspark import StorageLevel
+
         pool = (
-            sp.read.parquet(os.path.join(base, f"idx_v{prev_v}")).unionByName(arr)
+            sp.read.parquet(os.path.join(base, f"idx_v{prev_v}")).unionByName(
+                _banded_buckets(batch)
+            )
             if prev_v > 0
-            else arr
-        )
-        # candidates: (earlier, later-in-THIS-batch) bucket collisions inside
-        # the TTL window; doc_b ∈ arr only, so a pair is emitted exactly once
-        # (in the batch its later doc arrives in)
-        cand = (
-            pool.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-            .join(
-                arr.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
-                ["band", "bucket"],
+            else _banded_buckets(batch)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            arr = pool.filter(F.col("doc_id") > state["frontier"])
+            # candidates: (earlier, later-in-THIS-batch) bucket collisions
+            # inside the TTL window; doc_b ∈ arr only, so a pair is emitted
+            # exactly once (in the batch its later doc arrives in)
+            cand = (
+                pool.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+                .join(
+                    arr.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+                    ["band", "bucket"],
+                )
+                .filter(
+                    (F.col("doc_a") < F.col("doc_b"))
+                    & (F.col("doc_b") - F.col("doc_a") <= _LSH_TTL)
+                )
+                .select("doc_a", "doc_b")
+                .distinct()
             )
-            .filter(
-                (F.col("doc_a") < F.col("doc_b"))
-                & (F.col("doc_b") - F.col("doc_a") <= _LSH_TTL)
+            # batch_id-keyed OVERWRITE, not a shared append: foreachBatch is
+            # at-least-once, so a replayed batch after a crash-before-commit
+            # must land on its own path idempotently instead of appending
+            # duplicate pairs (review r10; the in-process driver dict
+            # state/version counters share the restart caveat of
+            # stream_cdc_upsert / stream_incremental_topk — fresh
+            # checkpoints per invocation here)
+            cand.write.mode("overwrite").parquet(
+                os.path.join(base, f"cand_b{batch_id}")
             )
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-        cand.write.mode("append").parquet(cand_dir)
-        # evict: future arrivals have doc_id > hi, so entries below
-        # hi+1-TTL can never pair again — drop them (the watermark purge)
-        nxt = pool.filter(F.col("doc_id") >= bounds["hi"] + 1 - _LSH_TTL)
-        nxt.write.parquet(os.path.join(base, f"idx_v{next_v}"))
-        n_idx = sp.read.parquet(os.path.join(base, f"idx_v{next_v}")).count()
-        if n_idx > N_BANDS * _LSH_TTL:
-            raise RuntimeError(
-                f"stream_lsh_dedup_ttl: state bound violated — {n_idx} index "
-                f"rows > {N_BANDS * _LSH_TTL} (TTL eviction not effective)"
-            )
+            # evict: future arrivals have doc_id > hi, so entries below
+            # hi+1-TTL can never pair again — drop them (the watermark purge)
+            nxt = pool.filter(F.col("doc_id") >= bounds["hi"] + 1 - _LSH_TTL)
+            nxt.write.mode("overwrite").parquet(os.path.join(base, f"idx_v{next_v}"))
+            n_idx = sp.read.parquet(os.path.join(base, f"idx_v{next_v}")).count()
+            if n_idx > N_BANDS * _LSH_TTL:
+                raise RuntimeError(
+                    f"stream_lsh_dedup_ttl: state bound violated — {n_idx} index "
+                    f"rows > {N_BANDS * _LSH_TTL} (TTL eviction not effective)"
+                )
+        finally:
+            pool.unpersist()
         state["version"] = next_v
         state["frontier"] = bounds["hi"]
 
@@ -604,10 +629,12 @@ def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # exact-Jaccard verify on the accumulated candidates (batch side, after
     # the stream drains) — identical kernel to dedup_minhash_lsh's verify.
-    # Explicit schema: a fold whose candidate batch was EMPTY appends no
+    # Explicit schema: a fold whose candidate batch was EMPTY writes no
     # data files, so a collision-free corpus would otherwise fail schema
     # inference instead of returning the (correct) empty result.
-    cand = spark.read.schema("doc_a long, doc_b long").parquet(cand_dir)
+    cand = spark.read.schema("doc_a long, doc_b long").parquet(
+        os.path.join(base, "cand_b*")
+    )
     sh = with_shingles(docs).select(
         "doc_id",
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
