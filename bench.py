@@ -258,9 +258,12 @@ def main() -> None:
     spark.catalog.clearCache()
 
     # basename-derived like the scaling keys (same ADVICE r9 bug class:
-    # rsplit on 'sf' over the full path mangles '/x/transfers' to 'ers')
+    # rsplit on 'sf' over the full path mangles '/x/transfers' to 'ers');
+    # strip the 'sf' prefix only when the remainder is numeric, so a
+    # custom dir like 'sftp_export' keeps its full basename
     _bn = os.path.basename(sf_dir.rstrip("/"))
-    sf = _bn[2:] if _bn.startswith("sf") else _bn
+    _sfx = _bn[2:]
+    sf = _sfx if _bn.startswith("sf") and _sfx.replace(".", "").isdigit() else _bn
     print(
         json.dumps(
             {

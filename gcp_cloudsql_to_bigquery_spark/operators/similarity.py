@@ -1467,7 +1467,9 @@ def _recall_report_oracle() -> str:
     "one-row fold.  The plan inherits ann_ivfpq_topk's two allowlisted "
     "bounded cartesians (16-anchor broadcast cellscore) by composition.",
 )
-def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_recall_report(
+    spark: SparkSession, sf_dir: str, barrier: bool = True
+) -> DataFrame:
     from functools import reduce
 
     fns = {
@@ -1480,15 +1482,16 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     from pyspark import StorageLevel
 
-    # persist fence (the dedup/curation barrier pattern): exact top-5 is
-    # the most expensive component and every one of the six union branches
-    # joins against it — without the fence the brute-force corpus pass
-    # would re-execute per branch (review r10).  50 rows cached.
-    exact = (
-        ann_bruteforce_topk(spark, sf_dir)
-        .select("query_id", "neighbor_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # persist fence (the dedup/curation barrier pattern, same opt-out
+    # flag): exact top-5 is the most expensive component and every one of
+    # the six union branches joins against it — without the fence the
+    # brute-force corpus pass would re-execute per branch (review r10).
+    # 50 rows cached.  Like every fence, it registers the subtree with the
+    # CacheManager at construction: plan inspectors must clearCache first
+    # (plan_audit.py does, per build) or pass barrier=False.
+    exact = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    if barrier:
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     parts = []
     for m in _RECALL_METHODS:
         approx = (

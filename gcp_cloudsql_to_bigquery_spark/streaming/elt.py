@@ -528,8 +528,12 @@ def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     # offset doc_id domain (valid data) must still split into three
     # non-empty id-ordered ranges (review r10); boundaries only affect
     # batch sizing, never semantics — the fold is range-order-exact
-    q1, q2 = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.001)
-    cuts = (None, int(q1), int(q2), None)
+    qs = docs.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.001)
+    if len(qs) < 2:  # empty table returns [] — fail loudly, not at unpack
+        raise RuntimeError(
+            "stream_lsh_dedup_ttl: documents table is empty — nothing to stream"
+        )
+    cuts = (None, int(qs[0]), int(qs[1]), None)
     for shard in range(3):
         part = docs
         if cuts[shard] is not None:
@@ -540,7 +544,10 @@ def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         # micro-batches with arbitrary id ranges, breaking id-ordered arrival
         part.coalesce(1).write.parquet(os.path.join(feed_dir, f"arr_{shard}"))
 
-    state = {"version": 0, "frontier": -1}
+    # frontier None until the first fold: a -1 sentinel would both
+    # false-positive the in-order guard and silently drop docs for a
+    # negative-id domain (review r10, second pass)
+    state = {"version": 0, "frontier": None}
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
@@ -549,7 +556,7 @@ def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()
         if bounds["lo"] is None:
             return
-        if bounds["lo"] <= state["frontier"]:
+        if state["frontier"] is not None and bounds["lo"] <= state["frontier"]:
             raise RuntimeError(
                 "stream_lsh_dedup_ttl: out-of-order arrival "
                 f"(batch lo={bounds['lo']} <= frontier={state['frontier']}) — "
@@ -570,7 +577,11 @@ def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             else _banded_buckets(batch)
         ).persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            arr = pool.filter(F.col("doc_id") > state["frontier"])
+            arr = (
+                pool
+                if state["frontier"] is None
+                else pool.filter(F.col("doc_id") > state["frontier"])
+            )
             # candidates: (earlier, later-in-THIS-batch) bucket collisions
             # inside the TTL window; doc_b ∈ arr only, so a pair is emitted
             # exactly once (in the batch its later doc arrives in)
