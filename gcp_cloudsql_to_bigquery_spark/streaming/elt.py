@@ -443,14 +443,13 @@ def stream_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
 _LSH_TTL = 100  # dedup horizon in doc_id units (stream order ≡ doc_id order)
 
 
-def _banded_buckets(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) for a micro-batch: stateless per-row
-    MinHash(64) banded 16×4.  Same signature values as the batch
-    ``dedup.minhash_signatures`` — min of seeded xxhash64 over the shingle
-    set commutes with the batch explode/groupBy formulation — but computed
-    as narrow per-row expressions so a micro-batch maps with ZERO shuffle
-    (no stateful aggregation inside the stream)."""
-    from ..operators.dedup import N_BANDS, N_HASHES, ROWS_PER_BAND, with_shingles
+def _row_minhash_sig():
+    """64-entry MinHash signature as a narrow per-row expression over a
+    ``shingles`` column — the same values as the batch
+    ``dedup.minhash_signatures`` (min of seeded xxhash64 over the shingle
+    set commutes with the batch explode/groupBy formulation); equivalence
+    is pinned by ``tests/test_round10.py``."""
+    from ..operators.dedup import N_HASHES
 
     def _minhash(i: int):
         # closure factory, NOT a `lambda s, i=i:` default-arg bind: transform
@@ -461,7 +460,16 @@ def _banded_buckets(docs: DataFrame) -> DataFrame:
         # j=0.983 pair with zero shared bands)
         return F.array_min(F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s)))
 
-    sig = F.array(*[_minhash(i) for i in range(N_HASHES)])
+    return F.array(*[_minhash(i) for i in range(N_HASHES)])
+
+
+def _banded_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) for a micro-batch: stateless per-row
+    MinHash(64) banded 16×4, so a micro-batch maps with ZERO shuffle
+    (no stateful aggregation inside the stream)."""
+    from ..operators.dedup import N_BANDS, ROWS_PER_BAND, with_shingles
+
+    sig = _row_minhash_sig()
     bands = F.array(
         *[
             F.struct(

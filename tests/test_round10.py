@@ -158,3 +158,90 @@ def test_banded_buckets_shift_invariant(spark):
         1 for d in m.values() if len(d) == 2 and len(set(d.values())) == 1
     )
     assert shared >= 8, f"only {shared}/16 bands shared — position-coupled hash?"
+
+
+def test_row_minhash_sig_equals_batch_minhash_signatures(spark):
+    """Equivalence net for the arity bug class: the streaming per-row
+    signature expression must produce BIT-IDENTICAL values to the batch
+    explode/groupBy ``minhash_signatures`` on random documents — any
+    silent divergence between the two formulations (position coupling,
+    seed shadowing, hash-argument drift) fails here instead of as a
+    recall loss at some SF."""
+    import random
+
+    from gcp_cloudsql_to_bigquery_spark.operators.dedup import (
+        minhash_signatures,
+        with_shingles,
+    )
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import _row_minhash_sig
+
+    r = random.Random(99)
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                " ".join(
+                    "".join(
+                        r.choice("abcdefghijklmnopqrstuvwxyz0123456789 .,")
+                        for _ in range(r.randint(3, 9))
+                    )
+                    for _ in range(r.randint(5, 40))
+                ),
+            )
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    sh = with_shingles(docs)
+    batch = {r_["doc_id"]: list(r_["sig"]) for r_ in minhash_signatures(sh).collect()}
+    mine = {
+        r_["doc_id"]: list(r_["sig"])
+        for r_ in sh.withColumn("sig", _row_minhash_sig()).select("doc_id", "sig").collect()
+    }
+    assert batch == mine
+
+
+def test_sniffer_roundtrip_property(spark):
+    """Property test over the r10-changed sniffer read-side: random rows
+    rendered with each delimiter (with and without the trailing-newline
+    delivery artifact) must parse back exactly, with the right delimiter
+    detected."""
+    import random
+
+    from gcp_cloudsql_to_bigquery_spark.sources.files import sniff_and_parse_feed
+
+    r = random.Random(4)
+    delims = {",": "comma", "|": "pipe", "\t": "tab"}
+    feeds, expect = [], {}
+    for shard, (d, name) in enumerate(
+        (d, n) for d, n in delims.items() for _ in range(3)
+    ):
+        rows = [
+            (
+                r.randint(1, 10**6),
+                "".join(r.choice("ABCDEFGHIJKLMNOPQRSTUVWXYZ ") for _ in range(r.randint(3, 12))).strip() or "X",
+                r.choice(("AUTO", "MACHINERY", "FURNITURE")),
+            )
+            for _ in range(r.randint(1, 8))
+        ]
+        header = d.join(("custkey", "name", "segment"))
+        body = "\n".join(d.join((str(k), nm, seg)) for k, nm, seg in rows)
+        content = header + "\n" + body + ("\n" if r.random() < 0.5 else "")
+        feeds.append((shard, content))
+        expect[shard] = (name, sorted(rows))
+    df = spark.createDataFrame(feeds, "shard int, content string")
+    out = sniff_and_parse_feed(df)
+    # group rows back per detected delimiter name; every shard must
+    # round-trip its rows exactly and detect its own delimiter
+    got = {}
+    for row in out.collect():
+        got.setdefault(row["detected"], []).append(
+            (row["custkey"], row["name"], row["segment"])
+        )
+    for shard, (name, rows) in expect.items():
+        for t in rows:
+            assert t in got[name], (shard, t)
+    # global row-count conservation: nothing dropped, nothing invented
+    assert sum(len(v) for v in got.values()) == sum(
+        len(rows) for _, rows in expect.values()
+    )
