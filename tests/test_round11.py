@@ -121,19 +121,19 @@ def test_lshttl_post_drain_cleanup_and_atexit_hook(spark):
     returned DataFrame still reads (feed, all idx versions, and the
     checkpoint are gone); the atexit hook then removes the base itself."""
     from gcp_cloudsql_to_bigquery_spark.streaming.elt import (
-        _LSHTTL_BASES,
-        _cleanup_lshttl_bases,
+        _STREAM_TMP_BASES,
+        _cleanup_stream_tmp_bases,
         stream_lsh_dedup_ttl,
     )
 
     df = stream_lsh_dedup_ttl(spark, SF)
-    base = _LSHTTL_BASES[-1]
+    base = _STREAM_TMP_BASES[-1]
     assert df.count() >= 0  # consume while cand_b* is still on disk
     entries = sorted(os.listdir(base))
     assert entries == [e for e in entries if e.startswith("cand_b")], entries
     assert entries, "candidate dirs must exist until the result is consumed"
-    _cleanup_lshttl_bases()
-    assert not _LSHTTL_BASES
+    _cleanup_stream_tmp_bases()
+    assert not _STREAM_TMP_BASES
     assert not os.path.exists(base)
 
 
@@ -200,3 +200,113 @@ def test_lshttl_crash_resume_replay_is_idempotent(spark, tmp_path):
     _run_lsh_ttl_stream(spark, docs.schema, base2, ckpt2, on_fold_done=folds.append)
     assert folds == [1, 2], folds  # batch 0 NOT re-read; batch 1 replayed
     assert _collect_run_state(spark, base2) == ref
+
+
+# --- crash-resume extended to the whole versioned-fold family (round 11) ----
+
+
+_ISESS_SCHEMA = "user_id bigint, t_us bigint, cents bigint"
+
+
+def _fold_stream_cfg(name):
+    from gcp_cloudsql_to_bigquery_spark.streaming import elt as E
+
+    return {
+        "cdc": (E._write_cdc_feed, E._cdc_fold_body, "chg_*", None),
+        "topk": (E._write_topk_feed, E._topk_fold_body, "arr_*", None),
+        "isess": (E._write_isess_feed, E._isess_fold_body, "t*", _ISESS_SCHEMA),
+    }[name]
+
+
+def _final_snapshot(spark, base):
+    """(sorted final-snapshot rows, top version) — read from DISK, the way
+    the post-drain epilogue does."""
+    vdirs = glob.glob(os.path.join(base, "v[0-9]*"))
+    top = max(int(os.path.basename(d)[1:]) for d in vdirs)
+    rows = spark.read.parquet(os.path.join(base, f"v{top}")).collect()
+    return sorted(repr(sorted(r.asDict().items())) for r in rows), top
+
+
+@pytest.mark.parametrize("name", ["cdc", "topk", "isess"])
+def test_versioned_fold_crash_resume_idempotent(spark, tmp_path, name):
+    """The batch_id-derived versioning makes ALL three incremental-
+    materialization folds replay-safe: crash injected after batch 1's
+    writes but before its commit (dirty v2 on disk), resume from the same
+    checkpoint, batch 1 replays against the pre-batch snapshot and the
+    final materialization equals the uninterrupted run's.  (The round-10
+    driver-dict versioning would have read the post-batch snapshot AND
+    crashed on the existing create-mode v{N} path.)"""
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import (
+        _run_versioned_fold_stream,
+    )
+
+    write_feed, fold_body, glob_pat, fixed_schema = _fold_stream_cfg(name)
+
+    def prep(base):
+        schema = write_feed(spark, SF, os.path.join(base, "feed"))
+        return fixed_schema if fixed_schema is not None else schema
+
+    # uninterrupted reference run
+    base1, ckpt1 = str(tmp_path / "b1"), str(tmp_path / "c1")
+    os.makedirs(base1)
+    schema = prep(base1)
+    _run_versioned_fold_stream(
+        spark, schema, base1, os.path.join(base1, "feed", glob_pat), ckpt1,
+        fold_body(base1),
+    )
+    ref = _final_snapshot(spark, base1)
+    assert ref[1] >= 3
+
+    # crashed run + resume
+    base2, ckpt2 = str(tmp_path / "b2"), str(tmp_path / "c2")
+    os.makedirs(base2)
+    prep(base2)
+
+    def crash(batch_id: int) -> None:
+        if batch_id == 1:
+            raise RuntimeError("injected crash after batch 1 writes")
+
+    with pytest.raises(Exception, match="injected crash"):
+        _run_versioned_fold_stream(
+            spark, schema, base2, os.path.join(base2, "feed", glob_pat), ckpt2,
+            fold_body(base2), on_fold_done=crash,
+        )
+    assert os.path.isdir(os.path.join(base2, "v2"))  # dirty uncommitted write
+
+    folds = []
+    _run_versioned_fold_stream(
+        spark, schema, base2, os.path.join(base2, "feed", glob_pat), ckpt2,
+        fold_body(base2), on_fold_done=folds.append,
+    )
+    assert folds[0] == 1, folds  # batch 0 NOT re-read; batch 1 replayed
+    assert _final_snapshot(spark, base2) == ref
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["stream_cdc_upsert", "stream_incremental_topk", "stream_incremental_sessionize"],
+)
+def test_versioned_stream_post_drain_cleanup(spark, qname):
+    """After the stream drains, only the FINAL snapshot (which the returned
+    DataFrame lazily reads) survives in the base — feed, checkpoint, and
+    superseded versions are gone (ADVICE r10 item 1, family-wide)."""
+    from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import _STREAM_TMP_BASES
+
+    df = REGISTRY[qname].fn(spark, SF)
+    base = _STREAM_TMP_BASES[-1]
+    assert df.count() > 0
+    entries = os.listdir(base)
+    assert len(entries) == 1 and entries[0].startswith("v"), entries
+
+
+def test_elt_file_arrival_post_drain_cleanup(spark):
+    """The watch dir's raw CSV arrivals are removed once the sink is
+    committed; only the sink remains for the returned DataFrame."""
+    from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import _STREAM_TMP_BASES
+
+    df = REGISTRY["stream_elt_file_arrival"].fn(spark, SF)
+    base = _STREAM_TMP_BASES[-1]
+    assert df.count() > 0
+    assert os.listdir(base) == ["loaded"]
