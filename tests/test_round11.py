@@ -300,6 +300,80 @@ def test_versioned_stream_post_drain_cleanup(spark, qname):
     assert len(entries) == 1 and entries[0].startswith("v"), entries
 
 
+def test_lshttl_out_of_order_arrival_raises(spark, tmp_path):
+    """The in-order guard is load-bearing for TTL eviction soundness: a
+    feed whose FIRST file carries the HIGH id range (mtime-ordered ahead
+    of the low range) must raise the out-of-order error, not silently
+    miss pairs."""
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import _run_lsh_ttl_stream
+
+    docs = _mk_docs(spark, range(60))
+    base, ckpt = str(tmp_path / "b"), str(tmp_path / "c")
+    feed = os.path.join(base, "feed")
+    os.makedirs(base)
+    for shard, (lo, hi, mtime) in enumerate(
+        [(40, 60, 1_700_000_000), (0, 40, 1_700_000_001)]  # HIGH range first
+    ):
+        path = os.path.join(feed, f"arr_{shard}")
+        docs.filter(f"doc_id >= {lo} and doc_id < {hi}").coalesce(1).write.parquet(path)
+        for f in os.listdir(path):
+            os.utime(os.path.join(path, f), (mtime, mtime))
+    with pytest.raises(Exception, match="out-of-order arrival"):
+        _run_lsh_ttl_stream(spark, docs.schema, base, ckpt)
+
+
+def test_finish_versioned_stream_fold_count_from_disk(spark, tmp_path):
+    """The >=min_folds assertion reads the version from DISK — the property
+    that survives a crash-resume where any driver counter restarts at 0."""
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import (
+        _STREAM_TMP_BASES,
+        _finish_versioned_stream,
+    )
+
+    base = str(tmp_path / "b")
+    for v in (1, 2):
+        spark.range(3).write.parquet(os.path.join(base, f"v{v}"))
+    with pytest.raises(RuntimeError, match=">=3 incremental folds, got 2"):
+        _finish_versioned_stream(spark, base, str(tmp_path / "c"), 3, "t")
+
+    spark.range(5).write.parquet(os.path.join(base, "v3"))
+    out = _finish_versioned_stream(spark, base, str(tmp_path / "c"), 3, "t")
+    assert out.count() == 5
+    assert os.listdir(base) == ["v3"]  # superseded versions removed
+    assert _STREAM_TMP_BASES.pop() == base  # registered for atexit removal
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_shard_writer_property_hostile_id_domains(spark, tmp_path, seed):
+    """Seeded property net over hostile-but-valid doc_id domains (negative
+    offsets, million-wide gaps, duplicates): the writer always produces
+    three non-empty, value-disjoint, id-ordered shards covering every row,
+    or raises the named <3-distinct-ids error."""
+    import random
+
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import _write_id_ordered_shards
+
+    r = random.Random(seed)
+    ids, cur = [], r.randint(-(10**9), 10**9)
+    for _ in range(r.randint(3, 400)):
+        ids.append(cur)
+        if r.random() >= 0.3:  # else: duplicate the current id
+            cur += r.randint(1, 10**6)
+    r.shuffle(ids)
+    docs = _mk_docs(spark, ids)
+    feed = str(tmp_path / "feed")
+    if len(set(ids)) < 3:
+        with pytest.raises(RuntimeError, match="distinct doc_id"):
+            _write_id_ordered_shards(docs, feed)
+        return
+    _write_id_ordered_shards(docs, feed)
+    shards = _read_shards(spark, feed)
+    assert len(shards) == 3 and all(shards)
+    assert sorted(x for s in shards for x in s) == sorted(ids)
+    for a, b in zip(shards, shards[1:]):
+        assert max(a) < min(b)  # duplicates never split across a boundary
+
+
 def test_elt_file_arrival_post_drain_cleanup(spark):
     """The watch dir's raw CSV arrivals are removed once the sink is
     committed; only the sink remains for the returned DataFrame."""
