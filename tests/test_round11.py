@@ -202,6 +202,40 @@ def test_lshttl_crash_resume_replay_is_idempotent(spark, tmp_path):
     assert _collect_run_state(spark, base2) == ref
 
 
+@pytest.mark.parametrize("crash_at", [0, 2])
+def test_lshttl_crash_resume_at_edge_batches(spark, tmp_path, crash_at):
+    """Replay idempotence at the edge positions too: batch 0 (no prior
+    index, frontier None — the prev_v=0 path) and the FINAL batch (resume
+    with nothing after the replay)."""
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import (
+        _run_lsh_ttl_stream,
+        _write_id_ordered_shards,
+    )
+
+    docs = load(spark, SF, "documents").select("doc_id", "text")
+    base1, ckpt1 = str(tmp_path / "run1"), str(tmp_path / "ckpt1")
+    os.makedirs(base1)
+    _write_id_ordered_shards(docs, os.path.join(base1, "feed"))
+    _run_lsh_ttl_stream(spark, docs.schema, base1, ckpt1)
+    ref = _collect_run_state(spark, base1)
+
+    base2, ckpt2 = str(tmp_path / "run2"), str(tmp_path / "ckpt2")
+    os.makedirs(base2)
+    _write_id_ordered_shards(docs, os.path.join(base2, "feed"))
+
+    def crash(batch_id: int) -> None:
+        if batch_id == crash_at:
+            raise RuntimeError("injected crash")
+
+    with pytest.raises(Exception, match="injected crash"):
+        _run_lsh_ttl_stream(spark, docs.schema, base2, ckpt2, on_fold_done=crash)
+    folds = []
+    _run_lsh_ttl_stream(spark, docs.schema, base2, ckpt2, on_fold_done=folds.append)
+    assert folds[0] == crash_at, folds  # the crashed batch replays first
+    assert _collect_run_state(spark, base2) == ref
+
+
 # --- crash-resume extended to the whole versioned-fold family (round 11) ----
 
 
