@@ -229,7 +229,10 @@ def _finish_versioned_stream(
     for d in vdirs:
         if d != final:
             shutil.rmtree(d, ignore_errors=True)
-    _STREAM_TMP_BASES.append(base)
+    # base registration for atexit removal happens at mkdtemp time in the
+    # query functions (NOT here), so an error raised mid-stream still
+    # leaves the tree registered for cleanup — same pattern as
+    # stream_lsh_dedup_ttl (review r11, second pass)
     return spark.read.parquet(final)
 
 
@@ -317,6 +320,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
     base = _tf.mkdtemp(prefix="cdc_")
+    _STREAM_TMP_BASES.append(base)  # registered BEFORE the stream: error paths stay covered
     feed_dir = os.path.join(base, "feed")
     schema = _write_cdc_feed(spark, sf_dir, feed_dir)
     ckpt = _tf.mkdtemp(prefix="ckpt_cdc_", dir=_CKPT_DIR)
@@ -357,6 +361,7 @@ def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
     base = _tf.mkdtemp(prefix="topk_")
+    _STREAM_TMP_BASES.append(base)  # registered BEFORE the stream: error paths stay covered
     feed_dir = os.path.join(base, "feed")
     schema = _write_topk_feed(spark, sf_dir, feed_dir)
     ckpt = _tf.mkdtemp(prefix="ckpt_topk_", dir=_CKPT_DIR)
@@ -458,6 +463,7 @@ def stream_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     import tempfile as _tf
 
     base = _tf.mkdtemp(prefix="isess_")
+    _STREAM_TMP_BASES.append(base)  # registered BEFORE the stream: error paths stay covered
     feed_dir = os.path.join(base, "feed")
     _write_isess_feed(spark, sf_dir, feed_dir)
     ckpt = _tf.mkdtemp(prefix="ckpt_isess_", dir=_CKPT_DIR)
