@@ -26,7 +26,6 @@ the format the reference ships.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -234,7 +233,11 @@ def read_sentinel_csv_source(spark: SparkSession, path: str) -> DataFrame:
 def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.elt import write_arrival_files
 
-    watch = os.path.join(tempfile.mkdtemp(prefix="pyds_"), "exports")
+    from ..streaming.events import _tmp_stream_dir
+
+    # lazy-read tree (the returned DataFrame scans these exports):
+    # registered at creation, swept at interpreter exit (round 11)
+    watch = os.path.join(_tmp_stream_dir("pyds_"), "exports")
     write_arrival_files(spark, sf_dir, watch, n_files=4)
     df = read_sentinel_csv_source(spark, watch).filter(F.col("nation") < 10)
     return df.groupBy("nation").agg(
@@ -270,7 +273,11 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 def src_python_datasource_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load
 
-    out = os.path.join(tempfile.mkdtemp(prefix="pyds_w_"), "exports")
+    from ..streaming.events import _tmp_stream_dir
+
+    # lazy-read tree (the returned DataFrame scans the round-tripped
+    # exports): registered at creation, swept at interpreter exit
+    out = os.path.join(_tmp_stream_dir("pyds_w_"), "exports")
     spark.dataSource.register(SentinelCsvDataSource)
     src = (
         load(spark, sf_dir, "customer")
@@ -393,11 +400,12 @@ def src_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _ev._MEMSINK_SEQ += 1
     name = f"pyds_stream_{_ev._MEMSINK_SEQ}"
+    ckpt = _ev._tmp_stream_dir("ckpt_pyds_", _CKPT_DIR)
     q = (
         stream.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pyds_", dir=_CKPT_DIR))
+        .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
         .start()
     )
@@ -413,4 +421,7 @@ def src_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)  # memory sink holds the rows
     return spark.table(name)

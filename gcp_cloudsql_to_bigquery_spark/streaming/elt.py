@@ -19,10 +19,8 @@ changes shape.
 
 from __future__ import annotations
 
-import atexit
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
@@ -30,7 +28,12 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
-from .events import _CKPT_DIR
+from .events import (
+    _CKPT_DIR,
+    _STREAM_TMP_BASES,
+    _cleanup_stream_tmp_bases,  # noqa: F401  (re-exported for tests)
+    _tmp_stream_dir,
+)
 
 # Schema the arriving exports are loaded under (op #20, schema-applied load:
 # autodetect off, exactly these types — the reference's five-type system
@@ -85,7 +88,7 @@ def run_streaming_elt(
     parsed = cleaned.select(
         F.from_csv(F.col("value"), _ARRIVAL_SCHEMA, {"nullValue": "", "escape": '"'}).alias("r")
     ).select("r.*")
-    ckpt = tempfile.mkdtemp(prefix="ckpt_elt_", dir=_CKPT_DIR)
+    ckpt = _tmp_stream_dir("ckpt_elt_", _CKPT_DIR)
     q = (
         parsed.writeStream.outputMode("append")
         .format("parquet")
@@ -120,16 +123,16 @@ def run_streaming_elt(
     "NULLs, counted against the oracle's pre-export ground truth.",
 )
 def stream_elt_file_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="stream_elt_")
+    base = _tmp_stream_dir("stream_elt_")
     watch_dir = os.path.join(base, "watch")
     sink_dir = os.path.join(base, "loaded")
     write_arrival_files(spark, sf_dir, watch_dir, n_files=3)
     run_streaming_elt(spark, watch_dir, sink_dir)
     # post-drain cleanup (ADVICE r10 item 1 class): the returned DataFrame
     # lazily reads only the sink; the watch-dir arrivals are dead weight.
-    # The base (sink) is removed at interpreter exit via _STREAM_TMP_BASES.
+    # The base (sink) is swept at interpreter exit (creation-time
+    # registration).
     shutil.rmtree(watch_dir, ignore_errors=True)
-    _STREAM_TMP_BASES.append(base)
     loaded = spark.read.schema(_ARRIVAL_SCHEMA).parquet(sink_dir)
     return loaded.groupBy("nation").agg(
         F.count(F.lit(1)).alias("n_cust"),
@@ -140,20 +143,10 @@ def stream_elt_file_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- shared machinery for the incremental-materialization streams -----------
 #
-# tmp trees whose contents a RETURNED DataFrame still reads lazily (the
-# final v{N} snapshot / the accumulated cand_b* dirs), removed at
-# interpreter exit (ADVICE r10 item 1, applied family-wide in round 11):
-# everything else — feed shards, superseded snapshot versions, per-
-# invocation checkpoints — is removed eagerly, in-fold and post-drain.
-_STREAM_TMP_BASES: list[str] = []
-
-
-def _cleanup_stream_tmp_bases() -> None:
-    while _STREAM_TMP_BASES:
-        shutil.rmtree(_STREAM_TMP_BASES.pop(), ignore_errors=True)
-
-
-atexit.register(_cleanup_stream_tmp_bases)
+# The tmp-base registry (creation-time registration + atexit sweep) lives
+# in streaming/events.py next to _CKPT_DIR; everything a RETURNED
+# DataFrame does not read lazily is ALSO removed eagerly, in-fold and
+# post-drain (ADVICE r10 item 1, applied family-wide in round 11).
 
 
 def _run_versioned_fold_stream(
@@ -213,8 +206,8 @@ def _finish_versioned_stream(
     """Post-drain epilogue: assert the fold count from DISK (not a driver
     counter — it must survive a crash-resume), remove everything the
     returned DataFrame does not lazily read (feed, checkpoint, non-final
-    snapshot versions — ADVICE r10 item 1), register the base for atexit
-    removal, and return the final snapshot."""
+    snapshot versions — ADVICE r10 item 1) and return the final snapshot
+    (the base itself was registered for atexit removal at creation)."""
     import glob as _glob
 
     vdirs = _glob.glob(os.path.join(base, "v[0-9]*"))
@@ -317,13 +310,10 @@ def _cdc_fold_body(base: str):
     "max(struct), i.e. partial-aggregable.",
 )
 def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
-
-    base = _tf.mkdtemp(prefix="cdc_")
-    _STREAM_TMP_BASES.append(base)  # registered BEFORE the stream: error paths stay covered
+    base = _tmp_stream_dir("cdc_")  # registered at creation: error paths covered
     feed_dir = os.path.join(base, "feed")
     schema = _write_cdc_feed(spark, sf_dir, feed_dir)
-    ckpt = _tf.mkdtemp(prefix="ckpt_cdc_", dir=_CKPT_DIR)
+    ckpt = _tmp_stream_dir("ckpt_cdc_", _CKPT_DIR)
     _run_versioned_fold_stream(
         spark, schema, base, feed_dir + "/chg_*", ckpt, _cdc_fold_body(base)
     )
@@ -358,13 +348,10 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "state).",
 )
 def stream_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
-
-    base = _tf.mkdtemp(prefix="topk_")
-    _STREAM_TMP_BASES.append(base)  # registered BEFORE the stream: error paths stay covered
+    base = _tmp_stream_dir("topk_")  # registered at creation: error paths covered
     feed_dir = os.path.join(base, "feed")
     schema = _write_topk_feed(spark, sf_dir, feed_dir)
-    ckpt = _tf.mkdtemp(prefix="ckpt_topk_", dir=_CKPT_DIR)
+    ckpt = _tmp_stream_dir("ckpt_topk_", _CKPT_DIR)
     _run_versioned_fold_stream(
         spark, schema, base, feed_dir + "/arr_*", ckpt, _topk_fold_body(base)
     )
@@ -460,13 +447,10 @@ def _topk_fold_body(base: str, k: int = 20):
     "kill-and-resume test.  Integer micros/cents.",
 )
 def stream_incremental_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
-
-    base = _tf.mkdtemp(prefix="isess_")
-    _STREAM_TMP_BASES.append(base)  # registered BEFORE the stream: error paths stay covered
+    base = _tmp_stream_dir("isess_")  # registered at creation: error paths covered
     feed_dir = os.path.join(base, "feed")
     _write_isess_feed(spark, sf_dir, feed_dir)
-    ckpt = _tf.mkdtemp(prefix="ckpt_isess_", dir=_CKPT_DIR)
+    ckpt = _tmp_stream_dir("ckpt_isess_", _CKPT_DIR)
     _run_versioned_fold_stream(
         spark,
         "user_id bigint, t_us bigint, cents bigint",
@@ -622,8 +606,8 @@ def _banded_buckets(docs: DataFrame) -> DataFrame:
 
 from ..operators.dedup import _DUCK_JACPAIRS as _JACPAIRS_CTE  # noqa: E402
 
-# (the shared tmp-base atexit registry _STREAM_TMP_BASES lives above, next
-# to the versioned-fold machinery it serves)
+# (the shared tmp-base atexit registry _STREAM_TMP_BASES lives in
+# streaming/events.py, imported above)
 
 
 def _write_id_ordered_shards(docs: DataFrame, feed_dir: str) -> str:
@@ -846,16 +830,13 @@ def _run_lsh_ttl_stream(
 )
 def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
-    import tempfile as _tf
-
     from ..operators.dedup import with_shingles
 
-    base = _tf.mkdtemp(prefix="lshttl_")
-    _STREAM_TMP_BASES.append(base)  # cand_b* is read lazily — atexit removal
+    base = _tmp_stream_dir("lshttl_")  # cand_b* is read lazily — atexit removal
     feed_dir = os.path.join(base, "feed")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     _write_id_ordered_shards(docs, feed_dir)
-    ckpt = _tf.mkdtemp(prefix="ckpt_lshttl_", dir=_CKPT_DIR)
+    ckpt = _tmp_stream_dir("ckpt_lshttl_", _CKPT_DIR)
     _run_lsh_ttl_stream(spark, docs.schema, base, ckpt)
     idx_dirs = _glob.glob(os.path.join(base, "idx_v*"))
     top = max((int(os.path.basename(d)[5:]) for d in idx_dirs), default=0)

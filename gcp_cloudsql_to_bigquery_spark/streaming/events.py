@@ -15,7 +15,9 @@ runs a genuine StreamingQuery (incremental state, not a batch rewrite).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 # Checkpoint root is a deployment parameter: durable storage (HDFS/S3) on a
@@ -23,6 +25,33 @@ import tempfile
 # delta/commit files per shuffle partition per micro-batch, so putting the
 # throwaway local checkpoint on spinning /tmp just benchmarks the disk.
 _CKPT_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+# Every streaming tmp path (checkpoints, watch dirs, snapshot bases) is
+# registered here AT CREATION TIME and swept at interpreter exit — so
+# error paths, injected-crash tests, and post-termination state-store
+# stragglers never leak the tree (ADVICE r10 item 1, applied repo-wide in
+# round 11).  Call sites ADDITIONALLY remove paths eagerly as soon as they
+# are provably unneeded (a memory-sink query's checkpoint after
+# termination, a feed dir after the stream drains); paths a RETURNED
+# DataFrame still reads lazily (a parquet sink, the final v{N} snapshot,
+# accumulated candidate dirs) stay until this hook runs.
+_STREAM_TMP_BASES: list[str] = []
+
+
+def _cleanup_stream_tmp_bases() -> None:
+    while _STREAM_TMP_BASES:
+        shutil.rmtree(_STREAM_TMP_BASES.pop(), ignore_errors=True)
+
+
+atexit.register(_cleanup_stream_tmp_bases)
+
+
+def _tmp_stream_dir(prefix: str, parent: str | None = None) -> str:
+    """``mkdtemp`` + registration in ``_STREAM_TMP_BASES`` — the only way
+    streaming code should allocate a tmp dir."""
+    path = tempfile.mkdtemp(prefix=prefix, dir=parent)
+    _STREAM_TMP_BASES.append(path)
+    return path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,18 +107,25 @@ def run_to_completion(
     name = f"stream_out_{_MEMSINK_SEQ}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    ckpt = _tmp_stream_dir("ckpt_", _CKPT_DIR)
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_", dir=_CKPT_DIR))
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    # the MEMORY sink holds the rows; the per-invocation checkpoint (offsets
+    # + per-partition state store) is dead weight once the query terminates
+    # — remove it instead of leaking RAM-backed /dev/shm per invocation
+    # (round 11; ignore_errors covers a straggling state-store maintenance
+    # write, and the creation-time registration sweeps any residue at exit)
+    shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
@@ -270,12 +306,13 @@ def stream_processing_time_trigger(spark: SparkSession, sf_dir: str) -> DataFram
     name = f"stream_out_{_MEMSINK_SEQ}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = _tmp_stream_dir("ckpt_", _CKPT_DIR)
     try:
         q = (
             agg.writeStream.outputMode("complete")
             .format("memory")
             .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_", dir=_CKPT_DIR))
+            .option("checkpointLocation", ckpt)
             .trigger(processingTime="250 milliseconds")
             .start()
         )
@@ -299,6 +336,7 @@ def stream_processing_time_trigger(spark: SparkSession, sf_dir: str) -> DataFram
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    shutil.rmtree(ckpt, ignore_errors=True)  # memory sink holds the rows
     return spark.table(name)
 
 
@@ -575,7 +613,7 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     base_day = F.lit("2024-01-01").cast("date")
     day = F.datediff(F.col("ts").cast("date"), base_day)
-    watch = tempfile.mkdtemp(prefix="late_watch_", dir=_CKPT_DIR)
+    watch = _tmp_stream_dir("late_watch_", _CKPT_DIR)
     shards = [
         ("shard_1", day < 10),
         ("shard_2", (day >= 10) & (day < 20)),
@@ -605,6 +643,9 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum"))
     )
     out = run_to_completion(agg, spark, output_mode="append")
+    # the memory sink holds the emitted windows — the RAM-backed watch-dir
+    # event shards are dead weight once the stream drains (round 11)
+    shutil.rmtree(watch, ignore_errors=True)
     return out.select(
         F.col("window.start").alias("win_start"), "event_type", "n", "id_sum"
     )
@@ -648,9 +689,9 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
-    watch = tempfile.mkdtemp(prefix="resume_watch_", dir=_CKPT_DIR)
-    ckpt = tempfile.mkdtemp(prefix="resume_ckpt_", dir=_CKPT_DIR)
-    sink = tempfile.mkdtemp(prefix="resume_sink_", dir=_CKPT_DIR)
+    watch = _tmp_stream_dir("resume_watch_", _CKPT_DIR)
+    ckpt = _tmp_stream_dir("resume_ckpt_", _CKPT_DIR)
+    sink = _tmp_stream_dir("resume_sink_", _CKPT_DIR)
 
     def write_shard(df: DataFrame, name: str, mtime: int) -> None:
         path = os.path.join(watch, name)
@@ -697,6 +738,11 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_shard(sentinel, "shard_4", 1_700_000_003)
     run_once()
 
+    # resume is over: the watch shards and the checkpoint are dead weight;
+    # the parquet SINK is what the returned DataFrame lazily reads — it
+    # stays, swept at interpreter exit via its creation-time registration
+    shutil.rmtree(watch, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
     out = spark.read.parquet(sink)
     return out.select(
         F.col("window.start").alias("win_start"), "event_type", "n", "id_sum"

@@ -27,6 +27,19 @@ import pytest
 SF = "/root/testdata/sf0.001"
 
 
+def _bases_added_during(prefix, fn):
+    """Run fn(); return (result, the tmp paths registered during the call
+    whose basename starts with prefix)."""
+    from gcp_cloudsql_to_bigquery_spark.streaming.events import _STREAM_TMP_BASES
+
+    n = len(_STREAM_TMP_BASES)
+    result = fn()
+    added = [
+        p for p in _STREAM_TMP_BASES[n:] if os.path.basename(p).startswith(prefix)
+    ]
+    return result, added
+
+
 def _mk_docs(spark, ids):
     return spark.createDataFrame(
         [(int(i), f"document text number {i} padded") for i in ids],
@@ -126,8 +139,8 @@ def test_lshttl_post_drain_cleanup_and_atexit_hook(spark):
         stream_lsh_dedup_ttl,
     )
 
-    df = stream_lsh_dedup_ttl(spark, SF)
-    base = _STREAM_TMP_BASES[-1]
+    df, bases = _bases_added_during("lshttl_", lambda: stream_lsh_dedup_ttl(spark, SF))
+    (base,) = bases
     assert df.count() >= 0  # consume while cand_b* is still on disk
     entries = sorted(os.listdir(base))
     assert entries == [e for e in entries if e.startswith("cand_b")], entries
@@ -325,13 +338,60 @@ def test_versioned_stream_post_drain_cleanup(spark, qname):
     DataFrame lazily reads) survives in the base — feed, checkpoint, and
     superseded versions are gone (ADVICE r10 item 1, family-wide)."""
     from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
-    from gcp_cloudsql_to_bigquery_spark.streaming.elt import _STREAM_TMP_BASES
 
-    df = REGISTRY[qname].fn(spark, SF)
-    base = _STREAM_TMP_BASES[-1]
+    prefix = {
+        "stream_cdc_upsert": "cdc_",
+        "stream_incremental_topk": "topk_",
+        "stream_incremental_sessionize": "isess_",
+    }[qname]
+    df, bases = _bases_added_during(prefix, lambda: REGISTRY[qname].fn(spark, SF))
+    (base,) = bases
     assert df.count() > 0
     entries = os.listdir(base)
     assert len(entries) == 1 and entries[0].startswith("v"), entries
+
+
+@pytest.mark.parametrize(
+    "qname", ["stream_tumbling_window", "stream_processing_time_trigger"]
+)
+def test_memory_sink_checkpoint_removed_after_termination(spark, qname):
+    """The memory sink holds the rows; the per-invocation checkpoint
+    (RAM-backed /dev/shm) must be gone once the query terminates — and the
+    returned DataFrame must still be fully consumable afterwards."""
+    from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
+
+    df, ckpts = _bases_added_during("ckpt_", lambda: REGISTRY[qname].fn(spark, SF))
+    assert ckpts, "checkpoint should be registered at creation"
+    assert not any(os.path.exists(c) for c in ckpts), ckpts
+    assert df.count() > 0  # memory sink independent of the checkpoint
+
+
+def test_late_data_audit_watch_removed_after_drain(spark):
+    from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
+
+    df, watches = _bases_added_during(
+        "late_watch_", lambda: REGISTRY["stream_late_data_audit"].fn(spark, SF)
+    )
+    (watch,) = watches
+    assert not os.path.exists(watch)
+    assert df.count() > 0
+
+
+def test_checkpoint_resume_keeps_only_the_lazy_sink(spark):
+    """After the resume completes, the watch shards and the checkpoint are
+    gone; the parquet sink — the only thing the returned DataFrame reads —
+    survives until the atexit sweep."""
+    from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
+
+    df, paths = _bases_added_during(
+        "resume_", lambda: REGISTRY["stream_checkpoint_resume"].fn(spark, SF)
+    )
+    by_kind = {os.path.basename(p).split("_")[1]: p for p in paths}
+    assert set(by_kind) == {"watch", "ckpt", "sink"}, paths
+    assert not os.path.exists(by_kind["watch"])
+    assert not os.path.exists(by_kind["ckpt"])
+    assert os.path.exists(by_kind["sink"])
+    assert df.count() > 0
 
 
 def test_lshttl_out_of_order_arrival_raises(spark, tmp_path):
@@ -415,9 +475,10 @@ def test_elt_file_arrival_post_drain_cleanup(spark):
     """The watch dir's raw CSV arrivals are removed once the sink is
     committed; only the sink remains for the returned DataFrame."""
     from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
-    from gcp_cloudsql_to_bigquery_spark.streaming.elt import _STREAM_TMP_BASES
 
-    df = REGISTRY["stream_elt_file_arrival"].fn(spark, SF)
-    base = _STREAM_TMP_BASES[-1]
+    df, bases = _bases_added_during(
+        "stream_elt_", lambda: REGISTRY["stream_elt_file_arrival"].fn(spark, SF)
+    )
+    (base,) = bases
     assert df.count() > 0
     assert os.listdir(base) == ["loaded"]
