@@ -421,7 +421,5 @@ def src_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
         q.awaitTermination()
-    import shutil
-
-    shutil.rmtree(ckpt, ignore_errors=True)  # memory sink holds the rows
+    _ev._remove_stream_tmp(ckpt)  # memory sink holds the rows
     return spark.table(name)

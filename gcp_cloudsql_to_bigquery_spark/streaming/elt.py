@@ -32,6 +32,7 @@ from .events import (
     _CKPT_DIR,
     _STREAM_TMP_BASES,
     _cleanup_stream_tmp_bases,  # noqa: F401  (re-exported for tests)
+    _remove_stream_tmp,
     _tmp_stream_dir,
 )
 
@@ -100,7 +101,7 @@ def run_streaming_elt(
     q.awaitTermination()
     # per-invocation fresh checkpoint (availableNow drained it fully) —
     # remove it instead of leaking /dev/shm space (ADVICE r10 item 1 class)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    _remove_stream_tmp(ckpt)
     return sum(1 for p in (q.recentProgress or []) if p["numInputRows"] > 0)
 
 
@@ -218,7 +219,7 @@ def _finish_versioned_stream(
         )
     final = os.path.join(base, f"v{top}")
     shutil.rmtree(os.path.join(base, "feed"), ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    _remove_stream_tmp(ckpt)
     for d in vdirs:
         if d != final:
             shutil.rmtree(d, ignore_errors=True)
@@ -850,7 +851,7 @@ def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(feed_dir, ignore_errors=True)
     for d in idx_dirs:
         shutil.rmtree(d, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    _remove_stream_tmp(ckpt)
 
     # exact-Jaccard verify on the accumulated candidates (batch side, after
     # the stream drains) — identical kernel to dedup_minhash_lsh's verify.

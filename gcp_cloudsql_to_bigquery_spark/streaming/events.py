@@ -53,6 +53,19 @@ def _tmp_stream_dir(prefix: str, parent: str | None = None) -> str:
     _STREAM_TMP_BASES.append(path)
     return path
 
+
+def _remove_stream_tmp(path: str) -> None:
+    """Eager removal of a REGISTERED tmp tree: rmtree + drop it from the
+    atexit registry, so ``_STREAM_TMP_BASES`` holds only genuinely live
+    trees instead of growing unboundedly across a long-lived process (a
+    full registry build allocates hundreds of per-invocation checkpoints)
+    and the list reads as an inventory of what is actually on disk."""
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        _STREAM_TMP_BASES.remove(path)
+    except ValueError:
+        pass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -105,9 +118,13 @@ def run_to_completion(
     global _MEMSINK_SEQ
     _MEMSINK_SEQ += 1
     name = f"stream_out_{_MEMSINK_SEQ}"
+    # allocate the checkpoint BEFORE touching session conf: if mkdtemp
+    # raises (e.g. /dev/shm full) the shuffle-partition override must not
+    # leak past this call — conf.set only happens once there is a matching
+    # finally to restore it
+    ckpt = _tmp_stream_dir("ckpt_", _CKPT_DIR)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    ckpt = _tmp_stream_dir("ckpt_", _CKPT_DIR)
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -124,8 +141,8 @@ def run_to_completion(
     # + per-partition state store) is dead weight once the query terminates
     # — remove it instead of leaking RAM-backed /dev/shm per invocation
     # (round 11; ignore_errors covers a straggling state-store maintenance
-    # write, and the creation-time registration sweeps any residue at exit)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    # write; the eager removal also drops the path from the atexit registry)
+    _remove_stream_tmp(ckpt)
     return spark.table(name)
 
 
@@ -304,9 +321,10 @@ def stream_processing_time_trigger(spark: SparkSession, sf_dir: str) -> DataFram
     global _MEMSINK_SEQ
     _MEMSINK_SEQ += 1
     name = f"stream_out_{_MEMSINK_SEQ}"
+    # mkdtemp before conf.set — same conf-leak guard as run_to_completion
+    ckpt = _tmp_stream_dir("ckpt_", _CKPT_DIR)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    ckpt = _tmp_stream_dir("ckpt_", _CKPT_DIR)
     try:
         q = (
             agg.writeStream.outputMode("complete")
@@ -336,7 +354,7 @@ def stream_processing_time_trigger(spark: SparkSession, sf_dir: str) -> DataFram
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    shutil.rmtree(ckpt, ignore_errors=True)  # memory sink holds the rows
+    _remove_stream_tmp(ckpt)  # memory sink holds the rows
     return spark.table(name)
 
 
@@ -645,7 +663,7 @@ def stream_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_completion(agg, spark, output_mode="append")
     # the memory sink holds the emitted windows — the RAM-backed watch-dir
     # event shards are dead weight once the stream drains (round 11)
-    shutil.rmtree(watch, ignore_errors=True)
+    _remove_stream_tmp(watch)
     return out.select(
         F.col("window.start").alias("win_start"), "event_type", "n", "id_sum"
     )
@@ -741,8 +759,8 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resume is over: the watch shards and the checkpoint are dead weight;
     # the parquet SINK is what the returned DataFrame lazily reads — it
     # stays, swept at interpreter exit via its creation-time registration
-    shutil.rmtree(watch, ignore_errors=True)
-    shutil.rmtree(ckpt, ignore_errors=True)
+    _remove_stream_tmp(watch)
+    _remove_stream_tmp(ckpt)
     out = spark.read.parquet(sink)
     return out.select(
         F.col("window.start").alias("win_start"), "event_type", "n", "id_sum"

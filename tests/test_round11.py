@@ -28,16 +28,44 @@ SF = "/root/testdata/sf0.001"
 
 
 def _bases_added_during(prefix, fn):
-    """Run fn(); return (result, the tmp paths registered during the call
-    whose basename starts with prefix)."""
+    """Run fn(); return (result, the tmp paths STILL REGISTERED after the
+    call that were registered during it, basename-prefix filtered).  Set
+    diff, not index slicing: eager removal now prunes the registry mid-call
+    (round 12), so positions are not stable."""
     from gcp_cloudsql_to_bigquery_spark.streaming.events import _STREAM_TMP_BASES
 
-    n = len(_STREAM_TMP_BASES)
+    before = set(_STREAM_TMP_BASES)
     result = fn()
     added = [
-        p for p in _STREAM_TMP_BASES[n:] if os.path.basename(p).startswith(prefix)
+        p
+        for p in _STREAM_TMP_BASES
+        if p not in before and os.path.basename(p).startswith(prefix)
     ]
     return result, added
+
+
+def _tmp_dirs_created_during(prefix, fn):
+    """Like _bases_added_during but captures EVERY allocation (including
+    paths eagerly removed — and deregistered — before fn returns) by
+    wrapping the allocator.  Only sees call sites that resolve
+    _tmp_stream_dir through the events module at call time (i.e. functions
+    living in streaming/events.py itself)."""
+    from gcp_cloudsql_to_bigquery_spark.streaming import events as _ev
+
+    created = []
+    orig = _ev._tmp_stream_dir
+
+    def recording(pfx, parent=None):
+        p = orig(pfx, parent)
+        created.append(p)
+        return p
+
+    _ev._tmp_stream_dir = recording
+    try:
+        result = fn()
+    finally:
+        _ev._tmp_stream_dir = orig
+    return result, [p for p in created if os.path.basename(p).startswith(prefix)]
 
 
 def _mk_docs(spark, ids):
@@ -135,7 +163,7 @@ def test_lshttl_post_drain_cleanup_and_atexit_hook(spark):
     checkpoint are gone); the atexit hook then removes the base itself."""
     from gcp_cloudsql_to_bigquery_spark.streaming.elt import (
         _STREAM_TMP_BASES,
-        _cleanup_stream_tmp_bases,
+        _remove_stream_tmp,
         stream_lsh_dedup_ttl,
     )
 
@@ -145,8 +173,13 @@ def test_lshttl_post_drain_cleanup_and_atexit_hook(spark):
     entries = sorted(os.listdir(base))
     assert entries == [e for e in entries if e.startswith("cand_b")], entries
     assert entries, "candidate dirs must exist until the result is consumed"
-    _cleanup_stream_tmp_bases()
-    assert not _STREAM_TMP_BASES
+    # remove ONLY this test's base (ADVICE r11 item 2: draining the GLOBAL
+    # registry here would rmtree live trees other tests in the same session
+    # still read lazily); _remove_stream_tmp is exactly the per-entry step
+    # the atexit sweep's pop loop performs
+    assert base in _STREAM_TMP_BASES
+    _remove_stream_tmp(base)
+    assert base not in _STREAM_TMP_BASES
     assert not os.path.exists(base)
 
 
@@ -360,16 +393,23 @@ def test_memory_sink_checkpoint_removed_after_termination(spark, qname):
     returned DataFrame must still be fully consumable afterwards."""
     from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
 
-    df, ckpts = _bases_added_during("ckpt_", lambda: REGISTRY[qname].fn(spark, SF))
-    assert ckpts, "checkpoint should be registered at creation"
+    from gcp_cloudsql_to_bigquery_spark.streaming.events import _STREAM_TMP_BASES
+
+    df, ckpts = _tmp_dirs_created_during(
+        "ckpt_", lambda: REGISTRY[qname].fn(spark, SF)
+    )
+    assert ckpts, "checkpoint should be allocated through _tmp_stream_dir"
     assert not any(os.path.exists(c) for c in ckpts), ckpts
+    # eager removal also deregisters (ADVICE r11 item 3): the registry holds
+    # only live trees, so a long-lived process doesn't accumulate dead paths
+    assert not any(c in _STREAM_TMP_BASES for c in ckpts), ckpts
     assert df.count() > 0  # memory sink independent of the checkpoint
 
 
 def test_late_data_audit_watch_removed_after_drain(spark):
     from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
 
-    df, watches = _bases_added_during(
+    df, watches = _tmp_dirs_created_during(
         "late_watch_", lambda: REGISTRY["stream_late_data_audit"].fn(spark, SF)
     )
     (watch,) = watches
@@ -383,7 +423,9 @@ def test_checkpoint_resume_keeps_only_the_lazy_sink(spark):
     survives until the atexit sweep."""
     from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
 
-    df, paths = _bases_added_during(
+    from gcp_cloudsql_to_bigquery_spark.streaming.events import _STREAM_TMP_BASES
+
+    df, paths = _tmp_dirs_created_during(
         "resume_", lambda: REGISTRY["stream_checkpoint_resume"].fn(spark, SF)
     )
     by_kind = {os.path.basename(p).split("_")[1]: p for p in paths}
@@ -391,6 +433,10 @@ def test_checkpoint_resume_keeps_only_the_lazy_sink(spark):
     assert not os.path.exists(by_kind["watch"])
     assert not os.path.exists(by_kind["ckpt"])
     assert os.path.exists(by_kind["sink"])
+    # only the lazily-read sink stays registered for the atexit sweep
+    assert by_kind["sink"] in _STREAM_TMP_BASES
+    assert by_kind["watch"] not in _STREAM_TMP_BASES
+    assert by_kind["ckpt"] not in _STREAM_TMP_BASES
     assert df.count() > 0
 
 
