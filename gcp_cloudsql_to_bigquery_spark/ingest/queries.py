@@ -8,13 +8,12 @@ sqllogictest-style check the reference never had (SURVEY.md §5).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from ..tmputil import tmp_dir
 from .pipeline import roundtrip
 
 
@@ -32,7 +31,7 @@ from .pipeline import roundtrip
 )
 def elt_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = load(spark, sf_dir, "nation")
-    tmp = tempfile.mkdtemp(prefix="elt_nation_")  # lives past return; /tmp GC'd by OS
+    tmp = tmp_dir("elt_nation_")  # lives past return; /tmp GC'd by OS
     return roundtrip(spark, src, tmp, "nation")
 
 
@@ -59,7 +58,7 @@ def elt_roundtrip_null_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("total"),
         )
     )
-    tmp = tempfile.mkdtemp(prefix="elt_nulls_")
+    tmp = tmp_dir("elt_nulls_")
     return roundtrip(spark, src, tmp, "orders_nulls")
 
 
@@ -76,7 +75,7 @@ def elt_roundtrip_null_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "end-state ('analytics happen in BigQuery after load') in one job.",
 )
 def elt_pipeline_to_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = tempfile.mkdtemp(prefix="elt_e2e_")
+    base = tmp_dir("elt_e2e_")
     from .pipeline import export_table, load_table
 
     for t in ("supplier", "nation"):
@@ -174,7 +173,7 @@ def elt_load_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
         )
     )
-    base = tempfile.mkdtemp(prefix="elt_qa_")
+    base = tmp_dir("elt_qa_")
     data_path, schema_path = export_table(src, base, "orders_qa")
     observed, obs = load_table_observed(spark, data_path, schema_path)
     observed.count()  # the load action; metrics ride along
@@ -210,7 +209,6 @@ def elt_load_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bytes, not lost data.",
 )
 def elt_bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
 
     c = load(spark, sf_dir, "customer")
     line = F.concat_ws(
@@ -221,7 +219,7 @@ def elt_bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").cast("string")
         ),
     )
-    out = tempfile.mkdtemp(prefix="quarantine_") + "/export"
+    out = tmp_dir("quarantine_") + "/export"
     c.select(line.alias("value")).write.mode("overwrite").text(out)
 
     schema = "c_custkey bigint, c_nationkey bigint, bal_cents bigint, _corrupt string"
@@ -506,13 +504,12 @@ def elt_right_to_erasure(spark, sf_dir):
 )
 def elt_write_audit_publish(spark, sf_dir):
     import os
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from ..catalog import load
 
-    root = tempfile.mkdtemp(prefix="wap_")
+    root = tmp_dir("wap_")
     pointer = os.path.join(root, "CURRENT")
 
     def publish(version: int) -> None:

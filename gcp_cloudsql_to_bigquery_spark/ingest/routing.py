@@ -83,11 +83,11 @@ def elt_table_list_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def elt_file_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
+    from ..tmputil import tmp_dir
     from .pipeline import export_table
 
-    base = tempfile.mkdtemp(prefix="router_")
+    base = tmp_dir("router_")
     for t in ("region", "nation"):
         export_table(load(spark, sf_dir, t), base, t, export_date="2026-08-13")
     paths = []

@@ -763,7 +763,7 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     "file-level 409s to content-level digests.",
 )
 def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from ..tmputil import tmp_dir
 
     d = load(spark, sf_dir, "documents")
     fp = F.md5(
@@ -775,7 +775,7 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = d.agg(F.floor(F.max("doc_id") * 7 / 10).cast("bigint").alias("c"))
     bound = fps.crossJoin(F.broadcast(cut))
 
-    index_dir = tempfile.mkdtemp(prefix="fp_index_") + "/index"
+    index_dir = tmp_dir("fp_index_") + "/index"
     bound.filter(F.col("doc_id") < F.col("c")).select("fp").distinct().write.mode(
         "overwrite"
     ).parquet(index_dir)

@@ -10,13 +10,13 @@ tests/test_sources.py.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from ..tmputil import tmp_dir
 
 
 def write_date_partitioned(
@@ -55,7 +55,7 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").cast("bigint").alias("k"),
         )
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="src_json_"), "events_json")
+    out = os.path.join(tmp_dir("src_json_"), "events_json")
     e.write.mode("overwrite").json(out)
     return spark.read.schema("event_id bigint, event_type string, value double, k bigint").json(out)
 
@@ -75,7 +75,7 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any file is opened (PartitionFilters, asserted in tests/test_sources.py).",
 )
 def src_partitioned_parquet_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = os.path.join(tempfile.mkdtemp(prefix="src_part_"), "orders_by_month")
+    out = os.path.join(tmp_dir("src_part_"), "orders_by_month")
     write_date_partitioned(load(spark, sf_dir, "orders"), out, "o_orderdate", "month")
     back = spark.read.parquet(out)
     return (
@@ -101,7 +101,7 @@ def src_csv_schema_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_size", F.round("p_retailprice", 2).alias("price")
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="src_csv_"), "part_csv")
+    out = os.path.join(tmp_dir("src_csv_"), "part_csv")
     p.write.mode("overwrite").options(header=True).csv(out)
     back = spark.read.options(header=True).schema(
         "p_partkey bigint, p_brand string, p_size bigint, price double"
@@ -132,7 +132,7 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("l_extendedprice", 2).alias("price"),
         )
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="src_orc_"), "lineitem_orc")
+    out = os.path.join(tmp_dir("src_orc_"), "lineitem_orc")
     li.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
 
@@ -163,7 +163,7 @@ def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="schema_evo_")
+    base = tmp_dir("schema_evo_")
     d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang").write.parquet(
         os.path.join(base, "batch=1")
     )
@@ -276,7 +276,7 @@ def src_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
         F.round("s_acctbal", 2).alias("bal"),
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="src_xml_"), "supplier_xml")
+    out = os.path.join(tmp_dir("src_xml_"), "supplier_xml")
     s.write.mode("overwrite").option("rowTag", "supplier").format("xml").save(out)
     return (
         spark.read.option("rowTag", "supplier")
@@ -428,7 +428,7 @@ def compact_small_files(
 )
 def elt_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    base = tempfile.mkdtemp(prefix="compact_")
+    base = tmp_dir("compact_")
     frag, packed = os.path.join(base, "frag"), os.path.join(base, "packed")
     li.repartition(64).write.mode("overwrite").parquet(frag)
     compact_small_files(spark, frag, packed, target_file_bytes=4 << 20)
@@ -467,7 +467,7 @@ def elt_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
         F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
     )
-    base = tempfile.mkdtemp(prefix="dynpart_") + "/events_by_day"
+    base = tmp_dir("dynpart_") + "/events_by_day"
     ev.write.mode("overwrite").partitionBy("d").parquet(base)
 
     target = "2024-01-15"
@@ -574,7 +574,7 @@ def src_csv_quoted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p_name"),
         "p_type",
     )
-    out = tempfile.mkdtemp(prefix="csv_edges_") + "/part_csv"
+    out = tmp_dir("csv_edges_") + "/part_csv"
     p.write.mode("overwrite").option("header", "true").option("escape", '"').csv(out)
     back = (
         spark.read.option("header", "true")
@@ -628,7 +628,7 @@ def src_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
         .collect()
     )
-    stage = tempfile.mkdtemp(prefix="src_binfile_")
+    stage = tmp_dir("src_binfile_")
     for r in rows:
         body = "blob:%s:%d:%s" % (
             r["n_name"],
@@ -744,7 +744,7 @@ def elt_format_migration_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey").cast("bigint").alias("nat"),
         F.floor(F.col("s_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
     )
-    root = tempfile.mkdtemp(prefix="fmt_chain_")
+    root = tmp_dir("fmt_chain_")
     schema = "k bigint, nat bigint, cents bigint"
 
     def digest(df: DataFrame, fmt: str) -> DataFrame:

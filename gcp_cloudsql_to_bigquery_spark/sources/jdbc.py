@@ -21,13 +21,13 @@ cluster).
 from __future__ import annotations
 
 import os
-import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..tmputil import tmp_dir
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
@@ -124,7 +124,7 @@ def derby_create_nation(spark: SparkSession, sf_dir: str) -> str:
     """
     from ..catalog import load
 
-    dbdir = os.path.join(tempfile.mkdtemp(prefix="derby_"), "db")
+    dbdir = os.path.join(tmp_dir("derby_"), "db")
     jvm = spark._jvm
     conn = jvm.java.sql.DriverManager.getConnection(f"jdbc:derby:{dbdir};create=true")
     try:

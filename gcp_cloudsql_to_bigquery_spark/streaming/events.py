@@ -15,10 +15,7 @@ runs a genuine StreamingQuery (incremental state, not a batch rewrite).
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 
 # Checkpoint root is a deployment parameter: durable storage (HDFS/S3) on a
 # real cluster, memory-backed tmpfs for local runs — the state store writes
@@ -27,44 +24,24 @@ import tempfile
 _CKPT_DIR = "/dev/shm" if os.path.isdir("/dev/shm") else None
 
 # Every streaming tmp path (checkpoints, watch dirs, snapshot bases) is
-# registered here AT CREATION TIME and swept at interpreter exit — so
-# error paths, injected-crash tests, and post-termination state-store
-# stragglers never leak the tree (ADVICE r10 item 1, applied repo-wide in
-# round 11).  Call sites ADDITIONALLY remove paths eagerly as soon as they
-# are provably unneeded (a memory-sink query's checkpoint after
-# termination, a feed dir after the stream drains); paths a RETURNED
-# DataFrame still reads lazily (a parquet sink, the final v{N} snapshot,
-# accumulated candidate dirs) stay until this hook runs.
-_STREAM_TMP_BASES: list[str] = []
-
-
-def _cleanup_stream_tmp_bases() -> None:
-    while _STREAM_TMP_BASES:
-        shutil.rmtree(_STREAM_TMP_BASES.pop(), ignore_errors=True)
-
-
-atexit.register(_cleanup_stream_tmp_bases)
-
-
-def _tmp_stream_dir(prefix: str, parent: str | None = None) -> str:
-    """``mkdtemp`` + registration in ``_STREAM_TMP_BASES`` — the only way
-    streaming code should allocate a tmp dir."""
-    path = tempfile.mkdtemp(prefix=prefix, dir=parent)
-    _STREAM_TMP_BASES.append(path)
-    return path
-
-
-def _remove_stream_tmp(path: str) -> None:
-    """Eager removal of a REGISTERED tmp tree: rmtree + drop it from the
-    atexit registry, so ``_STREAM_TMP_BASES`` holds only genuinely live
-    trees instead of growing unboundedly across a long-lived process (a
-    full registry build allocates hundreds of per-invocation checkpoints)
-    and the list reads as an inventory of what is actually on disk."""
-    shutil.rmtree(path, ignore_errors=True)
-    try:
-        _STREAM_TMP_BASES.remove(path)
-    except ValueError:
-        pass
+# registered AT CREATION TIME in the package-wide registry (tmputil.py,
+# shared with the batch-side staging trees since round 12) and swept at
+# interpreter exit — so error paths, injected-crash tests, and
+# post-termination state-store stragglers never leak the tree (ADVICE r10
+# item 1, applied repo-wide in round 11).  Call sites ADDITIONALLY remove
+# paths eagerly as soon as they are provably unneeded (a memory-sink
+# query's checkpoint after termination, a feed dir after the stream
+# drains); paths a RETURNED DataFrame still reads lazily (a parquet sink,
+# the final v{N} snapshot, accumulated candidate dirs) stay until the
+# atexit hook runs.  Historical names kept as aliases — the streaming
+# modules and the round-11 witness tests address the registry through
+# them.
+from ..tmputil import (  # noqa: E402
+    _TMP_BASES as _STREAM_TMP_BASES,
+    _cleanup_tmp_bases as _cleanup_stream_tmp_bases,
+    remove_tmp as _remove_stream_tmp,
+    tmp_dir as _tmp_stream_dir,
+)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -81,6 +81,64 @@ def test_remove_stream_tmp_unregistered_path_is_noop(tmp_path):
     assert _STREAM_TMP_BASES == before
 
 
+# --- VERDICT r11 item 2: batch-side mkdtemp trees registered ------------------
+
+
+def test_no_unregistered_mkdtemp_in_package():
+    """Every tmp-dir allocation in the package routes through
+    tmputil.tmp_dir (creation-time atexit registration) — the grep the
+    VERDICT r11 done-criterion names."""
+    import gcp_cloudsql_to_bigquery_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = []
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".py") and f != "tmputil.py":
+                p = os.path.join(dirpath, f)
+                with open(p) as fh:
+                    if "mkdtemp(" in fh.read():
+                        offenders.append(os.path.relpath(p, root))
+    assert offenders == []
+
+
+def test_batch_staging_tree_registered_for_atexit(spark):
+    """A batch ELT query's lazily-read staging tree (impossible to remove
+    eagerly — the returned DataFrame reads it) is registered in the shared
+    atexit registry at creation time."""
+    from gcp_cloudsql_to_bigquery_spark import workload  # noqa: F401 (import populates REGISTRY)
+    from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
+    from gcp_cloudsql_to_bigquery_spark.tmputil import _TMP_BASES
+
+    before = set(_TMP_BASES)
+    df = REGISTRY["elt_roundtrip_nation"].fn(spark, SF)
+    assert df.count() > 0
+    added = [
+        p
+        for p in _TMP_BASES
+        if p not in before and os.path.basename(p).startswith("elt_nation_")
+    ]
+    assert added, "staging tree must be registered at creation"
+    assert all(os.path.exists(p) for p in added)
+
+
+def test_derby_db_dir_registered_for_atexit(spark):
+    """The live-JDBC round-trip's Derby database dir registers too."""
+    from gcp_cloudsql_to_bigquery_spark import workload  # noqa: F401 (import populates REGISTRY)
+    from gcp_cloudsql_to_bigquery_spark.registry import REGISTRY
+    from gcp_cloudsql_to_bigquery_spark.tmputil import _TMP_BASES
+
+    before = set(_TMP_BASES)
+    df = REGISTRY["src_jdbc_roundtrip"].fn(spark, SF)
+    assert df.count() > 0
+    added = [
+        p
+        for p in _TMP_BASES
+        if p not in before and os.path.basename(p).startswith("derby_")
+    ]
+    assert added, "Derby db dir must be registered at creation"
+
+
 def test_registry_net_growth_zero_for_fully_cleaned_query(spark):
     """stream_tumbling_window's only tmp allocation (the memory-sink
     checkpoint) is eagerly removed AND deregistered: zero net registry
