@@ -139,6 +139,30 @@ def test_derby_db_dir_registered_for_atexit(spark):
     assert added, "Derby db dir must be registered at creation"
 
 
+def test_atexit_sweep_runs_on_real_interpreter_exit(tmp_path):
+    """The registration contract, executed end to end: a subprocess
+    allocates through tmputil.tmp_dir and exits normally WITHOUT removing
+    the tree — the atexit hook must have swept it.  (The in-process tests
+    can only witness registration; this witnesses the sweep itself.)"""
+    import subprocess
+    import sys as _sys
+
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from gcp_cloudsql_to_bigquery_spark.tmputil import tmp_dir\n"
+        "import os\n"
+        "p = tmp_dir('atexit_witness_')\n"
+        "open(os.path.join(p, 'payload'), 'w').write('x')\n"
+        "print(p)\n"
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", script], capture_output=True, text=True, check=True
+    )
+    path = out.stdout.strip().splitlines()[-1]
+    assert path.startswith(tempfile.gettempdir()) or path.startswith("/dev/shm")
+    assert not os.path.exists(path), "atexit sweep must remove the registered tree"
+
+
 def test_registry_net_growth_zero_for_fully_cleaned_query(spark):
     """stream_tumbling_window's only tmp allocation (the memory-sink
     checkpoint) is eagerly removed AND deregistered: zero net registry
