@@ -31,7 +31,6 @@ from ..registry import register
 from .events import (
     _CKPT_DIR,
     _STREAM_TMP_BASES,
-    _cleanup_stream_tmp_bases,  # noqa: F401  (re-exported for tests)
     _remove_stream_tmp,
     _tmp_stream_dir,
 )

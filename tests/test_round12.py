@@ -87,7 +87,10 @@ def test_remove_stream_tmp_unregistered_path_is_noop(tmp_path):
 def test_no_unregistered_mkdtemp_in_package():
     """Every tmp-dir allocation in the package routes through
     tmputil.tmp_dir (creation-time atexit registration) — the grep the
-    VERDICT r11 done-criterion names."""
+    VERDICT r11 done-criterion names, but AST-based so a comment or
+    docstring that spells out the call can't false-positive the suite."""
+    import ast
+
     import gcp_cloudsql_to_bigquery_spark as pkg
 
     root = os.path.dirname(pkg.__file__)
@@ -97,8 +100,19 @@ def test_no_unregistered_mkdtemp_in_package():
             if f.endswith(".py") and f != "tmputil.py":
                 p = os.path.join(dirpath, f)
                 with open(p) as fh:
-                    if "mkdtemp(" in fh.read():
-                        offenders.append(os.path.relpath(p, root))
+                    tree = ast.parse(fh.read())
+                for node in ast.walk(tree):
+                    if isinstance(node, ast.Call):
+                        fn = node.func
+                        name = (
+                            fn.attr
+                            if isinstance(fn, ast.Attribute)
+                            else fn.id if isinstance(fn, ast.Name) else None
+                        )
+                        if name == "mkdtemp":
+                            offenders.append(
+                                f"{os.path.relpath(p, root)}:{node.lineno}"
+                            )
     assert offenders == []
 
 
@@ -147,8 +161,11 @@ def test_atexit_sweep_runs_on_real_interpreter_exit(tmp_path):
     import subprocess
     import sys as _sys
 
+    import gcp_cloudsql_to_bigquery_spark as pkg
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
     script = (
-        "import sys; sys.path.insert(0, '/root/repo')\n"
+        f"import sys; sys.path.insert(0, {repo_root!r})\n"
         "from gcp_cloudsql_to_bigquery_spark.tmputil import tmp_dir\n"
         "import os\n"
         "p = tmp_dir('atexit_witness_')\n"
