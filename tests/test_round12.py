@@ -192,3 +192,46 @@ def test_registry_net_growth_zero_for_fully_cleaned_query(spark):
     df = REGISTRY["stream_tumbling_window"].fn(spark, SF)
     assert df.count() > 0
     assert [p for p in _STREAM_TMP_BASES if p not in before] == []
+
+
+# --- property net: the registry is exactly the live allocations ---------------
+
+
+def test_tmputil_registry_property_random_interleavings():
+    """Seeded property net over random alloc/remove interleavings: after
+    any operation sequence, the registry segment this test added holds
+    EXACTLY the allocated-and-not-removed paths, each existing on disk;
+    removal of foreign (never-registered) paths never disturbs it.  The
+    model is a plain set; divergence means the registry stopped being an
+    inventory of live trees (the ADVICE r11 item 3 contract)."""
+    import random
+    import shutil
+
+    from gcp_cloudsql_to_bigquery_spark.tmputil import _TMP_BASES, remove_tmp, tmp_dir
+
+    for seed in (7, 23, 1108):
+        r = random.Random(seed)
+        before = set(_TMP_BASES)
+        model, foreign = set(), []
+        try:
+            for _ in range(60):
+                op = r.random()
+                if op < 0.5 or not model:
+                    model.add(tmp_dir("prop_"))
+                elif op < 0.85:
+                    p = r.choice(sorted(model))
+                    remove_tmp(p)
+                    model.discard(p)
+                else:
+                    f = tempfile.mkdtemp(prefix="prop_foreign_")
+                    foreign.append(f)
+                    remove_tmp(f)  # never registered: disk-only removal
+                added = [p for p in _TMP_BASES if p not in before]
+                assert sorted(added) == sorted(model), (seed, added, model)
+                assert all(os.path.isdir(p) for p in added)
+        finally:
+            for p in list(model):
+                remove_tmp(p)
+            for f in foreign:
+                shutil.rmtree(f, ignore_errors=True)
+        assert [p for p in _TMP_BASES if p not in before] == []
