@@ -1,4 +1,5 @@
-"""Shared tmp-tree lifecycle: creation-time atexit registration.
+"""Shared tmp-tree lifecycle: creation-time atexit registration + a
+crash-ledger janitor for processes that never reach atexit.
 
 Every ``mkdtemp`` in this package — streaming checkpoints/watch dirs AND
 batch-side staging trees (ingest exports, the Derby database dir, the dedup
@@ -15,11 +16,25 @@ impossible at the allocation site — but a long-lived process (a 375-query
 registry build) should still exit clean rather than leaving hundreds of
 /tmp trees to the OS janitor.  (VERDICT r11 item 2; the streaming half of
 this class was closed in round 11, ADVICE r10 item 1.)
+
+CRASH LEDGER (round 12): atexit cannot run under SIGKILL — and harness
+drivers DO hard-kill timed-out workers (observed: one killed full-registry
+run left ~2000 checkpoint dirs = hundreds of MB of RAM-backed /dev/shm in
+a single event).  So every allocation is ALSO appended, write-through, to
+a per-PID ledger file on disk (``$TMPDIR/spark_graft_tmp_ledger/<pid>.lst``).
+:func:`reap_stale_tmp` runs at import in every new engine process: any
+ledger whose owning PID is no longer alive has its listed trees removed
+and the ledger deleted.  PID liveness (not age) is the reap criterion, so
+a concurrent live process can never lose its trees; a recycled PID merely
+defers reaping to a later process (conservative direction).  A clean exit
+unlinks its own ledger after the atexit sweep, so steady state is an
+empty ledger dir.
 """
 
 from __future__ import annotations
 
 import atexit
+import os
 import shutil
 import tempfile
 
@@ -27,20 +42,90 @@ import tempfile
 # under its historical name ``_STREAM_TMP_BASES``.
 _TMP_BASES: list[str] = []
 
+_LEDGER_DIR = os.path.join(tempfile.gettempdir(), "spark_graft_tmp_ledger")
+
+
+def _ledger_path() -> str:
+    # computed per call, not at import: a forked child must append to (and
+    # at exit unlink) ITS OWN ledger, never the parent's
+    return os.path.join(_LEDGER_DIR, f"{os.getpid()}.lst")
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # alive, owned by someone else — never reap
+    return True
+
+
+def reap_stale_tmp() -> list[str]:
+    """Remove every tree listed in a ledger whose owning process is dead;
+    return the paths removed.  Safe under concurrency: live PIDs are never
+    touched, and two janitors racing on the same dead ledger both run
+    idempotent ignore-errors removals."""
+    removed: list[str] = []
+    try:
+        entries = os.listdir(_LEDGER_DIR)
+    except FileNotFoundError:
+        return removed
+    for name in entries:
+        stem, ext = os.path.splitext(name)
+        if ext != ".lst" or not stem.isdigit():
+            continue
+        pid = int(stem)
+        if pid == os.getpid() or _pid_alive(pid):
+            continue
+        ledger = os.path.join(_LEDGER_DIR, name)
+        try:
+            with open(ledger) as fh:
+                paths = fh.read().splitlines()
+        except OSError:
+            continue
+        for p in paths:
+            if p and os.path.lexists(p):
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        try:
+            os.unlink(ledger)
+        except OSError:
+            pass
+    return removed
+
+
+def _ledger_append(path: str) -> None:
+    # write-through, flushed per allocation: the ledger must be complete at
+    # the instant a SIGKILL lands.  Best-effort — a full disk must not turn
+    # tmp allocation into a hard failure (the allocation itself succeeded).
+    try:
+        os.makedirs(_LEDGER_DIR, exist_ok=True)
+        with open(_ledger_path(), "a") as fh:
+            fh.write(path + "\n")
+    except OSError:
+        pass
+
 
 def _cleanup_tmp_bases() -> None:
     while _TMP_BASES:
         shutil.rmtree(_TMP_BASES.pop(), ignore_errors=True)
+    try:
+        os.unlink(_ledger_path())  # clean exit: nothing left to crash-reap
+    except OSError:
+        pass
 
 
 atexit.register(_cleanup_tmp_bases)
 
 
 def tmp_dir(prefix: str, parent: str | None = None) -> str:
-    """``mkdtemp`` + registration in the shared atexit registry — the only
-    way package code should allocate a tmp dir."""
+    """``mkdtemp`` + registration in the shared atexit registry + a
+    write-through crash-ledger entry — the only way package code should
+    allocate a tmp dir."""
     path = tempfile.mkdtemp(prefix=prefix, dir=parent)
     _TMP_BASES.append(path)
+    _ledger_append(path)
     return path
 
 
@@ -48,9 +133,15 @@ def remove_tmp(path: str) -> None:
     """Eager removal of a REGISTERED tmp tree: rmtree + drop it from the
     atexit registry, so the registry holds only genuinely live trees
     instead of growing unboundedly across a long-lived process and the
-    list reads as an inventory of what is actually on disk."""
+    list reads as an inventory of what is actually on disk.  (The ledger
+    line stays — stale lines are harmless no-ops at reap time.)"""
     shutil.rmtree(path, ignore_errors=True)
     try:
         _TMP_BASES.remove(path)
     except ValueError:
         pass
+
+
+# Repair prior crashes on module load: every new engine process is a
+# janitor for dead ones.  One listdir in the common case (empty dir).
+reap_stale_tmp()

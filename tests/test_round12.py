@@ -235,3 +235,88 @@ def test_tmputil_registry_property_random_interleavings():
             for f in foreign:
                 shutil.rmtree(f, ignore_errors=True)
         assert [p for p in _TMP_BASES if p not in before] == []
+
+
+# --- crash ledger: repair for SIGKILLed processes (atexit never ran) ----------
+
+
+def test_reap_removes_dead_pid_ledger_trees(tmp_path):
+    """A ledger naming a dead PID gets its trees removed and is deleted."""
+    from gcp_cloudsql_to_bigquery_spark import tmputil
+
+    victim = tmp_path / "leaked_tree"
+    victim.mkdir()
+    (victim / "payload").write_text("x")
+    # PID 2**22+1 exceeds the default pid_max and can never be alive
+    dead = tmputil._LEDGER_DIR + f"/{2**22 + 1}.lst"
+    os.makedirs(tmputil._LEDGER_DIR, exist_ok=True)
+    with open(dead, "w") as fh:
+        fh.write(str(victim) + "\n")
+    removed = tmputil.reap_stale_tmp()
+    assert str(victim) in removed
+    assert not victim.exists()
+    assert not os.path.exists(dead)
+
+
+def test_reap_never_touches_live_pid_ledger(tmp_path):
+    """Our own (live) ledger — and any live process's — is never reaped."""
+    from gcp_cloudsql_to_bigquery_spark import tmputil
+
+    mine = tmputil.tmp_dir("reap_live_")
+    try:
+        removed = tmputil.reap_stale_tmp()
+        assert mine not in removed
+        assert os.path.isdir(mine)
+        with open(tmputil._ledger_path()) as fh:
+            assert mine in fh.read().splitlines()
+    finally:
+        tmputil.remove_tmp(mine)
+
+
+def test_sigkill_leak_is_reaped_by_next_process():
+    """The exact observed leak class, end to end: a subprocess allocates
+    through tmp_dir and is SIGKILLed (atexit never runs, tree survives);
+    a SECOND process's import-time janitor must find the dead ledger and
+    remove the tree."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    import gcp_cloudsql_to_bigquery_spark as pkg
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    alloc = (
+        f"import sys; sys.path.insert(0, {repo_root!r})\n"
+        "from gcp_cloudsql_to_bigquery_spark.tmputil import tmp_dir\n"
+        "import sys as s, time\n"
+        "print(tmp_dir('sigkill_witness_'), flush=True)\n"
+        "time.sleep(60)\n"  # hold until killed
+    )
+    proc = subprocess.Popen(
+        [_sys.executable, "-c", alloc], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        path = proc.stdout.readline().strip()
+        assert os.path.isdir(path)
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+        assert os.path.isdir(path), "SIGKILL must leak the tree (no atexit)"
+        # a fresh process imports tmputil -> import-time reap repairs it
+        out = subprocess.run(
+            [
+                _sys.executable,
+                "-c",
+                f"import sys; sys.path.insert(0, {repo_root!r})\n"
+                "import gcp_cloudsql_to_bigquery_spark.tmputil as t\n"
+                f"print(not __import__('os').path.exists({path!r}))",
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        assert out.stdout.strip().splitlines()[-1] == "True"
+        assert not os.path.exists(path)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
