@@ -61,16 +61,37 @@ def _pid_alive(pid: int) -> bool:
     return True
 
 
+# Every ledger line is terminated with this marker BEFORE the newline: a
+# SIGKILL can land mid-append, truncating the last line to a PREFIX of the
+# real path (e.g. "/tmp/cdc_abc1234" -> "/tmp/cd"), and rmtree'ing that
+# prefix could delete an innocent sibling tree.  A line without the marker
+# is provably incomplete and skipped (the partially-recorded tree is the
+# only thing leaked — the failure mode shrinks from "delete wrong tree"
+# to "leak one tree", the safe direction).
+_LINE_END = "\t#"
+
+
+def _reap_roots() -> tuple[str, ...]:
+    roots = [os.path.realpath(tempfile.gettempdir())]
+    if os.path.isdir("/dev/shm"):
+        roots.append(os.path.realpath("/dev/shm"))
+    return tuple(roots)
+
+
 def reap_stale_tmp() -> list[str]:
     """Remove every tree listed in a ledger whose owning process is dead;
     return the paths removed.  Safe under concurrency: live PIDs are never
     touched, and two janitors racing on the same dead ledger both run
-    idempotent ignore-errors removals."""
+    idempotent ignore-errors removals.  Defense-in-depth: only complete
+    (marker-terminated) lines are honored, and only paths that are direct
+    children of a known tmp root — a corrupt ledger can leak a tree but
+    never delete outside the allocation roots."""
     removed: list[str] = []
     try:
         entries = os.listdir(_LEDGER_DIR)
     except FileNotFoundError:
         return removed
+    roots = _reap_roots()
     for name in entries:
         stem, ext = os.path.splitext(name)
         if ext != ".lst" or not stem.isdigit():
@@ -81,10 +102,15 @@ def reap_stale_tmp() -> list[str]:
         ledger = os.path.join(_LEDGER_DIR, name)
         try:
             with open(ledger) as fh:
-                paths = fh.read().splitlines()
+                lines = fh.read().splitlines()
         except OSError:
             continue
-        for p in paths:
+        for line in lines:
+            if not line.endswith(_LINE_END):
+                continue  # truncated by the crash mid-append — skip
+            p = line[: -len(_LINE_END)]
+            if os.path.dirname(os.path.realpath(p)) not in roots:
+                continue
             if p and os.path.lexists(p):
                 shutil.rmtree(p, ignore_errors=True)
                 removed.append(p)
@@ -102,7 +128,7 @@ def _ledger_append(path: str) -> None:
     try:
         os.makedirs(_LEDGER_DIR, exist_ok=True)
         with open(_ledger_path(), "a") as fh:
-            fh.write(path + "\n")
+            fh.write(path + _LINE_END + "\n")
     except OSError:
         pass
 

@@ -240,22 +240,37 @@ def test_tmputil_registry_property_random_interleavings():
 # --- crash ledger: repair for SIGKILLed processes (atexit never ran) ----------
 
 
-def test_reap_removes_dead_pid_ledger_trees(tmp_path):
-    """A ledger naming a dead PID gets its trees removed and is deleted."""
+def test_reap_removes_dead_pid_ledger_trees():
+    """A ledger naming a dead PID gets its complete, root-anchored entries
+    removed and is itself deleted; a line truncated mid-append (no
+    terminator — the SIGKILL-during-write case) and a path outside the
+    allocation roots are both SKIPPED, never rmtree'd: ledger corruption
+    can leak a tree but cannot delete the wrong one."""
+    import shutil
+
     from gcp_cloudsql_to_bigquery_spark import tmputil
 
-    victim = tmp_path / "leaked_tree"
-    victim.mkdir()
-    (victim / "payload").write_text("x")
+    victim = tempfile.mkdtemp(prefix="reap_victim_")  # direct child of the root
+    open(os.path.join(victim, "payload"), "w").write("x")
+    decoy = tempfile.mkdtemp(prefix="reap_decoy_")  # prefix-collision target
+    truncated = decoy  # a complete path, but written WITHOUT the terminator
+    outside = tempfile.mkdtemp(prefix="nested_", dir=decoy)  # not a root child
     # PID 2**22+1 exceeds the default pid_max and can never be alive
-    dead = tmputil._LEDGER_DIR + f"/{2**22 + 1}.lst"
+    dead = os.path.join(tmputil._LEDGER_DIR, f"{2**22 + 1}.lst")
     os.makedirs(tmputil._LEDGER_DIR, exist_ok=True)
-    with open(dead, "w") as fh:
-        fh.write(str(victim) + "\n")
-    removed = tmputil.reap_stale_tmp()
-    assert str(victim) in removed
-    assert not victim.exists()
-    assert not os.path.exists(dead)
+    try:
+        with open(dead, "w") as fh:
+            fh.write(victim + tmputil._LINE_END + "\n")
+            fh.write(truncated + "\n")  # no terminator: crash mid-append
+            fh.write(outside + tmputil._LINE_END + "\n")
+        removed = tmputil.reap_stale_tmp()
+        assert victim in removed
+        assert not os.path.exists(victim)
+        assert os.path.exists(decoy), "unterminated line must not be reaped"
+        assert os.path.exists(outside), "non-root-child must not be reaped"
+        assert not os.path.exists(dead)
+    finally:
+        shutil.rmtree(decoy, ignore_errors=True)
 
 
 def test_reap_never_touches_live_pid_ledger(tmp_path):
@@ -268,7 +283,7 @@ def test_reap_never_touches_live_pid_ledger(tmp_path):
         assert mine not in removed
         assert os.path.isdir(mine)
         with open(tmputil._ledger_path()) as fh:
-            assert mine in fh.read().splitlines()
+            assert (mine + tmputil._LINE_END) in fh.read().splitlines()
     finally:
         tmputil.remove_tmp(mine)
 
