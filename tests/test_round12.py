@@ -335,3 +335,53 @@ def test_sigkill_leak_is_reaped_by_next_process():
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_reap_concurrent_live_process_keeps_trees():
+    """The janitor's core safety claim, executed: two processes allocate
+    concurrently; one is SIGKILLed, one stays alive.  A reap must remove
+    the dead process's tree and ledger while the live process's tree AND
+    ledger survive untouched; after the survivor is killed too, a second
+    reap collects it."""
+    import signal
+    import subprocess
+    import sys as _sys
+
+    import gcp_cloudsql_to_bigquery_spark as pkg
+    from gcp_cloudsql_to_bigquery_spark import tmputil
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    alloc = (
+        f"import sys; sys.path.insert(0, {repo_root!r})\n"
+        "from gcp_cloudsql_to_bigquery_spark.tmputil import tmp_dir\n"
+        "import time\n"
+        "print(tmp_dir('concur_witness_'), flush=True)\n"
+        "time.sleep(120)\n"
+    )
+    survivor = subprocess.Popen(
+        [_sys.executable, "-c", alloc], stdout=subprocess.PIPE, text=True
+    )
+    victim = subprocess.Popen(
+        [_sys.executable, "-c", alloc], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        live_tree = survivor.stdout.readline().strip()
+        dead_tree = victim.stdout.readline().strip()
+        victim.send_signal(signal.SIGKILL)
+        victim.wait(timeout=30)
+
+        removed = tmputil.reap_stale_tmp()
+        assert dead_tree in removed and not os.path.exists(dead_tree)
+        assert live_tree not in removed and os.path.isdir(live_tree)
+        live_ledger = os.path.join(tmputil._LEDGER_DIR, f"{survivor.pid}.lst")
+        assert os.path.exists(live_ledger), "live ledger must survive the reap"
+
+        survivor.send_signal(signal.SIGKILL)
+        survivor.wait(timeout=30)
+        removed2 = tmputil.reap_stale_tmp()
+        assert live_tree in removed2 and not os.path.exists(live_tree)
+        assert not os.path.exists(live_ledger)
+    finally:
+        for p in (survivor, victim):
+            if p.poll() is None:
+                p.kill()
