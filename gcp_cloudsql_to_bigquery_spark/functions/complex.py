@@ -49,7 +49,9 @@ def fn_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
            cardinality(m)                      AS n_entries
     FROM (SELECT event_id,
                  MAP(['k', 'etype_len'],
-                     [CAST(json_extract_string(props, '$.k') AS BIGINT),
+                     [CASE WHEN json_valid(props)
+                           THEN TRY_CAST(json_extract_string(props, '$.k')
+                                         AS BIGINT) END,
                       CAST(length(event_type) AS BIGINT)]) AS m
           FROM events WHERE event_id < 200)
     """,
@@ -256,7 +258,9 @@ def sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                  list_filter(map_entries(m), e -> e.value > 10),
                  e -> {'key': e.key, 'value': e.value * 2})) AS m2
       FROM (SELECT event_id,
-                   MAP(['k'], [CAST(json_extract_string(props, '$.k') AS BIGINT)]) AS m
+                   MAP(['k'], [CASE WHEN json_valid(props)
+                                    THEN TRY_CAST(json_extract_string(props, '$.k')
+                                                  AS BIGINT) END]) AS m
             FROM events WHERE event_id < 300)
     )
     """,
@@ -334,21 +338,33 @@ def fn_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "fn_json_variant",
     oracle="""
+    WITH safe AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k,
+             CASE WHEN json_valid(props)
+                  THEN json_extract_string(props, '$.missing')
+             END AS m
+      FROM events
+      WHERE event_id < 2000
+    )
     SELECT event_type,
            count(*) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-           count(CASE WHEN json_extract_string(props, '$.missing') IS NULL
-                      THEN 1 END) AS n_missing
-    FROM events
-    WHERE event_id < 2000
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k,
+           count(CASE WHEN m IS NULL THEN 1 END) AS n_missing
+    FROM safe
     GROUP BY event_type
     """,
-    doc="VARIANT semi-structured JSON (Spark 4 native type): parse_json "
-    "shreds each props payload ONCE into the binary variant encoding; "
-    "variant_get then does typed path access with no re-parse, and "
-    "try_variant_get returns NULL (not an error) for absent paths.  The "
+    doc="VARIANT semi-structured JSON (Spark 4 native type): try_parse_json "
+    "shreds each props payload ONCE into the binary variant encoding "
+    "(NULL, not an error, for malformed payloads — a 100 TB event feed "
+    "always contains some); try_variant_get then does typed path access "
+    "with no re-parse, returning NULL for absent paths AND for values the "
+    "target type cannot hold (objects under $.k).  The oracle mirrors "
+    "both: json_valid gate + TRY_CAST.  The "
     "extracted values feed a regular group-aggregate.  At 100 TB this is "
     "the schema-on-read path for heterogeneous event payloads: one parse "
     "per row instead of one string-parse per get_json_object call (fn_json "
@@ -359,9 +375,9 @@ def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load(spark, sf_dir, "events")
         .filter(F.col("event_id") < 2000)
-        .withColumn("v", F.parse_json("props"))
+        .withColumn("v", F.try_parse_json("props"))
     )
-    k = F.variant_get("v", "$.k", "bigint")
+    k = F.try_variant_get("v", "$.k", "bigint")
     missing = F.try_variant_get("v", "$.missing", "string")
     return (
         e.select("event_type", k.alias("k"), missing.alias("m"))
@@ -448,11 +464,17 @@ def embedding_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             flat = np.asarray(emb.flatten(), dtype=np.float64)
             mat = flat.reshape(b.num_rows, -1)
             norms = np.sqrt((mat * mat).sum(axis=1))
+            # zero-norm vectors cannot be normalized: unit_first is NULL
+            # (masked), matching the oracle's x/0 -> NULL — NOT numpy's NaN
+            zero = norms == 0
+            unit = np.divide(
+                mat[:, 0], norms, out=np.zeros_like(norms), where=~zero
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     b.column(0),
                     pa.array(np.round(norms, 6)),
-                    pa.array(np.round(mat[:, 0] / norms, 6)),
+                    pa.array(np.round(unit, 6), mask=zero),
                 ],
                 names=["vec_id", "l2_norm", "unit_first"],
             )

@@ -135,9 +135,13 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json",
     oracle="""
     SELECT event_id,
-           json_extract_string(props, '$.k')            AS k_str,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
-           CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.k') END AS k_str,
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k_int,
+           CASE WHEN json_valid(props)
+                THEN json_extract_string(props, '$.missing') END AS missing
     FROM events
     WHERE event_id < 500
     """,

@@ -1100,13 +1100,11 @@ def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_grouped_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf("long")
     def trimmed_sum(packed: pd.Series) -> int:
-        # packed = cents * 2^20 + event_id % 2^20: one orderable int64 so
-        # the boundary tie-break is identical to the oracle's
+        # packed = cents * 2^20 + pmod(event_id, 2^20): with the sub-key r
+        # forced into [0, 2^20) the encoding is lexicographic for ANY cents
+        # sign, and the arithmetic >> (floor division) decodes cents exactly
+        # — floor((c*M + r)/M) = c whenever 0 <= r < M, negatives included
         vals = packed.sort_values().to_numpy()
-        if vals.size and vals[0] < 0:
-            # arithmetic >> on negatives would floor cents-1; the fixture
-            # domain is non-negative — fail loudly rather than mis-trim
-            raise ValueError("packed trim encoding requires non-negative cents")
         kept = vals[5:-5] if vals.size > 10 else vals[0:0]
         return int((kept >> 20).sum())
 
@@ -1117,13 +1115,22 @@ def agg_grouped_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = load(spark, sf_dir, "events").select(
         "event_type",
         (
+            # pmod, not %: Spark's % preserves the dividend's sign, and a
+            # negative sub-key breaks both the lexicographic order and the
+            # floor-decode of the packed encoding
             F.floor(F.col("value") * 100 + 0.5).cast("bigint") * (1 << 20)
-            + F.col("event_id") % (1 << 20)
+            + F.pmod(F.col("event_id"), F.lit(1 << 20))
         ).alias("packed"),
     )
-    return pts.groupBy("event_type").agg(
-        trimmed_count("packed").alias("n_kept"),
-        trimmed_sum("packed").alias("trimmed_sum_cents"),
+    # groups trimmed to nothing (<= 10 rows) vanish from the oracle's
+    # post-trim GROUP BY — drop their (type, 0, 0) rows here to match
+    return (
+        pts.groupBy("event_type")
+        .agg(
+            trimmed_count("packed").alias("n_kept"),
+            trimmed_sum("packed").alias("trimmed_sum_cents"),
+        )
+        .filter(F.col("n_kept") > 0)
     )
 
 

@@ -964,10 +964,14 @@ def _semdedup_oracle() -> str:
     "within-cell GEMM batches via the pandas_udf assign path.",
 )
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .similarity import cosine, kmeans_train
+    from .similarity import cosine, kmeans_train, nonzero
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # zero-norm vectors excluded (similarity.nonzero() contract): k-means
+    # init cannot unit-normalize them and their cell cosine is undefined
+    e = nonzero(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     _cent, assigned = kmeans_train(e, k=16, iters=3)
     a = assigned.select(

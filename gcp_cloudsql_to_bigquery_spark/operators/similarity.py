@@ -112,6 +112,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Cosine similarity is undefined on zero-norm vectors (0/0), and every
+# engine picks a different convention: DuckDB's list_cosine_similarity pins
+# it to -1.0, Spark's fold division yields NULL, numpy yields NaN.  Operators
+# that RANK raw cosine therefore exclude zero-norm vectors at ingest — the
+# FAISS-style contract (filter before indexing); a zero embedding is a
+# pipeline defect upstream, not a rankable point.  THRESHOLD operators need
+# no filter: an undefined similarity fails every positive threshold under
+# all three conventions, so they drop such pairs symmetrically already.
+_NONZERO_SQL = "len(list_filter(embedding, x -> x <> 0)) > 0"
+
+
+def nonzero(e: DataFrame) -> DataFrame:
+    """Drop zero-norm vectors from a (vec_id, v) corpus (see note above)."""
+    return e.filter(F.exists("v", lambda x: x != 0))
+
+
 def broadcast_pairwise_cosine(
     e: DataFrame, threshold: float, round_to: int = 6
 ) -> DataFrame:
@@ -201,8 +217,10 @@ def pairwise_cosine(
 @register(
     "ann_bruteforce_topk",
     oracle="""
-    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+               WHERE vec_id < 10 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+               WHERE len(list_filter(embedding, x -> x <> 0)) > 0)
     SELECT query_id, neighbor_id, cosine, rnk FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
@@ -216,14 +234,17 @@ def pairwise_cosine(
     "every partition, per-partition numpy GEMM + local top-k (mapInPandas — "
     "the corpus is scanned once and never shuffled), then a tiny global "
     "top-k reduce over nparts×10×5 candidate rows. Exact baseline for the "
-    "ANN variants; the 100 TB ANN plan.",
+    "ANN variants; the 100 TB ANN plan.  Zero-norm vectors are excluded "
+    "from corpus and queries (see the nonzero() contract note).",
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = nonzero(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     qrows = sorted(
         (r["vec_id"], r["v"]) for r in e.filter(F.col("vec_id") < 10).collect()
@@ -261,9 +282,11 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_ORACLE = """
     WITH anchors AS (
       SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av
-      FROM embeddings WHERE vec_id < 16
+      FROM embeddings
+      WHERE vec_id < 16 AND len(list_filter(embedding, x -> x <> 0)) > 0
     ),
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
     scored AS (  -- micro-quantized cosine of every vector vs every anchor
       SELECT v.vec_id, a.aid,
              CAST(floor(list_cosine_similarity(v.v, a.av) * 1e6 + 0.5) AS BIGINT) AS cm
@@ -317,8 +340,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     N_CELLS, N_PROBE, K = 16, 4, 5
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = nonzero(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     # anchors = first N_CELLS vectors (stand-in for trained centroids)
     anchors = sorted(
@@ -514,12 +539,18 @@ def _kmeans_cte_prefix(k: int = 16, iters: int = 3, dim: int = 64) -> list[str]:
     centroid), replicating ``kmeans_train`` decision-for-decision.  Used
     by the ``ann_ivf_kmeans_topk`` and ``dedup_semdedup`` oracles."""
     parts = [
-        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        # zero-norm vectors excluded (nonzero() contract): they cannot be
+        # unit-normalized for init and their assignment cosine is undefined
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+        " WHERE len(list_filter(embedding, x -> x <> 0)) > 0),",
         f"dims AS (SELECT CAST(range AS INT) + 1 AS dim FROM range({dim})),",
-        # init: unit-normalize the first k vectors, micro-quantize
-        "c0 AS (SELECT vec_id AS cell,"
+        # init: unit-normalize the first k vectors BY ORDER (kmeans_train's
+        # orderBy(vec_id).limit(k) — not a literal id cut, which diverges on
+        # gapped/filtered id domains), micro-quantize.  cell ids are ranks
+        # 0..k-1 to match the trainer's row indices.
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,"
         " list_transform(v, x -> floor(x / sqrt(list_dot_product(v, v)) * 1e6 + 0.5)/1e6) AS c"
-        f" FROM v WHERE vec_id < {k}),",
+        f" FROM (SELECT * FROM v ORDER BY vec_id LIMIT {k})),",
     ]
     for i in range(1, iters + 1):
         prev = f"c{i-1}"
@@ -605,8 +636,10 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     N_CELLS, N_PROBE, K = 16, 4, 5
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    e = nonzero(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     cent, assigned = kmeans_train(e, k=N_CELLS, iters=3)
     cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
@@ -649,11 +682,13 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CAST(floor(scale * 1e6 + 0.5) AS BIGINT) AS scale_micro,
-           array_to_string(list_transform(v,
-                 x -> CAST(CAST(floor(x / scale * 127 + 0.5) AS INT) AS VARCHAR)), ',') AS q,
-           CAST(floor(list_max(list_transform(v,
+           CASE WHEN scale > 0 THEN array_to_string(list_transform(v,
+                 x -> CAST(CAST(floor(x / scale * 127 + 0.5) AS INT) AS VARCHAR)), ',')
+           END AS q,
+           CASE WHEN scale > 0 THEN CAST(floor(list_max(list_transform(v,
                  x -> abs(x - floor(x / scale * 127 + 0.5) * scale / 127)))
-                 * 1e6 + 0.5) AS BIGINT) AS err_micro
+                 * 1e6 + 0.5) AS BIGINT)
+           END AS err_micro
     FROM s
     """,
     doc="Int8 embedding quantization (max-abs per-vector scaling): q_i = "
@@ -665,8 +700,10 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "divergence on .5 boundaries.  The int8 vector is serialized as a "
     "comma-joined string on both sides: the driver comparator canonicalizes "
     "via pandas sort_values, which cannot hash ndarray cells — scalar "
-    "columns keep the query gate-compatible.  Narrow per-row transform, "
-    "zero shuffle.",
+    "columns keep the query gate-compatible.  A zero vector cannot be "
+    "max-abs quantized (scale 0): q and err_micro are NULL by explicit "
+    "CASE on both sides, not by engine-accidental x/0 behavior.  Narrow "
+    "per-row transform, zero shuffle.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select(
@@ -683,11 +720,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # zero vector (scale 0) is unquantizable: q/err_micro NULL by explicit
+    # CASE, mirroring the oracle (not engine-accidental division-by-zero)
+    ok = F.col("scale") > 0
     return s.select(
         "vec_id",
         F.floor(F.col("scale") * 1e6 + 0.5).alias("scale_micro"),
-        F.array_join(quant.cast("array<string>"), ",").alias("q"),
-        F.floor(err * 1e6 + 0.5).alias("err_micro"),
+        F.when(ok, F.array_join(quant.cast("array<string>"), ",")).alias("q"),
+        F.when(ok, F.floor(err * 1e6 + 0.5)).alias("err_micro"),
     )
 
 
@@ -1041,7 +1081,12 @@ _PQ_RERANK_ORACLE = (
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY approx_d2_x1e6, neighbor_id) AS coarse_rank
       FROM adc
-    )
+    ),
+    -- the coarse PQ stage is pure (integer) L2 and keeps zero-norm vectors;
+    -- the exact-COSINE rerank is undefined on them, so the rerank joins go
+    -- through the nonzero view (nonzero() contract): zero-norm candidates
+    -- drop out of the rerank, zero-norm queries produce no rerank rows
+    vnz AS (SELECT * FROM v WHERE len(list_filter(v, x -> x <> 0)) > 0)
     SELECT query_id, neighbor_id, cosine, coarse_rank, rnk FROM (
       SELECT c.query_id, c.neighbor_id, c.coarse_rank,
              round(list_cosine_similarity(q.v, n.v), 6) AS cosine,
@@ -1049,8 +1094,8 @@ _PQ_RERANK_ORACLE = (
                                 ORDER BY round(list_cosine_similarity(q.v, n.v), 6) DESC,
                                          c.neighbor_id) AS rnk
       FROM coarse c
-      JOIN v q ON q.vec_id = c.query_id
-      JOIN v n ON n.vec_id = c.neighbor_id
+      JOIN vnz q ON q.vec_id = c.query_id
+      JOIN vnz n ON n.vec_id = c.neighbor_id
       WHERE c.coarse_rank <= {_PQ_COARSE}
     ) WHERE rnk <= {_PQ_TOPK}
     """
@@ -1076,8 +1121,12 @@ _PQ_RERANK_ORACLE = (
     f"oracle replays both stages.",
 )
 def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # coarse PQ stage keeps zero-norm vectors (pure integer L2); the exact
+    # cosine rerank joins through the nonzero view — see the oracle's vnz CTE
+    e = nonzero(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     coarse = ann_pq_topk_candidates(spark, sf_dir, k=_PQ_COARSE)
     q = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
@@ -1167,9 +1216,14 @@ _MRL_K = 5  # final top-k
 @register(
     "ann_matryoshka_rerank",
     oracle=f"""
+    -- corpus/query contract: nonzero D0-PREFIX norm (which implies nonzero
+    -- full norm, since ||v|| >= ||v[1:D0]||) — the truncated-dim coarse
+    -- cosine is undefined on zero prefixes (see the nonzero() note)
     WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
-               FROM embeddings WHERE vec_id < 10),
-         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+               FROM embeddings WHERE vec_id < 10
+               AND len(list_filter(embedding[1:{_MRL_D0}], x -> x <> 0)) > 0),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
+               WHERE len(list_filter(embedding[1:{_MRL_D0}], x -> x <> 0)) > 0),
     coarse AS (
       SELECT query_id, neighbor_id, crnk FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1220,9 +1274,10 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # prefix-nonzero contract (implies full-norm nonzero) — see the oracle
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    ).filter(F.exists(F.slice("v", 1, _MRL_D0), lambda x: x != 0))
     qrows = sorted(
         (r["vec_id"], r["v"]) for r in e.filter(F.col("vec_id") < 10).collect()
     )

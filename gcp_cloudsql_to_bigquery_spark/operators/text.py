@@ -398,11 +398,16 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     THRESHOLD = 5
     d = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
+    # Docs with < 5 tokens have NO 5-grams.  sequence(0, n-5) flips to a
+    # DESCENDING [0, -1, ...] when n < 5 (slice(start=0) then crashes) while
+    # the oracle's range() is simply empty — build an always-ascending index
+    # list and drop the out-of-range indices (empty when n < 5).
+    n = F.size(toks)
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 5, F.lit(0))), lambda i: i <= n - 5
+    )
     grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 5),
-            lambda i: F.array_join(F.slice(toks, i + 1, 5), " "),
-        )
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 5), " "))
     )
     exploded = d.select("doc_id", F.explode(grams).alias("g"))
     ev = exploded.filter(F.col("doc_id") < EVAL_MAX).select(
@@ -446,10 +451,15 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.array_join(F.slice(toks, i + 1, 3), " "),
+    # < 3 tokens => zero 3-grams (ascending-index guard: sequence(0, n-3)
+    # would flip descending and crash slice; the oracle's range() is empty).
+    # n_grams = 0 then makes dup_fraction 0/0 -> NULL and flagged NULL on
+    # BOTH engines (Spark non-ANSI and DuckDB double division by zero).
+    n = F.size(toks)
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))), lambda i: i <= n - 3
     )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " "))
     dup = 1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
     return d.select(
         "doc_id",

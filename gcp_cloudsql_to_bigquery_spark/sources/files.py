@@ -38,7 +38,9 @@ def write_date_partitioned(
     "src_json_roundtrip",
     oracle="""
     SELECT event_id, event_type, round(value, 2) AS value,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           CASE WHEN json_valid(props)
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           END AS k
     FROM events WHERE event_id < 300
     """,
     doc="JSON sink → schema-applied JSON source round-trip (no inference — "
