@@ -714,10 +714,11 @@ def fn_generators_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFram
              (CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % 64) AS b
       FROM tok WHERE w <> ''
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_toks,
-           CAST(sum((b * 2654435761 % 1000) - 500) AS BIGINT) AS score
-    FROM scored GROUP BY doc_id
+    SELECT d.doc_id,
+           CAST(count(s.b) AS BIGINT) AS n_toks,
+           CAST(coalesce(sum((s.b * 2654435761 % 1000) - 500), 0) AS BIGINT) AS score
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    GROUP BY d.doc_id
     """,
     doc="Iterator-form scalar Pandas UDF (Iterator[pd.Series] -> "
     "Iterator[pd.Series]) — the ML-inference pattern: the 'model' (a "
@@ -728,8 +729,10 @@ def fn_generators_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFram
     "UDF cannot express.  The kernel scores each document as the sum "
     "of md5-hashed unigram bucket weights (deterministic Knuth-"
     "multiplicative weights, pure integers), and the oracle replays the "
-    "identical arithmetic relationally.  Scale: narrow per-row "
-    "transform, zero shuffle, one model build per worker.",
+    "identical arithmetic relationally (LEFT JOIN from documents so a "
+    "doc with ZERO non-empty tokens keeps its (0, 0) row — the inner "
+    "GROUP BY silently dropped empty docs; hostile-data find).  Scale: "
+    "narrow per-row transform, zero shuffle, one model build per worker.",
 )
 def fn_pandas_udf_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib

@@ -224,16 +224,28 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_string_similarity",
     oracle="""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) AS edit_dist
+           levenshtein(regexp_replace(substr(a.text, 1, 30), '[^\\x00-\\x7f]', '?', 'g'),
+                       regexp_replace(substr(b.text, 1, 30), '[^\\x00-\\x7f]', '?', 'g'))
+             AS edit_dist
     FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
     WHERE a.doc_id < 100
     """,
     doc="Edit-distance similarity (levenshtein on 30-char prefixes of "
     "adjacent docs) — the fuzzy-matching primitive; quadratic per pair, so "
-    "at scale it runs only on candidate pairs from LSH/blocking.",
+    "at scale it runs only on candidate pairs from LSH/blocking.  Both "
+    "sides project non-ASCII code points to '?' first: Spark's "
+    "levenshtein counts CHARACTERS while DuckDB's counts BYTES (3 per "
+    "CJK char — hostile-data find), so the distance is only cross-engine "
+    "comparable on single-byte text; the projection pins one charset-"
+    "independent contract.",
 )
 def fn_string_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select("doc_id", F.substring("text", 1, 30).alias("p"))
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.substring("text", 1, 30), r"[^\x00-\x7F]", "?"
+        ).alias("p"),
+    )
     a = d.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
     return (
@@ -390,7 +402,15 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_arrow_python_udf",
     oracle="""
     SELECT doc_id,
-           reverse(lower(trim(substr(text, 1, 40)))) AS rkey,
+           -- CODE-POINT reverse, stated explicitly: Python's s[::-1]
+           -- reverses code points, while DuckDB's reverse() is
+           -- grapheme-aware (keeps combining marks attached) — the two
+           -- differ on any combining sequence (hostile-data find).
+           -- coalesce: string_agg over an empty list is NULL, but
+           -- ''[::-1] is '' (text is never NULL in the fixture).
+           coalesce(list_aggregate(list_reverse(regexp_extract_all(
+               lower(trim(substr(text, 1, 40))), '(?s).')),
+               'string_agg', ''), '') AS rkey,
            length(trim(substr(text, 1, 40)))         AS klen
     FROM documents
     WHERE doc_id < 200
@@ -425,19 +445,21 @@ def fn_arrow_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(
-               substr(text, 1, 40), '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
-               '[0-9]', 'n', 'g') AS masked_default,
+               substr(text, 1, 40), '\\p{Lu}', 'X', 'g'), '\\p{Ll}', 'x', 'g'),
+               '\\p{Nd}', 'n', 'g') AS masked_default,
            regexp_replace(regexp_replace(regexp_replace(
-               substr(text, 1, 40), '[A-Z]', '#', 'g'), '[a-z]', '#', 'g'),
-               '[0-9]', '9', 'g') AS masked_custom
+               substr(text, 1, 40), '\\p{Lu}', '#', 'g'), '\\p{Ll}', '#', 'g'),
+               '\\p{Nd}', '9', 'g') AS masked_custom
     FROM documents WHERE doc_id < 200
     """,
     doc="Data-masking function family (Spark's builtin mask(), the "
     "char-class redaction used for PII-safe exports): default masking "
     "(upper->X, lower->x, digit->n, other kept) and custom replacement "
     "chars.  The DuckDB oracle states the same transform as three "
-    "char-class regexp passes — pinning mask()'s exact char-class "
-    "semantics rather than trusting them.  Complements "
+    "char-class regexp passes with UNICODE classes (\\p{Lu}/\\p{Ll}/"
+    "\\p{Nd}) — mask() is Character.isUpperCase/isLowerCase/isDigit, "
+    "which masks é or ß like any ASCII letter; an ASCII [a-z] oracle "
+    "pins the WRONG semantics (hostile-data find).  Complements "
     "text_pii_redaction (pattern-level) with char-level masking; pure "
     "narrow projection, codegen, zero shuffle at any scale.",
 )
@@ -558,7 +580,9 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            c_name AS decrypted,
-           CAST(16 * (length(c_name) // 16) + 16 AS BIGINT) AS cipher_len
+           -- AES pads BYTES, not characters: strlen (octet count), not
+           -- length — they differ on any multibyte name (hostile-data find)
+           CAST(16 * (strlen(c_name) // 16) + 16 AS BIGINT) AS cipher_len
     FROM customer
     WHERE c_custkey <= 500
     """,

@@ -856,17 +856,20 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase'
     ),
     m AS (
+      -- sum-of-squares in DECIMAL: one extreme value (cents ~ 1e11) makes
+      -- cents*cents overflow int64; the plain sum keeps BIGINT (realistic
+      -- corpus bound)
       SELECT variant, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(cents) AS BIGINT) AS s,
-             CAST(sum(cents * cents) AS BIGINT) AS q
+             sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) AS q
       FROM g GROUP BY variant
     ),
     w AS (
       SELECT a.n AS n_a, a.s AS s_a, b.n AS n_b, b.s AS s_b,
              (CAST(a.s AS DOUBLE) / a.n) AS mean_a,
              (CAST(b.s AS DOUBLE) / b.n) AS mean_b,
-             ((a.q - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1)) AS var_a,
-             ((b.q - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1)) AS var_b
+             ((CAST(a.q AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1)) AS var_a,
+             ((CAST(b.q AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1)) AS var_b
       FROM (SELECT * FROM m WHERE variant = 0) a
       CROSS JOIN (SELECT * FROM m WHERE variant = 1) b
     )
@@ -899,10 +902,14 @@ def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
         )
     )
+    # sum-of-squares in DECIMAL(38,0): cents*cents overflows int64 on an
+    # extreme value and Spark non-ANSI would WRAP SILENTLY (DuckDB errors
+    # loudly — the hostile-data sweep caught exactly this asymmetry)
+    cd = F.col("cents").cast("decimal(19,0)")
     m = g.groupBy("variant").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("s"),
-        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+        F.sum(cd * cd).alias("q"),
     )
     a = m.filter(F.col("variant") == 0).select(
         F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("q").alias("q_a")
@@ -913,12 +920,16 @@ def agg_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = a.crossJoin(b)
     mean_a = F.col("s_a").cast("double") / F.col("n_a")
     mean_b = F.col("s_b").cast("double") / F.col("n_b")
-    var_a = (F.col("q_a") - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")) / (
-        F.col("n_a") - 1
-    )
-    var_b = (F.col("q_b") - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")) / (
-        F.col("n_b") - 1
-    )
+    # q converted to DOUBLE explicitly (exact int -> double, same on both
+    # engines) before the variance formula
+    var_a = (
+        F.col("q_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("q_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
     t = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
     return j.select(
         "n_a",

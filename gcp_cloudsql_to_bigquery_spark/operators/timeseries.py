@@ -744,18 +744,27 @@ def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hourly CROSS JOIN (SELECT unnest([1, 24]) AS lag) l
     ),
     mom AS (
+      -- product moments in DECIMAL (x*y overflows int64 on extreme cents);
+      -- plain sums stay BIGINT (realistic corpus bound)
       SELECT event_type, lag,
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(y * y) AS BIGINT) AS syy
+             sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+             sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+             sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
       FROM lagged WHERE y IS NOT NULL
       GROUP BY event_type, lag
     )
     SELECT event_type, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
-           CAST(floor((n * sxy - sx * sy)
-                      / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+           -- all moments converted to DOUBLE before the formula (the raw
+           -- integer products would overflow); exact-int -> double is
+           -- uniquely defined, so both engines agree bit-for-bit
+           CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                       * 1e6 + 0.5) AS BIGINT) AS acf_x1e6
     FROM mom
     """,
@@ -789,18 +798,31 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     lagged = parts[0].unionByName(parts[1]).filter(F.col("y").isNotNull())
+    # product moments in DECIMAL(38,0): a single extreme value (cents ~
+    # 1e11) makes x*y overflow int64, which Spark non-ANSI WRAPS SILENTLY
+    # — the worst failure mode for a statistic.  The decimal sums stay
+    # exact integers; plain sums keep BIGINT (Σ|cents| < 2^63 is a
+    # realistic corpus bound; per-row squares are not).
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     mom = lagged.groupBy("event_type", "lag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
     )
-    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * 1.0
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # final scalar formula entirely in DOUBLE, every moment converted
+    # EXPLICITLY (exact integer -> double is uniquely defined, so both
+    # engines compute bit-identical doubles); the raw integer products
+    # n*sxy / sx*sy would themselves overflow int64
+    dn = F.col("n").cast("double")
+    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dsxy = F.col("sxy").cast("double")
+    dsxx, dsyy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (dn * dsxy - dsx * dsy) / F.sqrt(
+        (dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)
     )
     return mom.select(
         "event_type",

@@ -79,9 +79,14 @@ def q2_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q4_exists_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    # o_orderdate is a TIMESTAMP: add a true 60-day INTERVAL.  date_add()
+    # would silently truncate to DATE first, shifting the comparison to
+    # midnight — wrong for any non-midnight order timestamp (hostile-data
+    # find; the driver fixture's orderdates are all midnight-aligned)
     slow = o.join(
         li,
-        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > F.date_add(o.o_orderdate, 60)),
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
         "left_semi",
     )
     return slow.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))

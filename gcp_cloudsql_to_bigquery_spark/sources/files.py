@@ -878,9 +878,12 @@ def parse_fixed_width_feed(files: DataFrame) -> DataFrame:
     "src_fixed_width_trailer",
     oracle="""
     SELECT c_custkey                                 AS custkey,
-           c_name                                    AS name,
+           -- fixed-width is space-padded: the format CANNOT round-trip
+           -- trailing spaces or >width names; the oracle states the
+           -- format's actual semantics (truncate to field width, rtrim)
+           rtrim(substr(c_name, 1, 18))              AS name,
            CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
-           c_mktsegment                              AS segment,
+           rtrim(substr(c_mktsegment, 1, 10))        AS segment,
            CAST(c_custkey % 8 AS BIGINT)             AS shard,
            TRUE                                      AS count_ok,
            TRUE                                      AS checksum_ok

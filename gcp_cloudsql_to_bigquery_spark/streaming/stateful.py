@@ -27,30 +27,42 @@ from ..registry import register
 from .events import read_events_stream, run_to_completion
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, distinct_types bigint"
-STATE_SCHEMA = "n bigint, total double, types array<string>"
+# total in integer MILLI-units (the repo's fixed-point discipline): a raw
+# double fold accumulates in micro-batch order while the oracle sums in its
+# own order — at a .xx5 representational boundary the 2dp round() diverges
+# (hostile-data find).  Per-row floor(v*1000+0.5) is engine-identical, the
+# integer sum is order-free, and milli/1000.0 needs no rounding at all.
+STATE_SCHEMA = "n bigint, total_milli bigint, types array<string>"
 
 
 def running_user_stats(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Fold each micro-batch into per-user state; emit the running totals."""
+    import numpy as np
+
     if state.exists:
-        n, total, types = state.get
+        n, total_milli, types = state.get
         types = list(types)
     else:
-        n, total, types = 0, 0.0, []
+        n, total_milli, types = 0, 0, []
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # exact integer milli-units per row (see STATE_SCHEMA note)
+        total_milli += int(
+            np.floor(pdf["value"].to_numpy(dtype="float64") * 1000.0 + 0.5)
+            .astype("int64")
+            .sum()
+        )
         for t in pdf["event_type"]:
             if t not in types:
                 types.append(t)
-    state.update((n, total, types))
+    state.update((n, total_milli, types))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(total, 2)],
+            "total_value": [total_milli / 1000.0],
             "distinct_types": [len(types)],
         }
     )
@@ -60,7 +72,8 @@ def running_user_stats(
     "stream_stateful_user_stats",
     oracle="""
     SELECT user_id, count(*) AS n_events,
-           round(sum(value), 2) AS total_value,
+           CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000
+             AS total_value,
            count(DISTINCT event_type) AS distinct_types
     FROM events
     GROUP BY user_id

@@ -223,6 +223,10 @@ def make_events(outdir: str) -> None:
     add(base + dt.timedelta(minutes=4), 4, "view", 1.0, "{}")
     # out-of-order: later event_id, earlier ts
     add(base - dt.timedelta(days=3), 5, "click", 2.0, '{"k": 7}')
+    # a SIXTH event type with <= 10 rows: a 5-each-end trimmed aggregate
+    # empties this group (it must VANISH from post-trim GROUP BYs)
+    for i in range(6):
+        add(base + dt.timedelta(minutes=10 + i), 6, "gdpr_delete", 3.5, "{}")
     while eid < 160:
         uid = 1 if rng.random() < 0.5 else rng.randrange(2, 40)  # 50% skew to user 1
         ts = base + dt.timedelta(seconds=rng.randrange(-200000, 2000000))
@@ -252,14 +256,25 @@ def make_documents(outdir: str) -> None:
     near[25] = "changed"
     texts += [" ".join(near)]                 # 9 near-duplicate of 7/8
     texts += ['he said "hi, there" | then\tleft, fast\nrow']  # 10 csv-hostile
-    while len(texts) < 48:
+    # 64 docs so doc_id crosses the eval/train split at 50 that
+    # text_contamination_ngram uses (48 docs left its train side empty)
+    while len(texts) < 64:
         texts.append(_sentence(rng, rng.randrange(5, 81)))
-    srcs = ["src0"] * 15 + [f"src{i % 20}" for i in range(33)]  # source skew
+    texts[52] = texts[7]                      # cross-boundary exact duplicate
+    near2 = texts[9].split()
+    near2[3] = "tweaked"
+    texts[56] = " ".join(near2)               # cross-boundary near-duplicate
+    # planted contamination: eval doc 20 and train doc 55 share a 12-token
+    # run (>= 8 common 5-grams, above the >= 5 flag threshold)
+    shared = _sentence(random.Random(SEED + 9), 12)
+    texts[20] = f"{shared} {_sentence(rng, 20)}"
+    texts[55] = f"{_sentence(rng, 15)} {shared}"
+    srcs = ["src0"] * 15 + [f"src{i % 20}" for i in range(49)]  # source skew
     _write(outdir, "documents", {
-        "doc_id": list(range(48)),
+        "doc_id": list(range(64)),
         "text": texts,
-        "lang": [langs[i % 5] for i in range(48)],
-        "source": srcs[:48],
+        "lang": [langs[i % 5] for i in range(64)],
+        "source": srcs[:64],
         "n_chars": [len(t) for t in texts],
     })
 

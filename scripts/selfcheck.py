@@ -28,9 +28,12 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # -0.0 == 0.0 (IEEE) but str()-based row sorting would split them:
+        # Spark's round() normalizes -0.0 to +0.0 while DuckDB's keeps the
+        # sign bit — same value, different bytes (hostile-data find)
+        return round(v, 9) + 0.0
     if isinstance(v, Decimal):
-        return round(float(v), 9)
+        return round(float(v), 9) + 0.0
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
