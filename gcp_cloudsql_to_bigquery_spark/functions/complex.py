@@ -122,17 +122,25 @@ def fn_struct_nesting(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM customer WHERE c_custkey <= 100
     ) UNPIVOT (val FOR metric IN (bal, nat))
     """,
-    doc="Unpivot via stack(): wide→long metric reshape (generator, no shuffle).",
+    doc="Unpivot via stack(): wide→long metric reshape (generator, no "
+    "shuffle).  SQL-standard UNPIVOT semantics: NULL cells produce NO "
+    "output row (Spark's stack() keeps them; the explicit filter states "
+    "the standard's EXCLUDE NULLS default, which DuckDB's UNPIVOT "
+    "applies unconditionally — null-tier find).",
 )
 def fn_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
-    return c.select(
-        "c_custkey",
-        F.round("c_acctbal", 2).alias("bal"),
-        F.col("c_nationkey").cast("double").alias("nat"),
-    ).select(
-        "c_custkey",
-        F.expr("stack(2, 'bal', bal, 'nat', nat) AS (metric, val)"),
+    return (
+        c.select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+            F.col("c_nationkey").cast("double").alias("nat"),
+        )
+        .select(
+            "c_custkey",
+            F.expr("stack(2, 'bal', bal, 'nat', nat) AS (metric, val)"),
+        )
+        .filter(F.col("val").isNotNull())
     )
 
 
@@ -142,7 +150,9 @@ def fn_unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            round(CAST(e2[3] AS DOUBLE), 6)                    AS third,
            list_position(sorted_idx, 1)                       AS pos_of_one,
-           len(flat)                                          AS flat_len,
+           -- DuckDB's flatten DROPS null sublists (len 0) where Spark
+           -- propagates NULL — state SQL-standard null propagation
+           CASE WHEN e2 IS NULL THEN NULL ELSE len(flat) END  AS flat_len,
            round(CAST(list_sum(sliced) AS DOUBLE), 4)         AS slice_sum
     FROM (
       SELECT vec_id,
@@ -297,7 +307,11 @@ def fn_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.DoubleType())
     def geo_mean(v: pd.Series) -> float:
-        return float(np.exp(np.log(v.to_numpy()).mean()))
+        # aggregate-skip: Spark hands NULL cells to the UDAF as NaN, which
+        # would poison the whole group's mean; SQL's avg(ln(x)) skips them
+        vals = v.to_numpy()
+        vals = vals[~np.isnan(vals)]
+        return float(np.exp(np.log(vals).mean()))
 
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
@@ -459,22 +473,40 @@ def embedding_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             if b.num_rows == 0:
                 continue
             emb = b.column(1)
-            # .flatten() honors slice offsets; .values on a sliced
-            # ListArray would return the whole child buffer
-            flat = np.asarray(emb.flatten(), dtype=np.float64)
-            mat = flat.reshape(b.num_rows, -1)
-            norms = np.sqrt((mat * mat).sum(axis=1))
+            null = np.asarray(emb.is_null())
+            if null.any():
+                # slow path for batches carrying absent embeddings: NULL
+                # rows get NULL l2_norm AND NULL unit_first (the oracle's
+                # propagation through list_sum), present rows the fast math
+                rows = emb.to_pylist()
+                mats = [
+                    np.asarray(r, dtype=np.float64) if r is not None else None
+                    for r in rows
+                ]
+                norms = np.array(
+                    [np.sqrt((m * m).sum()) if m is not None else np.nan for m in mats]
+                )
+                firsts = np.array(
+                    [m[0] if m is not None and m.size else np.nan for m in mats]
+                )
+            else:
+                # .flatten() honors slice offsets; .values on a sliced
+                # ListArray would return the whole child buffer
+                flat = np.asarray(emb.flatten(), dtype=np.float64)
+                mat = flat.reshape(b.num_rows, -1)
+                norms = np.sqrt((mat * mat).sum(axis=1))
+                firsts = mat[:, 0]
             # zero-norm vectors cannot be normalized: unit_first is NULL
             # (masked), matching the oracle's x/0 -> NULL — NOT numpy's NaN
             zero = norms == 0
             unit = np.divide(
-                mat[:, 0], norms, out=np.zeros_like(norms), where=~zero
+                firsts, norms, out=np.zeros_like(norms), where=~(zero | null)
             )
             yield pa.RecordBatch.from_arrays(
                 [
                     b.column(0),
-                    pa.array(np.round(norms, 6)),
-                    pa.array(np.round(unit, 6), mask=zero),
+                    pa.array(np.round(norms, 6), mask=null),
+                    pa.array(np.round(unit, 6), mask=zero | null),
                 ],
                 names=["vec_id", "l2_norm", "unit_first"],
             )
@@ -577,14 +609,19 @@ def fn_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
     class LangStats:
         def __init__(self) -> None:
             self.lang, self.n, self.chars = None, 0, 0
+            # empty-partition guard must be a SEPARATE flag: guarding on
+            # `lang is not None` would silently drop the NULL-lang GROUP,
+            # which SQL's GROUP BY keeps (null-tier find)
+            self.seen = False
 
         def eval(self, row) -> None:
             self.lang = row["lang"]
+            self.seen = True
             self.n += 1
             self.chars += int(row["n_chars"])
 
         def terminate(self):
-            if self.lang is not None:
+            if self.seen:
                 yield self.lang, self.n, self.chars
 
     spark.udtf.register("lang_stats", LangStats)
@@ -715,10 +752,13 @@ def fn_generators_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFram
       FROM tok WHERE w <> ''
     )
     SELECT d.doc_id,
-           CAST(count(s.b) AS BIGINT) AS n_toks,
-           CAST(coalesce(sum((s.b * 2654435761 % 1000) - 500), 0) AS BIGINT) AS score
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(count(s.b) AS BIGINT) END AS n_toks,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(coalesce(sum((s.b * 2654435761 % 1000) - 500), 0)
+                          AS BIGINT) END AS score
     FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
-    GROUP BY d.doc_id
+    GROUP BY d.doc_id, d.text
     """,
     doc="Iterator-form scalar Pandas UDF (Iterator[pd.Series] -> "
     "Iterator[pd.Series]) — the ML-inference pattern: the 'model' (a "
@@ -743,6 +783,8 @@ def fn_pandas_udf_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights = [(b * 2654435761 % 1000) - 500 for b in range(64)]
 
         def score_doc(text: str) -> int:
+            if text is None:  # NULL text is unscorable: NULL out, NULL in
+                return None
             total = 0
             for w in text.lower().split(" "):
                 if w:
@@ -814,7 +856,9 @@ def fn_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_pandas_on_spark_api",
     oracle="""
     SELECT o_orderpriority AS pri,
-           CAST(count(*) AS BIGINT) AS n,
+           -- count(col), not count(*): the pandas dialect's .count() counts
+           -- NON-NULL cells — that IS its documented semantic (null-tier find)
+           CAST(count(o_totalprice) AS BIGINT) AS n,
            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS cents,
            CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)

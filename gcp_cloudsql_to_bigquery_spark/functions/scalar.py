@@ -31,7 +31,10 @@ from ..registry import register
            regexp_replace(c_name, '[0-9]+', 'N', 'g')      AS re_repl,
            lpad(CAST(c_nationkey AS VARCHAR), 4, '0')      AS natkey4,
            trim('  ' || c_mktsegment || ' ')               AS trimmed,
-           split_part(c_name, '#', 2)                      AS name_id
+           -- DuckDB's split_part maps NULL input to '' — state SQL-standard
+           -- NULL propagation (Spark's behavior) explicitly
+           CASE WHEN c_name IS NULL THEN NULL
+                ELSE split_part(c_name, '#', 2) END        AS name_id
     FROM customer
     WHERE c_custkey <= 200
     """,
@@ -406,11 +409,14 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- reverses code points, while DuckDB's reverse() is
            -- grapheme-aware (keeps combining marks attached) — the two
            -- differ on any combining sequence (hostile-data find).
-           -- coalesce: string_agg over an empty list is NULL, but
-           -- ''[::-1] is '' (text is never NULL in the fixture).
-           coalesce(list_aggregate(list_reverse(regexp_extract_all(
-               lower(trim(substr(text, 1, 40))), '(?s).')),
-               'string_agg', ''), '') AS rkey,
+           -- coalesce only under non-NULL text: string_agg over an empty
+           -- list is NULL but ''[::-1] is '', while NULL text stays NULL
+           -- (the kernel's None-passthrough)
+           CASE WHEN text IS NULL THEN NULL ELSE
+             coalesce(list_aggregate(list_reverse(regexp_extract_all(
+                 lower(trim(substr(text, 1, 40))), '(?s).')),
+                 'string_agg', ''), '')
+           END AS rkey,
            length(trim(substr(text, 1, 40)))         AS klen
     FROM documents
     WHERE doc_id < 200
@@ -938,14 +944,20 @@ def _uuid3_sql(h: str) -> str:
       FROM customer
     )
     SELECT c_custkey,
-           concat_ws('-', substr(d, 1, 8), substr(d, 9, 4),
-                     concat('3', substr(d, 14, 3)),
-                     concat(substr('89ab',
-                              (CAST(CAST('0x' || substr(d, 17, 1) AS UBIGINT)
-                                    AS INT) % 4) + 1, 1),
-                            substr(d, 18, 3)),
-                     substr(d, 21, 12)) AS uuid,
-           TRUE AS version_ok, TRUE AS variant_ok
+           -- NULL name => NULL uuid (a surrogate key of absent input is
+           -- undefined); without the CASE both engines' concat/concat_ws
+           -- null-skipping defaults produce two DIFFERENT junk strings
+           CASE WHEN d IS NULL THEN NULL ELSE
+             concat_ws('-', substr(d, 1, 8), substr(d, 9, 4),
+                       concat('3', substr(d, 14, 3)),
+                       concat(substr('89ab',
+                                (CAST(CAST('0x' || substr(d, 17, 1) AS UBIGINT)
+                                      AS INT) % 4) + 1, 1),
+                              substr(d, 18, 3)),
+                       substr(d, 21, 12))
+           END AS uuid,
+           CASE WHEN d IS NULL THEN NULL ELSE TRUE END AS version_ok,
+           CASE WHEN d IS NULL THEN NULL ELSE TRUE END AS variant_ok
     FROM h
     """,
     doc="NAME-BASED UUID (RFC 4122 v3 layout over a text namespace) — "
@@ -967,7 +979,9 @@ def fn_uuid3_name_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.md5(F.concat(F.lit("uuid3:customers:"), F.col("c_name")).cast("binary")).alias("d"),
     )
-    uuid_col = F.expr(_uuid3_sql("d"))
+    # NULL digest => NULL uuid/audits (see oracle note); the audits then
+    # NULL-propagate through substring/isin on their own
+    uuid_col = F.when(F.col("d").isNotNull(), F.expr(_uuid3_sql("d")))
     return h.select(
         "c_custkey",
         uuid_col.alias("uuid"),

@@ -1075,9 +1075,12 @@ def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouped_pandas_udaf",
     oracle="""
     WITH pts AS (
+      -- aggregate-skip: NULL values contribute nothing to a trimmed sum
+      -- (standard SQL aggregate semantics, stated explicitly — they must
+      -- not occupy trim slots either)
       SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
              event_id
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     ranked AS (
       SELECT event_type, cents,
@@ -1123,15 +1126,20 @@ def agg_grouped_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     def trimmed_count(packed: pd.Series) -> int:
         return max(int(packed.size) - 10, 0)
 
-    pts = load(spark, sf_dir, "events").select(
-        "event_type",
-        (
-            # pmod, not %: Spark's % preserves the dividend's sign, and a
-            # negative sub-key breaks both the lexicographic order and the
-            # floor-decode of the packed encoding
-            F.floor(F.col("value") * 100 + 0.5).cast("bigint") * (1 << 20)
-            + F.pmod(F.col("event_id"), F.lit(1 << 20))
-        ).alias("packed"),
+    # aggregate-skip: NULL values excluded before packing (see oracle note)
+    pts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            (
+                # pmod, not %: Spark's % preserves the dividend's sign, and a
+                # negative sub-key breaks both the lexicographic order and the
+                # floor-decode of the packed encoding
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint") * (1 << 20)
+                + F.pmod(F.col("event_id"), F.lit(1 << 20))
+            ).alias("packed"),
+        )
     )
     # groups trimmed to nothing (<= 10 rows) vanish from the oracle's
     # post-trim GROUP BY — drop their (type, 0, 0) rows here to match
@@ -1633,9 +1641,12 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile_exact_grouped",
     oracle="""
     WITH v AS (
+      -- aggregate-skip: a percentile of a measure ignores NULLs (they
+      -- would otherwise rank NULLS-FIRST on Spark and NULLS-LAST on
+      -- DuckDB AND inflate n — null-tier find)
       SELECT o_orderpriority AS pri,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     ranked AS (
       SELECT pri, cents,
@@ -1668,9 +1679,14 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile_exact_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    v = load(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("pri"),
-        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    # aggregate-skip: NULL measures excluded before ranking (see oracle)
+    v = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
     )
     wp = W.partitionBy("pri")
     ranked = v.select(
@@ -1695,9 +1711,11 @@ def agg_percentile_exact_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_equidepth_histogram",
     oracle="""
     WITH v AS (
+      -- aggregate-skip: a NULL measure belongs to no decile (it would bin
+      -- NULLS-FIRST on Spark and NULLS-LAST on DuckDB — null-tier find)
       SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
              o_orderkey
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ),
     binned AS (
       SELECT cents,
@@ -1736,9 +1754,14 @@ def agg_percentile_exact_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .scale import distributed_ntile
 
-    v = load(spark, sf_dir, "orders").select(
-        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
-        "o_orderkey",
+    # aggregate-skip: NULL measures excluded before binning (see oracle)
+    v = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+            "o_orderkey",
+        )
     )
     binned = distributed_ntile(v, 10, ["cents", "o_orderkey"], out_col="bin")
     return binned.groupBy("bin").agg(

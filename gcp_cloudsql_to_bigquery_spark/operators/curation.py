@@ -89,8 +89,11 @@ def sample_hash_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_stratified",
     oracle="""
     WITH strata AS (
+      -- non-null strata only: a NULL lang would enter the rank under
+      -- engine-specific null placement and flip every language's PARITY
+      -- (and with it the sampling fraction) — null-tier find
       SELECT lang, (row_number() OVER (ORDER BY lang) - 1) % 2 AS odd
-      FROM (SELECT DISTINCT lang FROM documents)
+      FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL)
     )
     SELECT d.doc_id, d.lang
     FROM documents d JOIN strata s ON s.lang = d.lang
@@ -113,6 +116,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     strata = (
         d.select("lang")
+        .filter(F.col("lang").isNotNull())  # see oracle: parity stability
         .distinct()
         .withColumn(
             "odd",

@@ -45,7 +45,8 @@ _DUCK_SHINGLES = "list_distinct(list_transform(range(1, greatest(length(text)-1,
 # an empty intersection never appear — their jaccard is 0, below every
 # threshold used.  Mirrors the Spark implementation's own join shape.
 _DUCK_JACPAIRS = f"""
-    s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents),
+    s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents
+          WHERE text IS NOT NULL),
     tok AS (SELECT doc_id, unnest(sh) AS g FROM s),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -63,8 +64,17 @@ _DUCK_JACPAIRS = f"""
 
 
 def with_shingles(docs: DataFrame) -> DataFrame:
-    """Character 3-gram shingle set per document (JVM expression, no UDF)."""
-    return docs.withColumn("shingles", F.expr(SHINGLE_EXPR))
+    """Character 3-gram shingle set per document (JVM expression, no UDF).
+
+    NULL-text documents are EXCLUDED (mirrored by _DUCK_JACPAIRS's WHERE):
+    absent content cannot be deduplicated, and the engines' accidental
+    alternatives disagree — Spark would shingle NULL into [NULL] whose
+    xxhash64 is a CONSTANT (pairing every null doc with every other), while
+    DuckDB's list_distinct drops the null shingle (null-tier hostile find).
+    """
+    return docs.filter(F.col("text").isNotNull()).withColumn(
+        "shingles", F.expr(SHINGLE_EXPR)
+    )
 
 
 def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
@@ -581,8 +591,13 @@ def simhash64(token_lists: pd.Series) -> pd.Series:
     "end-to-end.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    # NULL text excluded, the dedup-family contract (with_shingles note):
+    # the oracle's unnest drops such docs implicitly; an unfiltered split
+    # would hand the kernel a None token list
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
     )
     sig = d.select("doc_id", simhash64("toks").alias("sim"))
     bands = F.array(
@@ -624,7 +639,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                         CAST(b.embedding AS DOUBLE[])), 6) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+    WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+      AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                        CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     """,
     doc="Embedding-cosine near-dup: all pairs ≥ 0.4 cosine via the "
@@ -649,8 +665,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import pairwise_cosine, parquet_corpus_hint
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # absent (NULL) embeddings are excluded — they cannot enter a GEMM and
+    # their cosine is undefined (null-tier contract, mirrored in the oracle)
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     # 4 blocks → 10 block pairs on the blocked path; the adaptive dispatch
     # picks the broadcast path whenever the corpus fits under the cap.
@@ -1000,7 +1020,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb AS (
       SELECT x.vec_id AS a, y.vec_id AS b
       FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-      WHERE round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+      WHERE x.embedding IS NOT NULL AND y.embedding IS NOT NULL
+        AND round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                          CAST(y.embedding AS DOUBLE[])), 6) >= 0.4
     ),
     u AS (

@@ -398,18 +398,22 @@ N_ANCHORS = 8  # 8 sign bits → 256 buckets
 @register(
     "ann_anchor_lsh",
     oracle="""
-    WITH anchors AS (
+    -- absent (NULL) embeddings excluded: no signature, no bucket
+    -- (null-tier contract; zero vectors remain — thresholds drop them)
+    WITH nz AS (SELECT vec_id, embedding FROM embeddings
+                WHERE embedding IS NOT NULL),
+    anchors AS (
       SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) av
-      FROM embeddings WHERE vec_id < 8
+      FROM nz WHERE vec_id < 8
     ),
     sigs AS (
       SELECT e.vec_id,
              CAST(sum(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), a.av) >= 0
                            THEN CAST(pow(2, a.aid) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
-      FROM embeddings e CROSS JOIN anchors a
+      FROM nz e CROSS JOIN anchors a
       GROUP BY e.vec_id
     ),
-    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM nz)
     SELECT sa.vec_id AS vec_a, sb.vec_id AS vec_b,
            round(list_cosine_similarity(a.v, b.v), 6) AS cosine
     FROM sigs sa JOIN sigs sb ON sa.sig = sb.sig AND sa.vec_id < sb.vec_id
@@ -426,8 +430,13 @@ N_ANCHORS = 8  # 8 sign bits → 256 buckets
     "log2(N) (banding as in SimHash) so buckets stay skew-free.",
 )
 def ann_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # NULL embeddings excluded (see the oracle's nz CTE): no signature, no
+    # bucket.  Zero vectors remain — the >= 0.2 threshold drops their
+    # undefined cosines under every engine convention.
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     anchors = [
         (r["vec_id"], r["v"])
@@ -863,7 +872,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVFPQ_ORACLE = f"""
-    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    -- absent (NULL) embeddings cannot be cell-assigned or PQ-encoded:
+    -- excluded on both sides (null-tier contract)
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     anchors AS (SELECT vec_id AS aid, v AS av FROM v WHERE vec_id < 16),
     cellscore AS (
       SELECT v.vec_id, a.aid,
@@ -940,8 +952,11 @@ _IVFPQ_ORACLE = f"""
     "colocates with the cell assignment.",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # NULL embeddings excluded (see oracle) — they can't be cell-assigned
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
     anchors = e.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("aid"), F.col("v").alias("av")
@@ -1016,7 +1031,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroid_arrow",
     oracle="""
     WITH v AS (
+      -- aggregate-skip semantics: absent (NULL) embeddings contribute to
+      -- neither the centroid nor n (a bare count(*) would count them while
+      -- sum() skipped them — half-null statistics; null-tier find)
       SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     el AS (
       SELECT label, d.dim AS dim,
@@ -1063,8 +1082,11 @@ def embedding_label_centroid_arrow(spark: SparkSession, sf_dir: str) -> DataFram
             }
         )
 
-    e = load(spark, sf_dir, "embeddings").select(
-        "label", F.col("embedding").cast("array<double>").alias("v")
+    # aggregate-skip: NULL embeddings excluded before grouping (see oracle)
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("label", F.col("embedding").cast("array<double>").alias("v"))
     )
     return e.groupBy("label").applyInArrow(
         centroids, schema="label int, dim int, n long, centroid_micro long"

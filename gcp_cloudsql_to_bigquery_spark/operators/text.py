@@ -169,8 +169,14 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_rolling_hash_shingles",
     oracle="""
     SELECT doc_id,
-           len(list_distinct(list_transform(range(1, greatest(length(text) - 6, 1) + 1),
-                                            i -> md5(substr(text, i, 7))))) AS n_distinct_shingles,
+           -- NULL text => NULL count, stated explicitly: Spark's
+           -- array_distinct KEEPS a null element (size 1) while DuckDB's
+           -- list_distinct DROPS it (len 0) — neither accident is the
+           -- contract (null-tier hostile find)
+           CASE WHEN text IS NULL THEN NULL ELSE
+             len(list_distinct(list_transform(range(1, greatest(length(text) - 6, 1) + 1),
+                                              i -> md5(substr(text, i, 7)))))
+           END AS n_distinct_shingles,
            min(length(text)) AS n_chars
     FROM documents
     GROUP BY doc_id, text
@@ -185,9 +191,13 @@ def text_rolling_hash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_distinct(transform(sequence(1, greatest(length(text) - 6, 1)), "
         "i -> md5(substring(text, i, 7))))"
     )
+    # NULL text => NULL (see oracle note: array_distinct/list_distinct
+    # disagree about null elements, so neither engine default is the contract)
     return d.select(
         "doc_id",
-        F.size(shingle_hashes).alias("n_distinct_shingles"),
+        F.when(F.col("text").isNotNull(), F.size(shingle_hashes)).alias(
+            "n_distinct_shingles"
+        ),
         F.length("text").alias("n_chars"),
     )
 
@@ -459,7 +469,13 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.filter(
         F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))), lambda i: i <= n - 3
     )
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " "))
+    # NULL text => NULL grams (not the empty array the filter() fallback
+    # yields): n_grams/dup_fraction/flagged must be NULL, matching the
+    # oracle's NULL propagation through string_split
+    grams = F.when(
+        n.isNotNull(),
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 3), " ")),
+    )
     dup = 1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
     return d.select(
         "doc_id",

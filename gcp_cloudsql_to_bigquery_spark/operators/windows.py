@@ -151,12 +151,18 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(cume_dist() OVER w, 6)                    AS cd,
            round(CAST(nth_value(p_retailprice, 2) OVER w2 AS DOUBLE), 2) AS second_price
     FROM part
-    WINDOW w  AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey),
-           w2 AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+    WINDOW w  AS (PARTITION BY p_brand
+                  ORDER BY p_retailprice NULLS FIRST, p_partkey),
+           w2 AS (PARTITION BY p_brand
+                  ORDER BY p_retailprice DESC NULLS LAST, p_partkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     doc="Distribution window functions: cume_dist + nth_value over an "
-    "unbounded frame (the 2nd-highest price per brand).",
+    "unbounded frame (the 2nd-highest price per brand).  Null placement "
+    "is pinned EXPLICITLY in the oracle: a nullable sort key diverges "
+    "otherwise (Spark ASC defaults to NULLS FIRST, DuckDB to NULLS LAST "
+    "— null-tier find); the impl uses Spark's defaults, which the "
+    "oracle's explicit clauses now state.",
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")

@@ -27,6 +27,12 @@ DEFAULT_CONFS: dict[str, str] = {
     # ANSI off keeps permissive casts (reference semantics are permissive:
     # everything maps through a lossy 5-type system, SURVEY.md §1).
     "spark.sql.ansi.enabled": "false",
+    # ...but size/cardinality of NULL must be NULL, not the legacy -1: with
+    # ANSI off Spark defaults to sizeOfNull=-1, which silently turns every
+    # size(tokens-of-null-text) into -1 where standard SQL (and DuckDB)
+    # propagates NULL — the null-tier hostile sweep flagged nine queries on
+    # exactly this.  SQL-standard null propagation, one engine-level switch.
+    "spark.sql.legacy.sizeOfNull": "false",
     # Python Data Source filter pushdown is an ENGINE-LEVEL default, not an
     # ad-hoc per-read set (ADVICE r5 item 2 flagged the conf leak): the flag
     # is consulted at ACTION time by the data-source read planner, and a

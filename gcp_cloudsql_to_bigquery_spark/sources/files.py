@@ -879,11 +879,12 @@ def parse_fixed_width_feed(files: DataFrame) -> DataFrame:
     oracle="""
     SELECT c_custkey                                 AS custkey,
            -- fixed-width is space-padded: the format CANNOT round-trip
-           -- trailing spaces or >width names; the oracle states the
-           -- format's actual semantics (truncate to field width, rtrim)
-           rtrim(substr(c_name, 1, 18))              AS name,
-           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
-           rtrim(substr(c_mktsegment, 1, 10))        AS segment,
+           -- trailing spaces, >width names, or NULLs; the oracle states
+           -- the format's actual semantics (truncate to width, rtrim,
+           -- NULL name -> '', NULL balance -> 0 cents)
+           rtrim(substr(coalesce(c_name, ''), 1, 18)) AS name,
+           CAST(floor(coalesce(c_acctbal, 0) * 100 + 0.5) AS BIGINT) AS bal_cents,
+           rtrim(substr(coalesce(c_mktsegment, ''), 1, 10)) AS segment,
            CAST(c_custkey % 8 AS BIGINT)             AS shard,
            TRUE                                      AS count_ok,
            TRUE                                      AS checksum_ok
@@ -915,16 +916,23 @@ def src_fixed_width_trailer(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines = [f"H{int(pdf['shard'].iloc[0]):09d}" if len(pdf) else "H000000000"]
         total = 0
         for _, r in pdf.iterrows():
-            cents = int(r["cents"])
+            # fixed-width has NO null representation: a NULL name renders
+            # as an all-space field (parses back to ''), a NULL balance as
+            # zero cents — the format's lossy contract, mirrored by the
+            # oracle's coalesce (null-tier find; None/NaN would crash the
+            # f-string/int formatting here)
+            cents = 0 if pd.isna(r["cents"]) else int(r["cents"])
+            name = r["c_name"] if isinstance(r["c_name"], str) else ""
+            seg = r["c_mktsegment"] if isinstance(r["c_mktsegment"], str) else ""
             total += cents
             sign = "-" if cents < 0 else "+"
             lines.append(
                 "D"
                 + f"{int(r['c_custkey']):09d}"
-                + f"{r['c_name']:<18.18}"
+                + f"{name:<18.18}"
                 + sign
                 + f"{abs(cents):011d}"
-                + f"{r['c_mktsegment']:<10.10}"
+                + f"{seg:<10.10}"
             )
         tsign = "-" if total < 0 else "+"
         lines.append(f"T{len(pdf) - 0:09d}{tsign}{abs(total):015d}")
@@ -1001,7 +1009,12 @@ def sniff_and_parse_feed(feeds: DataFrame) -> DataFrame:
 @register(
     "elt_delimiter_sniffing",
     oracle="""
-    SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment,
+    SELECT c_custkey AS custkey,
+           -- an unquoted delimited feed has no NULL representation: a NULL
+           -- field renders as the empty string (format contract, mirrored
+           -- in the producer kernel)
+           coalesce(c_name, '') AS name,
+           coalesce(c_mktsegment, '') AS segment,
            CASE CAST(c_custkey % 3 AS INT)
              WHEN 0 THEN 'comma' WHEN 1 THEN 'pipe' ELSE 'tab' END AS detected
     FROM customer
@@ -1033,7 +1046,15 @@ def elt_delimiter_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("c_custkey")
         lines = [d.join(["custkey", "name", "segment"])]
         lines += [
-            d.join([str(int(r["c_custkey"])), r["c_name"], r["c_mktsegment"]])
+            # NULL fields render as '' — unquoted delimited text has no
+            # null representation (see the oracle's coalesce)
+            d.join(
+                [
+                    str(int(r["c_custkey"])),
+                    r["c_name"] if isinstance(r["c_name"], str) else "",
+                    r["c_mktsegment"] if isinstance(r["c_mktsegment"], str) else "",
+                ]
+            )
             for _, r in pdf.iterrows()
         ]
         return pd.DataFrame({"shard": [shard], "content": ["\n".join(lines)]})

@@ -329,8 +329,15 @@ class ExportQueueStreamReader(SimpleDataSourceStreamReader):
         if lo > max(keys):
             return iter([]), start  # queue drained: do not advance
         bals = t.column("c_acctbal").to_pylist()
+        # NULL balance rides through as NULL cents (the oracle's
+        # floor(NULL*...) — an unguarded None*100 crashed latestOffset's
+        # prefetch; null-tier find)
         rows = [
-            (k, int(__import__("math").floor(b * 100 + 0.5)), block)
+            (
+                k,
+                None if b is None else int(__import__("math").floor(b * 100 + 0.5)),
+                block,
+            )
             for k, b in zip(keys, bals)
             if lo <= k < hi
         ]

@@ -51,12 +51,16 @@ def write_arrival_files(spark: SparkSession, sf_dir: str, watch_dir: str, n_file
         F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment_or_null"),
         F.col("c_acctbal").alias("acctbal"),
     )
+    # EVERY nullable field must coalesce to the sentinel: concat_ws SKIPS
+    # null arguments, so an un-coalesced NULL acctbal would silently emit a
+    # 3-field line that the width-validating reader rejects (null-tier
+    # find — exactly how a real export producer corrupts a feed)
     line = F.concat_ws(
         ",",
         F.col("c_custkey").cast("string"),
         F.col("nation").cast("string"),
         F.coalesce(F.col("segment_or_null"), F.lit('"N')),
-        F.col("acctbal").cast("string"),
+        F.coalesce(F.col("acctbal").cast("string"), F.lit('"N')),
     ).alias("value")
     for shard in range(n_files):
         (

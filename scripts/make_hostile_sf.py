@@ -53,7 +53,15 @@ def _ts(s: str) -> dt.datetime:
     return dt.datetime.fromisoformat(s)
 
 
+_NULL_PLAN: dict[str, dict[str, list[int]]] = {}
+
+
 def _write(outdir: str, name: str, cols: dict) -> None:
+    for col, rows in _NULL_PLAN.get(name, {}).items():
+        vals = list(cols[col])
+        for i in rows:
+            vals[i] = None
+        cols[col] = vals
     schema = pq.read_schema(f"{REAL}/{name}.parquet")
     schema = pa.schema([schema.field(i) for i in range(len(schema.names))])
     t = pa.table({k: pa.array(v) for k, v in cols.items()}).cast(schema)
@@ -293,9 +301,30 @@ def make_embeddings(outdir: str) -> None:
     })
 
 
-def main(outdir: str = "/tmp/hostile_sf") -> str:
+# Tier-2 "nulls" plan: NULLs in VALUE-ish nullable columns (text, props,
+# measures, names, one whole embedding) at pinned row positions.  Join keys
+# and primary ids stay non-null — null-KEY semantics (null-safe joins,
+# engine ORDER BY null placement on sort keys) are their own contract
+# surface; this tier isolates null PROPAGATION through kernels and folds.
+# Sort-relevant measure columns (c_acctbal, o_totalprice) get one null each
+# on purpose: rankings over nullable measures must pin explicit null
+# placement or diverge (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST).
+_NULLS_TIER: dict[str, dict[str, list[int]]] = {
+    "documents": {"text": [60, 61], "lang": [62], "source": [63]},
+    "events": {"props": [20, 21], "value": [22, 23]},
+    "customer": {"c_name": [20], "c_acctbal": [21]},
+    "orders": {"o_totalprice": [100]},
+    "lineitem": {"l_discount": [400], "l_returnflag": [401]},
+    "part": {"p_retailprice": [30]},
+    "embeddings": {"embedding": [40]},
+}
+
+
+def main(outdir: str = "/tmp/hostile_sf", tier: str = "values") -> str:
     import os
 
+    global _NULL_PLAN
+    _NULL_PLAN = _NULLS_TIER if tier == "nulls" else {}
     os.makedirs(outdir, exist_ok=True)
     _copy(outdir, "region")
     _copy(outdir, "nation")

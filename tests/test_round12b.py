@@ -109,6 +109,126 @@ def test_hostile_fixed_query_matches_oracle(spark, duck, hostile_sf, name):
     assert s == o, f"{name}: first diffs {[p for p in zip(s, o) if p[0] != p[1]][:3]}"
 
 
+@pytest.fixture(scope="module")
+def hostile_nulls_sf(tmp_path_factory):
+    mod = _load_script("make_hostile_sf")
+    out = tmp_path_factory.mktemp("hostile_nulls_sf")
+    return mod.main(str(out), tier="nulls")
+
+
+@pytest.fixture(scope="module")
+def duck_nulls(hostile_nulls_sf):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{hostile_nulls_sf}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+# every query the null-tier sweep flagged (45): size(NULL)=-1 legacy conf,
+# null-kernel crashes, engine null-placement/null-skipping divergences,
+# NULL-exclusion contracts for dedup/ANN index builds
+NULLS_FIXED = [
+    "text_repetition_filter",
+    "agg_grouped_pandas_udaf",
+    "ann_recall_report",
+    "embedding_normalize_arrow",
+    "fn_arrow_python_udf",
+    "fn_pandas_udf_iter",
+    "src_fixed_width_trailer",
+    "fn_string",
+    "fn_unpivot_stack",
+    "window_distribution",
+    "stream_lsh_dedup_ttl",
+    "src_python_datasource_stream",
+    "ann_anchor_lsh",
+    "curation_pack_sequences",
+    "src_python_datasource",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "fn_array",
+    "fn_array_advanced",
+    "fn_pandas_udaf_geomean",
+    "curation_source_overlap",
+    "sample_stratified",
+    "text_bpe_tokens",
+    "text_langid",
+    "text_pii_redaction",
+    "text_quality_score",
+    "text_rolling_hash_shingles",
+    "text_token_stats",
+    "elt_delimiter_sniffing",
+    "agg_percentile_exact_grouped",
+    "fn_uuid3_name_based",
+    "fn_pandas_on_spark_api",
+    "dedup_connected_components",
+    "dedup_cluster_representatives",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_ivfpq_topk",
+    "curation_dataset_card",
+    "dedup_signal_agreement",
+    "embedding_label_centroid_arrow",
+    "text_lang_confusion",
+    "analytics_equidepth_histogram",
+    "fn_array_higher_order",
+    "fn_udtf_table_argument",
+    "dedup_minhash_ml",
+]
+
+
+@pytest.mark.parametrize("name", NULLS_FIXED)
+def test_nulls_fixed_query_matches_oracle(spark, duck_nulls, hostile_nulls_sf, name):
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()[name](spark, hostile_nulls_sf)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck_nulls.execute(entry.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    assert len(srows) == len(orows), (
+        f"{name}: rowcount spark={len(srows)} duckdb={len(orows)}"
+    )
+    s = _selfcheck.rowset(scols, srows)
+    o = _selfcheck.rowset(ocols, orows)
+    assert s == o, f"{name}: first diffs {[p for p in zip(s, o) if p[0] != p[1]][:3]}"
+
+
+def test_size_of_null_is_null(spark):
+    """spark.sql.legacy.sizeOfNull=false is load-bearing: with ANSI off the
+    engine default resurrects size(NULL) = -1, which silently turns every
+    token count of a null text into -1 where SQL propagates NULL."""
+    assert spark.conf.get("spark.sql.legacy.sizeOfNull") == "false"
+    row = spark.sql("SELECT size(CAST(NULL AS array<int>)) AS s").first()
+    assert row["s"] is None
+
+
+def test_sentinel_export_every_field_coalesced(spark, hostile_nulls_sf, tmp_path):
+    """A NULL in ANY exported column must become the sentinel, never a
+    silently-dropped field: every rendered line has exactly 4 fields and
+    the null balance row carries the sentinel."""
+    from gcp_cloudsql_to_bigquery_spark.streaming.elt import write_arrival_files
+
+    out = str(tmp_path / "exports")
+    write_arrival_files(spark, hostile_nulls_sf, out, n_files=2)
+    import glob
+
+    lines = []
+    for f in glob.glob(out + "/arrival_*/part-*"):
+        with open(f) as fh:
+            lines += [ln.rstrip("\n") for ln in fh if ln.strip()]
+    assert lines
+    assert all(len(ln.split(",")) == 4 for ln in lines)
+    assert any(ln.split(",")[3] == '"N' for ln in lines)  # null acctbal row
+
+
 def test_packed_trim_decode_exact_for_any_sign():
     """The trimmed-sum packing cents*M + r (0 <= r < M) decodes exactly via
     arithmetic right shift for NEGATIVE cents too: >> is floor division and
