@@ -1063,6 +1063,10 @@ def agg_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wide = ev.stat.crosstab("event_type", "dow")
     dows = sorted(c for c in wide.columns if c != "event_type_dow")
+    if not dows:
+        # empty events: crosstab has zero value columns and unpivot would
+        # reject the all-ids frame — the oracle's GROUP BY is simply empty
+        return spark.createDataFrame([], "event_type string, dow string, n bigint")
     long = wide.unpivot(
         ids=["event_type_dow"], values=dows, variableColumnName="dow", valueColumnName="n"
     )

@@ -993,7 +993,12 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
     )
-    _cent, assigned = kmeans_train(e, k=16, iters=3)
+    cent, assigned = kmeans_train(e, k=16, iters=3)
+    if cent is None:
+        # empty corpus: nothing to cluster, no duplicates
+        return spark.createDataFrame(
+            [], "vec_id long, cell int, dup_of long, best_cos_fp bigint"
+        )
     a = assigned.select(
         F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
     )

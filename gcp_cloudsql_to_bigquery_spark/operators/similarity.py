@@ -145,6 +145,12 @@ def broadcast_pairwise_cosine(
     import numpy as np
 
     pdf = e.select("vec_id", "v").toPandas()
+    if pdf.empty:
+        # day-one pipeline: an empty corpus has no pairs (np.stack of zero
+        # arrays would crash; the oracle's join over zero rows is empty)
+        return e.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, cosine double"
+        )
     ids_c = pdf["vec_id"].to_numpy()
     mat_c = np.stack(pdf["v"].to_numpy())
     norms_c = np.linalg.norm(mat_c, axis=1)
@@ -181,6 +187,11 @@ def parquet_corpus_hint(sf_dir: str, table: str = "embeddings", column: str = "e
 
     pf = pq.ParquetFile(os.path.join(sf_dir, f"{table}.parquet"))
     n = pf.metadata.num_rows
+    if n == 0:
+        # empty corpus: no first row to read a dim from; (0, 0) routes the
+        # dispatcher to the broadcast kernel, whose own empty guard returns
+        # an empty pair set (day-one-pipeline contract)
+        return 0, 0
     first = next(pf.iter_batches(batch_size=1, columns=[column]))
     dim = len(first.column(0)[0])
     return n, dim
@@ -249,6 +260,12 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = sorted(
         (r["vec_id"], r["v"]) for r in e.filter(F.col("vec_id") < 10).collect()
     )
+    if not qrows:
+        # empty corpus/query set => empty top-k (schema matches the
+        # non-empty branch's output below)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk int"
+        )
     q_ids = np.array([i for i, _ in qrows], dtype=np.int64)
     q_mat = np.stack([np.asarray(v) for _, v in qrows])
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -349,6 +366,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = sorted(
         (r["vec_id"], np.asarray(r["v"])) for r in e.filter(F.col("vec_id") < N_CELLS).collect()
     )
+    if not anchors:
+        # empty corpus: no cells, no probes, empty top-k
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk int"
+        )
     cent = np.stack([v for _, v in anchors])
     cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
     bc = e.sparkSession.sparkContext.broadcast(cent_unit)
@@ -362,6 +384,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = e.withColumn("cell", nearest_cell("v"))
     queries_df = assigned.filter(F.col("vec_id") < 10).collect()
+    if not queries_df:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk int"
+        )
     q_ids = np.array([r["vec_id"] for r in queries_df])
     q_mat = np.stack([np.asarray(r["v"]) for r in queries_df])
     q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -442,6 +468,9 @@ def ann_anchor_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["vec_id"], r["v"])
         for r in e.filter(F.col("vec_id") < N_ANCHORS).collect()
     ]
+    if not anchors:
+        # empty corpus: no hyperplanes, no buckets, no pairs
+        return spark.createDataFrame([], "vec_a long, vec_b long, cosine double")
     sig = None
     for aid, av in sorted(anchors):
         bit = F.when(dot(F.col("v"), F.array(*[F.lit(x) for x in av])) >= 0, F.lit(2**aid)).otherwise(
@@ -502,6 +531,10 @@ def kmeans_train(e: DataFrame, k: int = 16, iters: int = 3):
         (r["vec_id"], np.asarray(r["v"]))
         for r in e.orderBy("vec_id").limit(k).collect()
     )
+    if not init:
+        # empty corpus: no centroids to train, empty assignment — callers
+        # map this to an empty result (day-one-pipeline contract)
+        return None, e.withColumn("cell", F.lit(None).cast("int"))
     cent = unit_quant(np.stack([v for _, v in init]))
     sc = e.sparkSession.sparkContext
 
@@ -651,8 +684,13 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cent, assigned = kmeans_train(e, k=N_CELLS, iters=3)
+    queries_df = [] if cent is None else assigned.filter(F.col("vec_id") < 10).collect()
+    if not queries_df:
+        # empty corpus (kmeans_train returned no centroids) or no queries
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rnk int"
+        )
     cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-    queries_df = assigned.filter(F.col("vec_id") < 10).collect()
     q_ids = np.array([r["vec_id"] for r in queries_df])
     q_mat = np.stack([np.asarray(r["v"]) for r in queries_df])
     q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -1303,6 +1341,12 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = sorted(
         (r["vec_id"], r["v"]) for r in e.filter(F.col("vec_id") < 10).collect()
     )
+    if not qrows:
+        # empty corpus/query set => empty rerank output
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, coarse_rnk int, cosine double, rnk int",
+        )
     q_ids = np.array([i for i, _ in qrows], dtype=np.int64)
     q_mat = np.stack([np.asarray(v) for _, v in qrows])[:, :_MRL_D0]
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -1586,6 +1630,10 @@ def ann_recall_report(
                 F.count(F.lit(1)).alias("n_exact"),
                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("hits"),
             )
+            # empty corpus: the global agg still emits one zero row per
+            # method, but the oracle's GROUP BY over zero exact rows is
+            # EMPTY — no queries, no report (day-one-pipeline contract)
+            .filter(F.col("n_exact") > 0)
             .select(
                 F.lit(m).alias("method"),
                 F.col("n_queries").cast("bigint").alias("n_queries"),

@@ -483,7 +483,10 @@ def elt_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    back = spark.read.parquet(base)
+    # explicit schema on the read-back (the 100 TB practice anyway): an
+    # EMPTY source writes zero data files and schema inference then fails
+    # outright, where the declared schema yields the correct empty frame
+    back = spark.read.schema("event_id bigint, cents bigint, d date").parquet(base)
     return back.groupBy("d").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
     )

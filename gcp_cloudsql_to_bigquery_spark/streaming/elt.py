@@ -491,6 +491,15 @@ def _write_isess_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
     )
     lo_hi = ev.agg(F.min("t_us").alias("lo"), F.max("t_us").alias("hi")).collect()[0]
     lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None:
+        # empty events: write three schema-only shards so the stream still
+        # sees its three file arrivals and drains to an empty snapshot
+        # (None bounds would crash the band arithmetic below)
+        for shard in range(3):
+            ev.limit(0).coalesce(1).write.parquet(
+                os.path.join(feed_dir, f"t{shard}")
+            )
+        return
     band = ((F.col("t_us") - lo) * 3 / (hi - lo + 1)).cast("int")
     for shard in range(3):
         ev.filter(band == shard).write.parquet(os.path.join(feed_dir, f"t{shard}"))
@@ -839,6 +848,12 @@ def stream_lsh_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _tmp_stream_dir("lshttl_")  # cand_b* is read lazily — atexit removal
     feed_dir = os.path.join(base, "feed")
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    if docs.limit(1).count() == 0:
+        # day-one pipeline: an empty corpus streams to an empty index and
+        # zero candidate pairs (the shard writer's loud empty-table error
+        # is for the NON-degenerate path, where emptiness means a feed bug)
+        _remove_stream_tmp(base)
+        return spark.createDataFrame([], "doc_a long, doc_b long, jaccard double")
     _write_id_ordered_shards(docs, feed_dir)
     ckpt = _tmp_stream_dir("ckpt_lshttl_", _CKPT_DIR)
     _run_lsh_ttl_stream(spark, docs.schema, base, ckpt)

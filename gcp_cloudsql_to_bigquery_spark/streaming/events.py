@@ -318,9 +318,17 @@ def stream_processing_time_trigger(spark: SparkSession, sf_dir: str) -> DataFram
             drained = False
             while time.time() < deadline and not drained:
                 time.sleep(0.25)
-                drained = any(
-                    p["numInputRows"] == 0 for p in (q.recentProgress or [])
-                ) and any(p["numInputRows"] > 0 for p in (q.recentProgress or []))
+                progress = q.recentProgress or []
+                zero_ticks = sum(1 for p in progress if p["numInputRows"] == 0)
+                has_data = any(p["numInputRows"] > 0 for p in progress)
+                # data seen + a zero tick => listing caught up and drained.
+                # NO data after several listing ticks => the pre-written
+                # feed is genuinely EMPTY (day-one pipeline): the complete-
+                # mode aggregate is final at zero rows — waiting the full
+                # 60 s for rows that cannot arrive was the old behavior
+                drained = (has_data and zero_ticks >= 1) or (
+                    not has_data and zero_ticks >= 3
+                )
             if not drained:
                 raise TimeoutError(
                     "stream_processing_time_trigger: source not drained within "

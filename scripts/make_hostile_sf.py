@@ -320,7 +320,18 @@ _NULLS_TIER: dict[str, dict[str, list[int]]] = {
 }
 
 
+def _truncate(outdir: str, name: str) -> None:
+    t = pq.read_table(f"{outdir}/{name}.parquet")
+    pq.write_table(t.slice(0, 0), f"{outdir}/{name}.parquet")
+
+
 def main(outdir: str = "/tmp/hostile_sf", tier: str = "values") -> str:
+    """tier: 'values' (degenerate non-null content), 'nulls' (NULLs in
+    value-ish columns), or 'empty' (documents/embeddings/events have ZERO
+    rows — the day-one-pipeline scenario: every driver-side collect,
+    codebook slice, k-means init and stream drain must yield an empty
+    result, not a crash; TPC-H tables stay populated so only the
+    extension-table surface is exercised)."""
     import os
 
     global _NULL_PLAN
@@ -335,6 +346,9 @@ def main(outdir: str = "/tmp/hostile_sf", tier: str = "values") -> str:
     make_events(outdir)
     make_documents(outdir)
     make_embeddings(outdir)
+    if tier == "empty":
+        for name in ("documents", "embeddings", "events"):
+            _truncate(outdir, name)
     return outdir
 
 

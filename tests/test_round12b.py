@@ -201,6 +201,68 @@ def test_nulls_fixed_query_matches_oracle(spark, duck_nulls, hostile_nulls_sf, n
     assert s == o, f"{name}: first diffs {[p for p in zip(s, o) if p[0] != p[1]][:3]}"
 
 
+@pytest.fixture(scope="module")
+def hostile_empty_sf(tmp_path_factory):
+    mod = _load_script("make_hostile_sf")
+    out = tmp_path_factory.mktemp("hostile_empty_sf")
+    return mod.main(str(out), tier="empty")
+
+
+@pytest.fixture(scope="module")
+def duck_empty(hostile_empty_sf):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{hostile_empty_sf}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+# every query the empty-tier sweep flagged (14 — all Spark-side crashes on
+# zero-row documents/embeddings/events): np.stack of zero arrays, empty
+# k-means init, empty partitioned write read-back, streams over empty
+# feeds, crosstab with zero pivot columns.  Contract: empty in, empty out.
+EMPTY_FIXED = [
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_matryoshka_rerank",
+    "ann_anchor_lsh",
+    "ann_recall_report",
+    "dedup_semdedup",
+    "dedup_embedding_cosine",
+    "dedup_signal_agreement",
+    "agg_crosstab",
+    "stream_incremental_sessionize",
+    "elt_dynamic_partition_overwrite",
+    "stream_processing_time_trigger",
+    "stream_lsh_dedup_ttl",
+]
+
+
+@pytest.mark.parametrize("name", EMPTY_FIXED)
+def test_empty_fixed_query_matches_oracle(spark, duck_empty, hostile_empty_sf, name):
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()[name](spark, hostile_empty_sf)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck_empty.execute(entry.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    assert len(srows) == len(orows), (
+        f"{name}: rowcount spark={len(srows)} duckdb={len(orows)}"
+    )
+    s = _selfcheck.rowset(scols, srows)
+    o = _selfcheck.rowset(ocols, orows)
+    assert s == o, f"{name}: first diffs {[p for p in zip(s, o) if p[0] != p[1]][:3]}"
+
+
 def test_size_of_null_is_null(spark):
     """spark.sql.legacy.sizeOfNull=false is load-bearing: with ANSI off the
     engine default resurrects size(NULL) = -1, which silently turns every
