@@ -311,6 +311,9 @@ def fn_pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would poison the whole group's mean; SQL's avg(ln(x)) skips them
         vals = v.to_numpy()
         vals = vals[~np.isnan(vals)]
+        if vals.size == 0:
+            # SQL avg over zero non-null rows is NULL, not NaN (ADVICE r12)
+            return None
         return float(np.exp(np.log(vals).mean()))
 
     o = load(spark, sf_dir, "orders")

@@ -254,7 +254,12 @@ def interval_join(
     pt = points.withColumn(
         "_bucket", F.floor(F.col(point_time).cast("timestamp").cast("double") / bucket_width_sec)
     )
-    iv = intervals.withColumn(
+    # Inverted intervals (end < start) contain no point — the containment
+    # filter below already drops their matches, but F.sequence(hi, lo)
+    # silently generates a DESCENDING bucket range, exploding garbage
+    # candidate rows proportional to the inversion span.  Guard before the
+    # explode: an inverted interval produces zero rows, by contract.
+    iv = intervals.filter(F.col(end) >= F.col(start)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(

@@ -120,7 +120,11 @@ def cosine(a: Column, b: Column) -> Column:
 # pipeline defect upstream, not a rankable point.  THRESHOLD operators need
 # no filter: an undefined similarity fails every positive threshold under
 # all three conventions, so they drop such pairs symmetrically already.
-_NONZERO_SQL = "len(list_filter(embedding, x -> x <> 0)) > 0"
+def _nonzero_sql(col: str = "embedding") -> str:
+    """The DuckDB-side spelling of the nonzero() contract above — every
+    oracle that states it interpolates THIS string, so impl and oracle
+    cannot drift (ADVICE r12: a named constant nobody referenced)."""
+    return f"len(list_filter({col}, x -> x <> 0)) > 0"
 
 
 def nonzero(e: DataFrame) -> DataFrame:
@@ -227,11 +231,11 @@ def pairwise_cosine(
 
 @register(
     "ann_bruteforce_topk",
-    oracle="""
+    oracle=f"""
     WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
-               WHERE vec_id < 10 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+               WHERE vec_id < 10 AND {_nonzero_sql()}),
          c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
-               WHERE len(list_filter(embedding, x -> x <> 0)) > 0)
+               WHERE {_nonzero_sql()})
     SELECT query_id, neighbor_id, cosine, rnk FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
@@ -296,14 +300,14 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= K)
 
 
-_IVF_ORACLE = """
+_IVF_ORACLE = f"""
     WITH anchors AS (
       SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av
       FROM embeddings
-      WHERE vec_id < 16 AND len(list_filter(embedding, x -> x <> 0)) > 0
+      WHERE vec_id < 16 AND {_nonzero_sql()}
     ),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-          WHERE len(list_filter(embedding, x -> x <> 0)) > 0),
+          WHERE {_nonzero_sql()}),
     scored AS (  -- micro-quantized cosine of every vector vs every anchor
       SELECT v.vec_id, a.aid,
              CAST(floor(list_cosine_similarity(v.v, a.av) * 1e6 + 0.5) AS BIGINT) AS cm
@@ -584,7 +588,7 @@ def _kmeans_cte_prefix(k: int = 16, iters: int = 3, dim: int = 64) -> list[str]:
         # zero-norm vectors excluded (nonzero() contract): they cannot be
         # unit-normalized for init and their assignment cosine is undefined
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
-        " WHERE len(list_filter(embedding, x -> x <> 0)) > 0),",
+        f" WHERE {_nonzero_sql()}),",
         f"dims AS (SELECT CAST(range AS INT) + 1 AS dim FROM range({dim})),",
         # init: unit-normalize the first k vectors BY ORDER (kmeans_train's
         # orderBy(vec_id).limit(k) — not a literal id cut, which diverges on
@@ -1146,7 +1150,7 @@ _PQ_RERANK_ORACLE = (
     -- the exact-COSINE rerank is undefined on them, so the rerank joins go
     -- through the nonzero view (nonzero() contract): zero-norm candidates
     -- drop out of the rerank, zero-norm queries produce no rerank rows
-    vnz AS (SELECT * FROM v WHERE len(list_filter(v, x -> x <> 0)) > 0)
+    vnz AS (SELECT * FROM v WHERE {_nonzero_sql("v")})
     SELECT query_id, neighbor_id, cosine, coarse_rank, rnk FROM (
       SELECT c.query_id, c.neighbor_id, c.coarse_rank,
              round(list_cosine_similarity(q.v, n.v), 6) AS cosine,
@@ -1281,9 +1285,9 @@ _MRL_K = 5  # final top-k
     -- cosine is undefined on zero prefixes (see the nonzero() note)
     WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
                FROM embeddings WHERE vec_id < 10
-               AND len(list_filter(embedding[1:{_MRL_D0}], x -> x <> 0)) > 0),
+               AND {_nonzero_sql(f"embedding[1:{_MRL_D0}]")}),
          c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings
-               WHERE len(list_filter(embedding[1:{_MRL_D0}], x -> x <> 0)) > 0),
+               WHERE {_nonzero_sql(f"embedding[1:{_MRL_D0}]")}),
     coarse AS (
       SELECT query_id, neighbor_id, crnk FROM (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -322,13 +322,23 @@ def stream_processing_time_trigger(spark: SparkSession, sf_dir: str) -> DataFram
                 zero_ticks = sum(1 for p in progress if p["numInputRows"] == 0)
                 has_data = any(p["numInputRows"] > 0 for p in progress)
                 # data seen + a zero tick => listing caught up and drained.
-                # NO data after several listing ticks => the pre-written
-                # feed is genuinely EMPTY (day-one pipeline): the complete-
-                # mode aggregate is final at zero rows — waiting the full
-                # 60 s for rows that cannot arrive was the old behavior
-                drained = (has_data and zero_ticks >= 1) or (
-                    not has_data and zero_ticks >= 3
-                )
+                # NO data after several listing ticks => PROBABLY an empty
+                # pre-written feed (day-one pipeline) — but file-source
+                # listing can lag the first ticks on a slow filesystem, so
+                # confirm with a cheap batch count before accepting the
+                # empty exit; a non-empty feed keeps waiting for the rows
+                # to arrive through the stream (ADVICE r12).
+                drained = has_data and zero_ticks >= 1
+                if not drained and not has_data and zero_ticks >= 3:
+                    batch_n = (
+                        spark.read.schema(events_physical_schema(spark, sf_dir))
+                        .format("parquet")
+                        .option("pathGlobFilter", "events.parquet")
+                        .load(sf_dir)
+                        .limit(1)
+                        .count()
+                    )
+                    drained = batch_n == 0
             if not drained:
                 raise TimeoutError(
                     "stream_processing_time_trigger: source not drained within "

@@ -32,7 +32,7 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, distinct_t
 # own order — at a .xx5 representational boundary the 2dp round() diverges
 # (hostile-data find).  Per-row floor(v*1000+0.5) is engine-identical, the
 # integer sum is order-free, and milli/1000.0 needs no rounding at all.
-STATE_SCHEMA = "n bigint, total_milli bigint, types array<string>"
+STATE_SCHEMA = "n bigint, nv bigint, total_milli bigint, types array<string>"
 
 
 def running_user_stats(
@@ -42,27 +42,31 @@ def running_user_stats(
     import numpy as np
 
     if state.exists:
-        n, total_milli, types = state.get
+        n, nv, total_milli, types = state.get
         types = list(types)
     else:
-        n, total_milli, types = 0, 0, []
+        n, nv, total_milli, types = 0, 0, 0, []
     for pdf in batches:
         n += len(pdf)
-        # exact integer milli-units per row (see STATE_SCHEMA note)
-        total_milli += int(
-            np.floor(pdf["value"].to_numpy(dtype="float64") * 1000.0 + 0.5)
-            .astype("int64")
-            .sum()
-        )
+        # exact integer milli-units per row (see STATE_SCHEMA note).  NULL
+        # values arrive as NaN and must be dropped BEFORE the floor: NaN
+        # through floor().astype('int64') is INT64_MIN, silently corrupting
+        # the total, while the oracle's sum() skips NULLs (ADVICE r12).
+        vals = pdf["value"].to_numpy(dtype="float64")
+        vals = vals[~np.isnan(vals)]
+        nv += int(vals.size)
+        total_milli += int(np.floor(vals * 1000.0 + 0.5).astype("int64").sum())
         for t in pdf["event_type"]:
-            if t not in types:
+            # count(DISTINCT event_type) skips NULLs; mirror that here.
+            if t is not None and t not in types:
                 types.append(t)
-    state.update((n, total_milli, types))
+    state.update((n, nv, total_milli, types))
+    # SQL sum() over zero non-null rows is NULL, not 0 — emit None then.
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [total_milli / 1000.0],
+            "total_value": [total_milli / 1000.0 if nv else None],
             "distinct_types": [len(types)],
         }
     )

@@ -179,6 +179,9 @@ NULLS_FIXED = [
     "fn_array_higher_order",
     "fn_udtf_table_argument",
     "dedup_minhash_ml",
+    # ADVICE r12: NULL `value` rows reached the stateful fold as NaN and
+    # floored to INT64_MIN; nulls tier now exercises the NaN-mask fix.
+    "stream_stateful_user_stats",
 ]
 
 

@@ -1,0 +1,220 @@
+"""Round-13 witnesses.
+
+Wave 1: the ADVICE r12 closures —
+- ``running_user_stats`` NULL-value fold (NaN→INT64_MIN corruption) and
+  the SQL NULL-on-empty-sum / count(DISTINCT)-skips-NULL contracts;
+- ``fn_pandas_udaf_geomean`` all-NULL group returns NULL, not NaN;
+- the ``_nonzero_sql()`` interpolation drift-guard (the zero-norm
+  exclusion contract is now stated ONCE and interpolated into every
+  oracle that names it);
+- ``interval_join`` inverted-interval guard (end < start explodes a
+  DESCENDING bucket sequence; now dropped before the explode).
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# stateful NULL-value fold (ADVICE r12, medium)
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the fold function directly."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def _run_fold(batches):
+    from gcp_cloudsql_to_bigquery_spark.streaming.stateful import running_user_stats
+
+    state = _FakeState()
+    out = None
+    for pdf in batches:
+        out = list(running_user_stats((7,), iter([pdf]), state))[-1]
+    return out.iloc[0]
+
+
+def test_stateful_fold_masks_null_values():
+    """A NULL value row must not floor NaN into INT64_MIN (ADVICE r12)."""
+    row = _run_fold(
+        [
+            pd.DataFrame({"value": [1.25, None, 2.5], "event_type": ["a", "b", "a"]}),
+        ]
+    )
+    assert row["n_events"] == 3  # count(*) counts the NULL-value row
+    assert row["total_value"] == pytest.approx(3.75)
+    assert row["distinct_types"] == 2
+
+
+def test_stateful_fold_all_null_values_yield_null_total():
+    """sum() over zero non-null rows is SQL NULL, not 0.0."""
+    row = _run_fold([pd.DataFrame({"value": [None, None], "event_type": ["a", "a"]})])
+    assert row["n_events"] == 2
+    assert row["total_value"] is None or pd.isna(row["total_value"])
+    assert row["distinct_types"] == 1
+
+
+def test_stateful_fold_skips_null_event_type():
+    """count(DISTINCT event_type) skips NULLs; the state fold must too."""
+    row = _run_fold(
+        [pd.DataFrame({"value": [1.0, 1.0], "event_type": [None, "x"]})]
+    )
+    assert row["distinct_types"] == 1
+
+
+def test_stateful_fold_null_total_stays_null_across_batches():
+    """The non-null counter lives in state: a second all-NULL batch must not
+    resurrect a 0.0 total."""
+    from gcp_cloudsql_to_bigquery_spark.streaming.stateful import running_user_stats
+
+    state = _FakeState()
+    list(running_user_stats((7,), iter([pd.DataFrame({"value": [None], "event_type": ["a"]})]), state))
+    out = list(
+        running_user_stats(
+            (7,), iter([pd.DataFrame({"value": [None], "event_type": ["b"]})]), state
+        )
+    )[-1].iloc[0]
+    assert out["n_events"] == 2
+    assert out["total_value"] is None or pd.isna(out["total_value"])
+    # ...and a later real value starts the sum from 0, not INT64_MIN
+    out2 = list(
+        running_user_stats(
+            (7,), iter([pd.DataFrame({"value": [4.0], "event_type": ["b"]})]), state
+        )
+    )[-1].iloc[0]
+    assert out2["total_value"] == pytest.approx(4.0)
+
+
+# ---------------------------------------------------------------------------
+# geo_mean all-NULL group (ADVICE r12, low) — oracle-net witness on a
+# fixture where one whole priority group's o_totalprice is NULL
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def allnull_price_sf(tmp_path_factory):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("allnull_price_sf")
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF0001}/{name}.parquet", out / f"{name}.parquet")
+    t = pq.read_table(out / "orders.parquet")
+    mask = pc.equal(t["o_orderpriority"], "1-URGENT")
+    price = pc.if_else(mask, None, t["o_totalprice"])
+    t = t.set_column(t.schema.get_field_index("o_totalprice"), "o_totalprice", price)
+    pq.write_table(t, out / "orders.parquet")
+    return str(out)
+
+
+def test_geomean_all_null_group_is_null(spark, allnull_price_sf):
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sdf = entry.queries()["fn_pandas_udaf_geomean"](spark, allnull_price_sf)
+    srows = {r["o_orderpriority"]: r["geo_mean"] for r in sdf.collect()}
+    assert "1-URGENT" in srows and srows["1-URGENT"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{allnull_price_sf}/orders.parquet'"
+    )
+    orows = dict(con.execute(entry.oracle_sql()["fn_pandas_udaf_geomean"]).fetchall())
+    con.close()
+    assert orows["1-URGENT"] is None
+    for k, v in orows.items():
+        if v is None:
+            assert srows[k] is None
+        else:
+            assert srows[k] == pytest.approx(v, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# _nonzero_sql interpolation drift-guard (ADVICE r12, low)
+# ---------------------------------------------------------------------------
+
+
+def test_nonzero_contract_interpolated_into_oracles():
+    from gcp_cloudsql_to_bigquery_spark.operators.similarity import _nonzero_sql
+
+    import __spark_entry__ as entry
+
+    oracles = entry.oracle_sql()
+    for name in ("ann_bruteforce_topk", "ann_ivf_topk", "ann_ivf_kmeans_topk",
+                 "dedup_semdedup"):
+        assert _nonzero_sql() in oracles[name], name
+    assert _nonzero_sql("v") in oracles["ann_pq_rerank"]
+
+
+# ---------------------------------------------------------------------------
+# interval_join inverted-interval guard (VERDICT r12 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_join_drops_inverted_intervals(spark):
+    from gcp_cloudsql_to_bigquery_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 12:00:00"), (2, "2024-01-01 12:00:00")],
+        "k int, t string",
+    ).selectExpr("k", "CAST(t AS TIMESTAMP) AS t")
+    intervals = spark.createDataFrame(
+        [
+            # valid: contains the point
+            (1, "2024-01-01 00:00:00", "2024-01-02 00:00:00", "ok"),
+            # inverted: end 3 days BEFORE start — must contribute zero rows
+            # (pre-guard it exploded a descending 3-day bucket range)
+            (2, "2024-01-04 00:00:00", "2024-01-01 00:00:00", "bad"),
+        ],
+        "k int, s string, e string, tag string",
+    ).selectExpr(
+        "k", "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e", "tag"
+    )
+    out = interval_join(
+        points, intervals, "k", "k", "t", "s", "e", bucket_width_sec=3600
+    )
+    tags = [r["tag"] for r in out.collect()]
+    assert tags == ["ok"]
+
+
+def test_interval_join_inverted_explodes_no_buckets(spark):
+    """The guard must act BEFORE the explode: an all-inverted interval side
+    produces an empty join input, not a descending garbage fan-out."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_to_bigquery_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-03 00:00:00")], "k int, t string"
+    ).selectExpr("k", "CAST(t AS TIMESTAMP) AS t")
+    inverted = spark.createDataFrame(
+        [(1, "2024-01-05 00:00:00", "2024-01-01 00:00:00")],
+        "k int, s string, e string",
+    ).selectExpr("k", "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e")
+    out = interval_join(points, inverted, "k", "k", "t", "s", "e", 3600)
+    assert out.count() == 0
