@@ -257,6 +257,48 @@ def main() -> None:
         extended[name] = round(best, 3)
     spark.catalog.clearCache()
 
+    # Oracle-side wall-clocks for the extended trio (VERDICT r12 item 5):
+    # PERF.md has long argued the dedup family's wall-time is a corpus
+    # constant with the DuckDB side far slower, but the 2x criterion
+    # should be checkable FROM the artifact.  One run each (these are
+    # multi-second-to-minutes pipelines; scheduler jitter is
+    # proportionally negligible), interrupt-capped so a pathological
+    # plan cannot blow the bench budget — a cap hit still records the
+    # bound, which is itself the ">= cap" evidence the ratio needs.
+    oracle_extended: dict[str, "float | str"] = {}
+    try:
+        import threading
+
+        import duckdb as _duckdb
+
+        from gcp_cloudsql_to_bigquery_spark.catalog import TABLES as _TABLES
+        from gcp_cloudsql_to_bigquery_spark.workload import oracle_sql as _osql
+
+        _ORACLE_EXT_CAP_SEC = 900.0
+        econ = _duckdb.connect()
+        for t in _TABLES:
+            econ.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        esqls = _osql()
+        for name in EXTENDED:
+            sql = esqls.get(name)
+            if sql is None:
+                continue
+            timer = threading.Timer(_ORACLE_EXT_CAP_SEC, econ.interrupt)
+            timer.start()
+            t0 = time.time()
+            try:
+                econ.execute(sql).fetchall()
+                oracle_extended[name] = round(time.time() - t0, 3)
+            except _duckdb.InterruptException:
+                oracle_extended[name] = f">={int(_ORACLE_EXT_CAP_SEC)}s (interrupted)"
+            finally:
+                timer.cancel()
+        econ.close()
+    except Exception as e:  # bench must still emit its JSON line
+        oracle_extended["__error__"] = str(e)[:200]
+
     # basename-derived like the scaling keys (same ADVICE r9 bug class:
     # rsplit on 'sf' over the full path mangles '/x/transfers' to 'ers');
     # strip the 'sf' prefix only when the remainder is numeric, so a
@@ -280,6 +322,7 @@ def main() -> None:
                     sum(v for k, v in oracle_timings.items() if k != "__error__"), 3
                 ),
                 "queries_extended": extended,
+                "oracle_extended": oracle_extended,
                 "scaling": scaling,
                 "plan_build": plan_build,
                 "cold_run": cold_run,

@@ -28,6 +28,18 @@ from ..catalog import load
 from ..registry import register
 
 
+def media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` rows addressable as media.
+
+    NULL ``doc_id`` is excluded (round-13 null-KEYS contract): every
+    synthesis kernel in this module derives its payload deterministically
+    from the id (``int(doc_id)`` seeds planes, dims, box trees), and every
+    decode result is keyed back by it — a blob without identity can be
+    neither synthesized nor addressed.  Each oracle states the same
+    ``doc_id IS NOT NULL`` (or an arithmetic predicate that implies it)."""
+    return load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
+
+
 def as_media_table(docs: DataFrame) -> DataFrame:
     """Build a media-shaped table from ``documents``: payload = encoded text
     (an opaque blob to the engine), typed metadata alongside — the layout a
@@ -57,6 +69,7 @@ def as_media_table(docs: DataFrame) -> DataFrame:
            CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            round(avg(n_chars), 4)             AS avg_content_length
     FROM documents
+    WHERE doc_id IS NOT NULL
     GROUP BY media_type
     """,
     doc="Metadata-only rollup over a multimodal table: payload column is "
@@ -64,7 +77,7 @@ def as_media_table(docs: DataFrame) -> DataFrame:
     "shape that must NOT read 100 TB of pixels.",
 )
 def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = as_media_table(load(spark, sf_dir, "documents"))
+    media = as_media_table(media_docs(spark, sf_dir))
     return (
         media.groupBy("media_type")
         .agg(
@@ -105,7 +118,7 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "checked against the DuckDB closed forms.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     img = (
         docs.filter(F.col("doc_id") % 3 == 0)
         .mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
@@ -151,7 +164,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per frame — the fan-out that must stay metadata-sized at 100 TB.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = as_media_table(load(spark, sf_dir, "documents"))
+    media = as_media_table(media_docs(spark, sf_dir))
     video = media.filter(F.col("media_type") == "video/mp4")
     n_frames = (F.col("meta.content_length") / 50).cast("long")
     frames = F.sequence(F.lit(0).cast("long"), n_frames - 1, F.lit(4).cast("long"))
@@ -240,6 +253,7 @@ def decode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            (doc_id % 48 + 7) / 2.0             AS mean_g,
            CAST((doc_id * 31) % 256 AS DOUBLE) AS mean_b
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
     doc="REAL binary image decode, fully oracle-verified: synthesize a "
     "deterministic P6 PPM per document (constant r/b planes, vertical "
@@ -254,7 +268,7 @@ def decode_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "payload is projected away right after decode.",
 )
 def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
     return media.mapInPandas(decode_ppm_batch, schema=PPM_DECODED_SCHEMA)
 
@@ -356,6 +370,7 @@ def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            (n_chars % 2000 + 100) / {_WAV_RATE}.0        AS duration_sec,
            CAST(doc_id % 1000 AS DOUBLE)                 AS rms
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
     doc="REAL audio decode, fully oracle-verified (the WAV sibling of "
     "multimodal_decode_ppm): synthesize a PCM16 RIFF/WAVE square-wave per "
@@ -368,7 +383,7 @@ def decode_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "end-to-end; only codec-library formats remain stubbed.",
 )
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_wav_batch, schema="doc_id bigint, payload binary")
     return media.mapInPandas(decode_wav_batch, schema=WAV_DECODED_SCHEMA)
 
@@ -416,6 +431,7 @@ def resize_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            CAST((doc_id % 48 + 8 + 1) // 2 - 1 AS DOUBLE) AS mean_g,
            CAST((doc_id * 31) % 256 AS DOUBLE)      AS mean_b
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
     doc="REAL image resize, the brief's named multimodal op: synthesize a "
     "P6 PPM per document, nearest-neighbor downsample 2x in a distributed "
@@ -431,7 +447,7 @@ def resize_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "before any shuffle or sink.",
 )
 def multimodal_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
     resized = media.mapInPandas(resize_ppm_batch, schema="doc_id bigint, payload binary")
     return resized.mapInPandas(decode_ppm_batch, schema=PPM_DECODED_SCHEMA)
@@ -488,6 +504,7 @@ def decimate_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
            ((n_chars % 2000 + 100 + 1) // 2) / ({_WAV_RATE} / 2.0) AS duration_sec,
            CAST(doc_id % 1000 AS DOUBLE)                           AS rms
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
     doc="REAL audio resample (the WAV sibling of multimodal_resize_ppm): "
     "decimate the PCM16 stream by 2 in a binary-to-binary mapInPandas "
@@ -501,7 +518,7 @@ def decimate_wav_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     "audio payloads, all byte-level real, all oracle-verified.",
 )
 def multimodal_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_wav_batch, schema="doc_id bigint, payload binary")
     small = media.mapInPandas(decimate_wav_batch, schema="doc_id bigint, payload binary")
     return small.mapInPandas(decode_wav_batch, schema=WAV_DECODED_SCHEMA)
@@ -519,6 +536,7 @@ def multimodal_resample_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS zero_crossings,
            CAST({_WAV_RATE} / 2 AS BIGINT)      AS dominant_hz
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
     doc="Spectral feature extraction over REAL audio payloads — the "
     "second-stage kernel a training pipeline runs after decode (VAD/"
@@ -571,7 +589,7 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["dominant_hz"].append(rate // 2)
             yield pd.DataFrame(out)
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_wav_batch, schema="doc_id bigint, payload binary")
     return media.mapInPandas(
         spectral_batch,
@@ -588,6 +606,7 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
              n_chars % 64 + 8 AS w,
              doc_id % 48 + 8 AS h
       FROM documents
+      WHERE doc_id IS NOT NULL
     )
     SELECT d.doc_id, b.b AS bucket,
            CAST(least(greatest(h - 16 * b.b, 0), 16) * w AS BIGINT) AS n_px
@@ -632,7 +651,7 @@ def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out["n_px"].append(int(counts[b]))
             yield pd.DataFrame(out)
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
     return media.mapInPandas(
         hist_batch, schema="doc_id bigint, bucket int, n_px bigint"
@@ -709,6 +728,7 @@ def phash_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=f"""
     WITH dims AS (
       SELECT doc_id, doc_id % 48 + 8 AS h FROM documents
+      WHERE doc_id IS NOT NULL
     ),
     ph AS (
       SELECT doc_id, {_PHASH_ORACLE_BYTES} AS phash FROM dims
@@ -750,7 +770,7 @@ def phash_ppm_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_ppm_batch, schema="doc_id bigint, payload binary")
     hashed = media.mapInPandas(phash_ppm_batch, schema="doc_id bigint, phash string")
     w = W.partitionBy("phash")
@@ -880,6 +900,7 @@ _PHASH_HAMMING_SQL = " + ".join(
              ((doc_id % 8) * (doc_id % 48 + 8) + 7) // 8 AS lo,
              ((doc_id % 8 + 1) * (doc_id % 48 + 8) + 7) // 8 AS hi
       FROM documents
+      WHERE doc_id IS NOT NULL
     ),
     ph_o AS ({_phash_striped_sql(1)}),
     ph_t AS ({_phash_striped_sql(2)}),
@@ -930,7 +951,7 @@ _PHASH_HAMMING_SQL = " + ".join(
     "(corpus-bounded) broadcast back onto per-doc rows.",
 )
 def multimodal_phash_thumbnail_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     media = docs.mapInPandas(
         synthesize_ppm_striped_batch, schema="doc_id bigint, payload binary"
     )
@@ -1000,6 +1021,7 @@ def multimodal_phash_thumbnail_match(spark: SparkSession, sf_dir: str) -> DataFr
              doc_id % 24 + 8                             AS h,
              doc_id % 256 + (doc_id * 31) % 256          AS cc
       FROM documents
+      WHERE doc_id IS NOT NULL
     )
     SELECT doc_id, CAST(nf // 3 AS INT) AS cut_frame,
            CAST(2 * (cc + 10) + (h - 1) AS BIGINT)       AS mean_before_x2,
@@ -1093,7 +1115,7 @@ def multimodal_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out["mean_after_x2"].append(means[f])
             yield pd.DataFrame(out)
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     video = docs.mapInPandas(synth_video_batch, schema="doc_id bigint, payload binary")
     return video.mapInPandas(
         detect_batch,
@@ -1197,6 +1219,7 @@ def decode_tiff_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
            1                                    AS compression,
            CAST(doc_id % 8 + 1 AS INT)          AS orientation
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
     doc="REAL TIFF/EXIF-style METADATA WALK, fully oracle-verified: "
     "synthesize a baseline-TIFF header per document — half the corpus "
@@ -1213,7 +1236,7 @@ def decode_tiff_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     "each blob (header-range reads against object storage).",
 )
 def multimodal_tiff_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_tiff_batch, schema="doc_id bigint, payload binary")
     return media.mapInPandas(decode_tiff_batch, schema=TIFF_META_SCHEMA)
 
@@ -1339,6 +1362,7 @@ def decode_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                       unnest(generate_series(0, n_chars % 16 + 3)) AS y(y))
                 AS BIGINT)                AS px_sum
     FROM documents
+    WHERE doc_id IS NOT NULL
     """,
     doc="REAL PNG ENCODE/DECODE with INTEGRITY VERIFICATION — the full "
     "compressed-container round trip the PPM path (uncompressed) "
@@ -1357,7 +1381,7 @@ def decode_png_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "job aborts.",
 )
 def multimodal_png_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_png_batch, schema="doc_id bigint, payload binary")
     return media.mapInPandas(decode_png_batch, schema=PNG_DECODED_SCHEMA)
 
@@ -1435,6 +1459,7 @@ def walk_bmff_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ('/mdat', CAST(8 + (n_chars % 50 + 1) AS BIGINT), 0)
       ) t(p, s, d)
     ) b
+    WHERE doc_id IS NOT NULL
     """,
     doc="ISO BMFF (MP4-family) BOX-TREE WALK — the NESTED container "
     "grammar the flat TIFF IFD walk cannot express: boxes are (size, "
@@ -1452,6 +1477,6 @@ def walk_bmff_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "walker reads box headers only — range requests, not full blobs.",
 )
 def multimodal_bmff_box_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = media_docs(spark, sf_dir).select("doc_id", "n_chars")
     media = docs.mapInPandas(synthesize_bmff_batch, schema="doc_id bigint, payload binary")
     return media.mapInPandas(walk_bmff_batch, schema=BMFF_WALK_SCHEMA)

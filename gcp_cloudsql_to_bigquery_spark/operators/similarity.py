@@ -120,16 +120,24 @@ def cosine(a: Column, b: Column) -> Column:
 # pipeline defect upstream, not a rankable point.  THRESHOLD operators need
 # no filter: an undefined similarity fails every positive threshold under
 # all three conventions, so they drop such pairs symmetrically already.
-def _nonzero_sql(col: str = "embedding") -> str:
+def _nonzero_sql(col: str = "embedding", id_col: str = "vec_id") -> str:
     """The DuckDB-side spelling of the nonzero() contract above — every
     oracle that states it interpolates THIS string, so impl and oracle
-    cannot drift (ADVICE r12: a named constant nobody referenced)."""
-    return f"len(list_filter({col}, x -> x <> 0)) > 0"
+    cannot drift (ADVICE r12: a named constant nobody referenced).
+
+    Also states the ID contract (round 13, null-KEYS tier): a vector with
+    NULL ``vec_id`` has no identity — it can be neither indexed nor
+    returned as a neighbor, so rankable corpora exclude it.  SQL equi-
+    and theta-joins on the id drop NULLs implicitly; the Python kernels
+    (numpy ``!=`` masks keep NaN ids) and collected-id sorts do not, so
+    both sides exclude EXPLICITLY at ingest."""
+    return f"{id_col} IS NOT NULL AND len(list_filter({col}, x -> x <> 0)) > 0"
 
 
 def nonzero(e: DataFrame) -> DataFrame:
-    """Drop zero-norm vectors from a (vec_id, v) corpus (see note above)."""
-    return e.filter(F.exists("v", lambda x: x != 0))
+    """Drop zero-norm vectors AND NULL-id rows from a (vec_id, v) corpus
+    (see the contract notes above)."""
+    return e.filter(F.col("vec_id").isNotNull() & F.exists("v", lambda x: x != 0))
 
 
 def broadcast_pairwise_cosine(
@@ -1338,10 +1346,15 @@ def ann_matryoshka_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    # prefix-nonzero contract (implies full-norm nonzero) — see the oracle
+    # prefix-nonzero contract (implies full-norm nonzero) + non-NULL id
+    # (the numpy coarse kernel would otherwise keep a NaN-id candidate a
+    # SQL <> predicate drops) — see the oracle
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).filter(F.exists(F.slice("v", 1, _MRL_D0), lambda x: x != 0))
+    ).filter(
+        F.col("vec_id").isNotNull()
+        & F.exists(F.slice("v", 1, _MRL_D0), lambda x: x != 0)
+    )
     qrows = sorted(
         (r["vec_id"], r["v"]) for r in e.filter(F.col("vec_id") < 10).collect()
     )

@@ -54,12 +54,17 @@ def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(lead(o_totalprice) OVER w, 2) AS next_total,
            round(o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice), 2) AS delta
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST)
     """,
-    doc="lag/lead with deterministic (date, key) ordering; delta vs previous order.",
+    doc="lag/lead with deterministic (date, key) ordering; delta vs previous "
+    "order.  NULL sort keys placed FIRST on both sides (Spark's ASC "
+    "default, stated explicitly in the oracle — null-KEYS contract).",
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_first("o_orderdate"), F.asc_nulls_first("o_orderkey")
+    )
     total = F.col("o_totalprice")
     return load(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -76,10 +81,11 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
+                                         ORDER BY o_orderdate NULLS FIRST,
+                                                  o_orderkey NULLS FIRST
                                          ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
            count(*) OVER (PARTITION BY o_custkey
-                          ORDER BY o_orderdate, o_orderkey
+                          ORDER BY o_orderdate NULLS FIRST, o_orderkey NULLS FIRST
                           ROWS UNBOUNDED PRECEDING) AS order_seq
     FROM orders
     """,
@@ -88,7 +94,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_first("o_orderdate"), F.asc_nulls_first("o_orderkey"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return load(spark, sf_dir, "orders").select(
@@ -104,14 +110,17 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
+                                         ORDER BY o_orderdate NULLS FIRST,
+                                                  o_orderkey NULLS FIRST
                                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3
     FROM orders
     """,
     doc="Moving average over a bounded rows frame (3-order trailing window).",
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey").rowsBetween(-2, 0)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_first("o_orderdate"), F.asc_nulls_first("o_orderkey")
+    ).rowsBetween(-2, 0)
     return load(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
@@ -516,6 +525,7 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                           >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (
@@ -540,7 +550,9 @@ def ts_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "needed at 100 TB.  Oracle is the gaps-and-islands rewrite.",
 )
 def window_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    # NULL event time cannot be sessionized (null-KEYS contract; the
+    # oracle states the same WHERE) — explicit, not engine-default
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     agg = ev.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         F.count(F.lit(1)).alias("n_events")
     )
@@ -601,12 +613,13 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
              CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
-                                          ORDER BY ts, event_id) = 1
+                                          ORDER BY ts NULLS FIRST, event_id) = 1
                   THEN 1 ELSE 0 END AS first_seen
       FROM events
     )
     SELECT user_id, event_id,
-           CAST(sum(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           CAST(sum(first_seen) OVER (PARTITION BY user_id
+                                      ORDER BY ts NULLS FIRST, event_id
                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
              AS distinct_types_so_far
     FROM flagged
@@ -622,10 +635,12 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
-    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_first = W.partitionBy("user_id", "event_type").orderBy(
+        F.asc_nulls_first("ts"), "event_id"
+    )
     w_run = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_first("ts"), "event_id")
         .rowsBetween(W.unboundedPreceding, 0)
     )
     flagged = ev.withColumn(

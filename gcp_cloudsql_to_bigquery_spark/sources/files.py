@@ -888,7 +888,9 @@ def parse_fixed_width_feed(files: DataFrame) -> DataFrame:
            rtrim(substr(coalesce(c_name, ''), 1, 18)) AS name,
            CAST(floor(coalesce(c_acctbal, 0) * 100 + 0.5) AS BIGINT) AS bal_cents,
            rtrim(substr(coalesce(c_mktsegment, ''), 1, 10)) AS segment,
-           CAST(c_custkey % 8 AS BIGINT)             AS shard,
+           -- NULL key: renders as an all-space key field (parses back to
+           -- NULL) and routes to shard 0 (exporter hash-bucket contract)
+           CAST(coalesce(c_custkey, 0) % 8 AS BIGINT) AS shard,
            TRUE                                      AS count_ok,
            TRUE                                      AS checksum_ok
     FROM customer
@@ -927,11 +929,18 @@ def src_fixed_width_trailer(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents = 0 if pd.isna(r["cents"]) else int(r["cents"])
             name = r["c_name"] if isinstance(r["c_name"], str) else ""
             seg = r["c_mktsegment"] if isinstance(r["c_mktsegment"], str) else ""
+            # NULL key -> all-space key field: the one spelling the parse
+            # side's CAST reads back as NULL (a zero-pad would alias key 0)
+            key = (
+                " " * 9
+                if pd.isna(r["c_custkey"])
+                else f"{int(r['c_custkey']):09d}"
+            )
             total += cents
             sign = "-" if cents < 0 else "+"
             lines.append(
                 "D"
-                + f"{int(r['c_custkey']):09d}"
+                + key
                 + f"{name:<18.18}"
                 + sign
                 + f"{abs(cents):011d}"
@@ -948,7 +957,7 @@ def src_fixed_width_trailer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_mktsegment",
         F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").alias("cents"),
-        (F.col("c_custkey") % 8).cast("int").alias("shard"),
+        F.coalesce(F.col("c_custkey") % 8, F.lit(0)).cast("int").alias("shard"),
     )
     files = c.groupBy("shard").applyInPandas(
         render_shard, schema="shard int, content string"
@@ -1018,7 +1027,9 @@ def sniff_and_parse_feed(feeds: DataFrame) -> DataFrame:
            -- in the producer kernel)
            coalesce(c_name, '') AS name,
            coalesce(c_mktsegment, '') AS segment,
-           CASE CAST(c_custkey % 3 AS INT)
+           -- a NULL key routes to shard 0 (exporter hash-bucket contract,
+           -- mirrored in the producer's coalesce)
+           CASE CAST(coalesce(c_custkey, 0) % 3 AS INT)
              WHEN 0 THEN 'comma' WHEN 1 THEN 'pipe' ELSE 'tab' END AS detected
     FROM customer
     """,
@@ -1053,7 +1064,7 @@ def elt_delimiter_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
             # null representation (see the oracle's coalesce)
             d.join(
                 [
-                    str(int(r["c_custkey"])),
+                    "" if pd.isna(r["c_custkey"]) else str(int(r["c_custkey"])),
                     r["c_name"] if isinstance(r["c_name"], str) else "",
                     r["c_mktsegment"] if isinstance(r["c_mktsegment"], str) else "",
                 ]
@@ -1063,7 +1074,11 @@ def elt_delimiter_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.DataFrame({"shard": [shard], "content": ["\n".join(lines)]})
 
     c = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment", (F.col("c_custkey") % 3).cast("int").alias("shard")
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        # NULL key -> shard 0 (null-KEYS contract; oracle coalesces too)
+        F.coalesce(F.col("c_custkey") % 3, F.lit(0)).cast("int").alias("shard"),
     )
     feeds = c.groupBy("shard").applyInPandas(render, schema="shard int, content string")
     return sniff_and_parse_feed(feeds)

@@ -217,7 +217,8 @@ def read_sentinel_csv_source(spark: SparkSession, path: str) -> DataFrame:
     oracle="""
     SELECT CAST(c_nationkey AS BIGINT) AS nation,
            count(*) AS n_cust,
-           count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_null_segment,
+           count(CASE WHEN c_mktsegment = 'BUILDING' OR c_mktsegment IS NULL
+                      THEN 1 END) AS n_null_segment,
            round(sum(c_acctbal), 2) AS total_bal
     FROM customer
     WHERE c_nationkey < 10
@@ -325,10 +326,19 @@ class ExportQueueStreamReader(SimpleDataSourceStreamReader):
         block = start["block"]
         lo, hi = block * self._BLOCK, (block + 1) * self._BLOCK
         t = pq.read_table(self._path, columns=["c_custkey", "c_acctbal"])
-        keys = t.column("c_custkey").to_pylist()
-        if lo > max(keys):
+        # NULL-key rows have no queue position — blocks ARE custkey ranges
+        # — so they are not servable (nullkeys-tier find: max() over a
+        # None crashed latestOffset; the oracle states the same
+        # c_custkey IS NOT NULL).  Guard the empty queue too.
+        pairs = [
+            (k, b)
+            for k, b in zip(
+                t.column("c_custkey").to_pylist(), t.column("c_acctbal").to_pylist()
+            )
+            if k is not None
+        ]
+        if not pairs or lo > max(k for k, _ in pairs):
             return iter([]), start  # queue drained: do not advance
-        bals = t.column("c_acctbal").to_pylist()
         # NULL balance rides through as NULL cents (the oracle's
         # floor(NULL*...) — an unguarded None*100 crashed latestOffset's
         # prefetch; null-tier find)
@@ -338,7 +348,7 @@ class ExportQueueStreamReader(SimpleDataSourceStreamReader):
                 None if b is None else int(__import__("math").floor(b * 100 + 0.5)),
                 block,
             )
-            for k, b in zip(keys, bals)
+            for k, b in pairs
             if lo <= k < hi
         ]
         return iter(rows), {"block": block + 1}
@@ -370,6 +380,7 @@ class ExportQueueDataSource(DataSource):
            CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
            CAST(c_custkey // 500 AS INT) AS block
     FROM customer
+    WHERE c_custkey IS NOT NULL
     """,
     doc="STREAMING Python Data Source (Spark 4 SimpleDataSourceStreamReader)"
     " — the reference's export work-queue as a real streaming source: "

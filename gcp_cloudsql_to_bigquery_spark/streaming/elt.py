@@ -54,17 +54,23 @@ def write_arrival_files(spark: SparkSession, sf_dir: str, watch_dir: str, n_file
     # EVERY nullable field must coalesce to the sentinel: concat_ws SKIPS
     # null arguments, so an un-coalesced NULL acctbal would silently emit a
     # 3-field line that the width-validating reader rejects (null-tier
-    # find — exactly how a real export producer corrupts a feed)
+    # find — exactly how a real export producer corrupts a feed).  That
+    # includes the KEY columns (nullkeys-tier find: a NULL custkey/nation
+    # shortened the line the same way), and a NULL custkey must still land
+    # in SOME shard — route it to shard 0, the way a real exporter's
+    # hash(key) buckets nulls somewhere deterministic.
     line = F.concat_ws(
         ",",
-        F.col("c_custkey").cast("string"),
-        F.col("nation").cast("string"),
+        F.coalesce(F.col("c_custkey").cast("string"), F.lit('"N')),
+        F.coalesce(F.col("nation").cast("string"), F.lit('"N')),
         F.coalesce(F.col("segment_or_null"), F.lit('"N')),
         F.coalesce(F.col("acctbal").cast("string"), F.lit('"N')),
     ).alias("value")
     for shard in range(n_files):
         (
-            src.filter(F.col("c_custkey") % n_files == shard)
+            src.filter(
+                F.coalesce(F.pmod("c_custkey", F.lit(n_files)), F.lit(0)) == shard
+            )
             .select(line)
             .coalesce(1)
             .write.mode("overwrite")

@@ -320,6 +320,39 @@ _NULLS_TIER: dict[str, dict[str, list[int]]] = {
 }
 
 
+# Tier-4 "nullkeys" plan: NULLs in JOIN / GROUP / SORT / PRIMARY-ID KEY
+# columns — the axis wave 3 deliberately kept non-null.  This isolates the
+# remaining Spark-vs-DuckDB asymmetry surface: inner joins drop null keys
+# (symmetric), but ORDER BY over a nullable key diverges on placement
+# (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), window partitions keyed
+# by NULL group together, and id-keyed pairing (dedup doc_id, ANN vec_id)
+# must state what a NULL identity means.  Positions are pinned on filler
+# rows so the planted structures (PQ codebook vec_id<16, contamination docs
+# 20/55, dup docs 7/8/52, burst user 1) survive intact.  Lineitem rows for
+# order 47 keep their generated shipdates while the parent's o_orderdate is
+# NULL — the realistic torn-parent inconsistency.
+_NULLKEYS_TIER: dict[str, dict[str, list[int]]] = {
+    "orders": {
+        "o_custkey": [45, 46],
+        "o_orderdate": [47],
+        "o_orderpriority": [48],
+        "o_orderkey": [49],
+    },
+    "lineitem": {
+        "l_orderkey": [200, 201],
+        "l_partkey": [202],
+        "l_suppkey": [203],
+        "l_shipdate": [204],
+    },
+    "events": {"user_id": [30, 31], "event_type": [32, 33], "ts": [34, 35]},
+    "customer": {"c_custkey": [24], "c_nationkey": [22], "c_mktsegment": [23]},
+    "supplier": {"s_nationkey": [5]},
+    "part": {"p_partkey": [22], "p_brand": [20], "p_type": [21]},
+    "documents": {"doc_id": [60, 61]},
+    "embeddings": {"vec_id": [44]},
+}
+
+
 def _truncate(outdir: str, name: str) -> None:
     t = pq.read_table(f"{outdir}/{name}.parquet")
     pq.write_table(t.slice(0, 0), f"{outdir}/{name}.parquet")
@@ -327,15 +360,16 @@ def _truncate(outdir: str, name: str) -> None:
 
 def main(outdir: str = "/tmp/hostile_sf", tier: str = "values") -> str:
     """tier: 'values' (degenerate non-null content), 'nulls' (NULLs in
-    value-ish columns), or 'empty' (documents/embeddings/events have ZERO
-    rows — the day-one-pipeline scenario: every driver-side collect,
-    codebook slice, k-means init and stream drain must yield an empty
-    result, not a crash; TPC-H tables stay populated so only the
-    extension-table surface is exercised)."""
+    value-ish columns), 'nullkeys' (NULLs in join/group/sort/id KEY
+    columns), or 'empty' (documents/embeddings/events have ZERO rows — the
+    day-one-pipeline scenario: every driver-side collect, codebook slice,
+    k-means init and stream drain must yield an empty result, not a crash;
+    TPC-H tables stay populated so only the extension-table surface is
+    exercised)."""
     import os
 
     global _NULL_PLAN
-    _NULL_PLAN = _NULLS_TIER if tier == "nulls" else {}
+    _NULL_PLAN = {"nulls": _NULLS_TIER, "nullkeys": _NULLKEYS_TIER}.get(tier, {})
     os.makedirs(outdir, exist_ok=True)
     _copy(outdir, "region")
     _copy(outdir, "nation")
