@@ -1309,7 +1309,7 @@ def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d,
              CAST(sum(CAST(floor((value - 50.0) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS net
-      FROM events GROUP BY event_type, d
+      FROM events WHERE ts IS NOT NULL GROUP BY event_type, d
     ),
     cum AS (
       SELECT event_type, d,
@@ -1325,8 +1325,11 @@ def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(max(drawdown) AS BIGINT) AS max_drawdown_cents,
+           -- null-safe series identity: the NULL event_type series must
+           -- find its own max, not an empty correlated set
            min(CASE WHEN drawdown = (SELECT max(d2.drawdown) FROM dd d2
-                                     WHERE d2.event_type = dd.event_type)
+                                     WHERE d2.event_type
+                                           IS NOT DISTINCT FROM dd.event_type)
                     THEN d END)          AS trough_date,
            CAST(max(equity) AS BIGINT)   AS peak_equity_cents
     FROM dd GROUP BY event_type
@@ -1347,7 +1350,13 @@ def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev = load(spark, sf_dir, "events").select("event_type", "ts", "value")
+    # NULL ts has no position on the time axis (null-KEYS contract,
+    # stated in the oracle's WHERE)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", "ts", "value")
+    )
     daily = (
         ev.select(
             "event_type",
@@ -1367,7 +1376,9 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = dd.groupBy("event_type").agg(F.max("drawdown").alias("mdd"))
     return (
-        dd.join(mx, "event_type")
+        # null-safe: the NULL event_type series joins to its own max
+        dd.join(mx.withColumnRenamed("event_type", "et2"),
+                F.col("event_type").eqNullSafe(F.col("et2"))).drop("et2")
         .groupBy("event_type")
         .agg(
             F.max("mdd").cast("bigint").alias("max_drawdown_cents"),

@@ -26,10 +26,21 @@ from ..registry import register
 _EWMA_K = 10  # lag horizon: alpha = 1/2, weights 2^0 .. 2^-(K-1)
 
 
+def _events_on_axis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` rows that exist on the time axis: NULL ``ts`` excluded.
+
+    Family-wide null-KEYS contract (round 13): every operator in this
+    module regrains events onto a time grid (date_trunc hour/day) and
+    orders/windows along it — a NULL timestamp has no position there, and
+    leaving it in diverges on engine null-placement in every ordered
+    window.  Each oracle states the same ``ts IS NOT NULL``."""
+    return load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+
+
 def _hourly_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, h, cents): hourly value totals in exact integer cents —
     the shared pre-reduction for both operators."""
-    ev = load(spark, sf_dir, "events")
+    ev = _events_on_axis(spark, sf_dir)
     return (
         ev.select(
             "event_type",
@@ -45,7 +56,7 @@ _DUCK_HOURLY = """
     hourly AS (
       SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY event_type, h
+      FROM events WHERE ts IS NOT NULL GROUP BY event_type, h
     )"""
 
 
@@ -231,6 +242,7 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
+      WHERE ts IS NOT NULL
     ),
     seg AS (
       SELECT event_type, d, t_us, cents,
@@ -269,7 +281,7 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "natural telemetry partitioning at 100 TB.",
 )
 def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = _events_on_axis(spark, sf_dir)
     pts = ev.select(
         "event_type",
         F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
@@ -422,6 +434,7 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pts AS (
       SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
+      WHERE ts IS NOT NULL
     ),
     med AS (
       SELECT event_type, CAST(2 * median(cents) AS BIGINT) AS med2
@@ -465,7 +478,7 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the plan-audit fix over median-on-raw-rows, which re-expanded the
     # fact scan per consumer (5 scans -> 1).  Interpolated-median
     # parity: med2 = rank-ceil(n/2) value + rank-(floor(n/2)+1) value.
-    pts = load(spark, sf_dir, "events").select(
+    pts = _events_on_axis(spark, sf_dir).select(
         "event_type", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents")
     )
     dist = (
@@ -526,7 +539,7 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     trend AS (
       SELECT event_type, h, cents,
@@ -560,7 +573,7 @@ def ts_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     "frame), then a 120-group aggregate; fact rows cross the wire once.",
 )
 def ts_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = _events_on_axis(spark, sf_dir)
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents"))
@@ -596,6 +609,7 @@ def ts_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
+      WHERE ts IS NOT NULL
     ),
     med AS (
       SELECT event_type, CAST(2 * median(cents) AS BIGINT) AS med2
@@ -638,7 +652,7 @@ def ts_ma_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     "statistic and the alarm count above a 10k-cent threshold.",
 )
 def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pts = load(spark, sf_dir, "events").select(
+    pts = _events_on_axis(spark, sf_dir).select(
         "event_type",
         "ts",
         "event_id",
@@ -680,7 +694,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     med AS (
       SELECT event_type, h, cents,
@@ -705,7 +719,7 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window exchange after the hourly regrain, complete windows only.",
 )
 def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = _events_on_axis(spark, sf_dir)
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents"))
@@ -736,7 +750,7 @@ def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     lagged AS (
       SELECT event_type, l.lag AS lag, cents AS x,
@@ -780,7 +794,7 @@ def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "not a self-join — then a 10-group moment aggregate.",
 )
 def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = _events_on_axis(spark, sf_dir)
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents"))
@@ -839,7 +853,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     trend AS (
       SELECT event_type, h, cents,
@@ -884,7 +898,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tables; all arithmetic exact integers.",
 )
 def ts_anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = _events_on_axis(spark, sf_dir)
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents"))
@@ -926,7 +940,7 @@ def ts_anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pts AS (
       SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us
-      FROM events WHERE user_id % 4 = 2
+      FROM events WHERE user_id % 4 = 2 AND ts IS NOT NULL
     ),
     gaps AS (
       SELECT user_id, t_us,
@@ -961,7 +975,7 @@ def ts_anomaly_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ts_liveness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (
-        load(spark, sf_dir, "events")
+        _events_on_axis(spark, sf_dir)
         .filter(F.col("user_id") % 4 == 2)
         .select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"))
     )
@@ -1005,7 +1019,10 @@ def ts_liveness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n.event_type, n.h, n.cents, n.rn,
              0.5 * n.cents + 0.5 * (p.l + p.b) AS l,
              0.5 * ((0.5 * n.cents + 0.5 * (p.l + p.b)) - p.l) + 0.5 * p.b AS b
-      FROM holt p JOIN hr n ON n.event_type = p.event_type AND n.rn = p.rn + 1
+      -- null-safe series identity: a NULL event_type is ONE series (the
+      -- impl's groupBy semantics); a bare = would strand it at its anchor
+      FROM holt p JOIN hr n ON n.event_type IS NOT DISTINCT FROM p.event_type
+                           AND n.rn = p.rn + 1
     )
     SELECT event_type, h, cents,
            CAST(floor(l / 100.0 * 1e4 + 0.5) AS BIGINT) AS level_x10k,
@@ -1077,7 +1094,7 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS y
-      FROM events GROUP BY event_type, d
+      FROM events WHERE ts IS NOT NULL GROUP BY event_type, d
     ),
     pts AS (
       SELECT event_type,
@@ -1142,7 +1159,7 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "66k pairs per series) and types parallelize independently.",
 )
 def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = _events_on_axis(spark, sf_dir)
     daily = (
         ev.select("event_type", F.col("ts").cast("date").alias("d"))
         .groupBy("event_type", "d")
@@ -1197,7 +1214,7 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT event_type, CAST(ts AS DATE) AS d, hour(CAST(ts AS TIMESTAMP)) AS h,
              CAST(count(*) AS DOUBLE) AS x
-      FROM events GROUP BY event_type, d, h
+      FROM events WHERE ts IS NOT NULL GROUP BY event_type, d, h
     ),
     trend AS (
       SELECT event_type, d, sum(x) / count(*) AS m
@@ -1249,7 +1266,7 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first reduction; no window over raw events.",
 )
 def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    ev = _events_on_axis(spark, sf_dir).select("event_type", "ts")
 
     def quant(col):
         return F.floor(col * 1e9 + 0.5) / 1e9
@@ -1301,6 +1318,7 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
              epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL '30 minutes') AS e,
              CAST(ts AS DATE) AS d
       FROM events
+      WHERE ts IS NOT NULL
     ),
     cand AS (
       SELECT p.*, epoch_us(CAST(p.d + o.o AS TIMESTAMP) + INTERVAL '3 hours') AS ms,
@@ -1344,7 +1362,7 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     "calendar dims by swapping the VALUES for a broadcast table.",
 )
 def ts_interval_subtract_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    ev = _events_on_axis(spark, sf_dir).select("event_type", "ts")
     pres = ev.select(
         "event_type",
         F.unix_micros("ts").alias("s"),
@@ -1384,7 +1402,7 @@ def ts_interval_subtract_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
-      FROM events GROUP BY event_type, d
+      FROM events WHERE ts IS NOT NULL GROUP BY event_type, d
     ),
     lagged AS (
       SELECT event_type, d, y,
@@ -1417,7 +1435,7 @@ def ts_interval_subtract_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     "calendar-bounded daily table, bounded output.",
 )
 def ts_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    ev = _events_on_axis(spark, sf_dir).select("event_type", "ts")
     daily = (
         ev.select("event_type", F.col("ts").cast("date").alias("d"))
         .groupBy("event_type", "d")

@@ -119,7 +119,11 @@ def run_streaming_elt(
     oracle="""
     SELECT CAST(c_nationkey AS BIGINT) AS nation,
            count(*) AS n_cust,
-           count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_null_segment,
+           -- an originally-NULL segment exports to the same sentinel as
+           -- the nulled 'BUILDING' fixture — the round-trip cannot tell
+           -- them apart (null-KEYS contract)
+           count(CASE WHEN c_mktsegment = 'BUILDING' OR c_mktsegment IS NULL
+                      THEN 1 END) AS n_null_segment,
            round(sum(c_acctbal), 2) AS total_bal
     FROM customer
     GROUP BY nation
@@ -418,7 +422,7 @@ def _topk_fold_body(base: str, k: int = 20):
     WITH pts AS (
       SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events WHERE user_id % 10 = 3
+      FROM events WHERE user_id % 10 = 3 AND ts IS NOT NULL
     ),
     marked AS (
       SELECT user_id, ts, cents,
@@ -488,7 +492,9 @@ def _write_isess_feed(spark: SparkSession, sf_dir: str, feed_dir: str) -> None:
     sessions genuinely cross batch boundaries."""
     ev = (
         load(spark, sf_dir, "events")
-        .filter(F.col("user_id") % 10 == 3)
+        # NULL event time cannot be sessionized (null-KEYS contract,
+        # stated in the oracle's WHERE)
+        .filter((F.col("user_id") % 10 == 3) & F.col("ts").isNotNull())
         .select(
             "user_id",
             F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),

@@ -131,6 +131,7 @@ def run_to_completion(
            count(*)             AS n,
            round(sum(value), 2) AS total_value
     FROM events
+    WHERE ts IS NOT NULL  -- NULL event time is unwindowable (contract)
     GROUP BY win_start, event_type
     """,
     doc="Tumbling 1 h event-time window × event_type, via a real StreamingQuery "
@@ -138,7 +139,10 @@ def run_to_completion(
     "batch-equivalent time_bucket SQL.",
 )
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_stream(spark, sf_dir)
+    # NULL event time cannot be windowed — the engine would silently drop
+    # such rows at the watermark; exclude EXPLICITLY (null-KEYS contract,
+    # stated in the oracle's WHERE)
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -159,6 +163,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                - k.i * INTERVAL '30 minutes' AS win_start,
              value
       FROM events CROSS JOIN (VALUES (0), (1)) k(i)
+      WHERE ts IS NOT NULL
     )
     GROUP BY win_start
     """,
@@ -166,7 +171,8 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Oracle expands event→windows with a 2-row cross join on the slide index.",
 )
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_stream(spark, sf_dir)
+    # NULL event time excluded — see stream_tumbling_window
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "30 minutes"))
@@ -189,6 +195,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                           >= INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
+      WHERE ts IS NOT NULL
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (
@@ -205,7 +212,8 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cumulative sum).",
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_stream(spark, sf_dir)
+    # NULL event time cannot be sessionized — see stream_tumbling_window
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -530,6 +538,7 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
                + CASE WHEN event_type = 'click' THEN INTERVAL '5 minutes'
                       ELSE INTERVAL '20 minutes' END AS ev_end
       FROM events
+      WHERE ts IS NOT NULL
     ),
     marked AS (
       SELECT user_id, ts, ev_end,
@@ -567,7 +576,8 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the gap expression is evaluated per event, no extra shuffle.",
 )
 def stream_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_stream(spark, sf_dir)
+    # NULL event time cannot be sessionized — see stream_tumbling_window
+    ev = read_events_stream(spark, sf_dir).filter(F.col("ts").isNotNull())
     # gap must be CalendarIntervalType: make_interval, not ANSI day-time
     # interval literals (those are DayTimeIntervalType and are rejected)
     gap = F.when(
