@@ -143,6 +143,7 @@ def analytics_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events
+      WHERE ts IS NOT NULL  -- no position on the cohort-age axis (contract)
     ),
     cohorts AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
     joined AS (
@@ -176,10 +177,15 @@ def analytics_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        F.date_trunc("week", F.col("ts")).alias("wk"),
-        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    # NULL ts has no cohort-age position (null-KEYS contract; oracle WHERE)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).alias("wk"),
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+        )
     )
     cohorts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     joined = ev.join(cohorts, "user_id").select(
@@ -281,6 +287,7 @@ def analytics_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS next_type
       FROM events
+      WHERE ts IS NOT NULL  -- a null-time event has no sequence position
     ),
     trans AS (
       SELECT event_type AS from_type, next_type AS to_type,
@@ -309,7 +316,8 @@ def analytics_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev = load(spark, sf_dir, "events")
+    # NULL ts has no position in a temporal sequence (null-KEYS contract)
+    ev = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id", "event_type", F.lead("event_type").over(w).alias("next_type")
@@ -675,9 +683,14 @@ def analytics_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST((epoch_us(now_ts) - epoch_us(last_order)) // 86400000000
                   AS BIGINT) AS recency_days,
              frequency, monetary_cents,
-             ntile(5) OVER (ORDER BY last_order DESC, custkey)     AS r_score,
-             ntile(5) OVER (ORDER BY frequency DESC, custkey)      AS f_score,
-             ntile(5) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+             -- custkey tiebreak NULLS FIRST: Spark's ASC default, stated
+             -- (the NULL-custkey rollup row sits inside tie groups)
+             ntile(5) OVER (ORDER BY last_order DESC,
+                            custkey NULLS FIRST)                   AS r_score,
+             ntile(5) OVER (ORDER BY frequency DESC,
+                            custkey NULLS FIRST)                   AS f_score,
+             ntile(5) OVER (ORDER BY monetary_cents DESC,
+                            custkey NULLS FIRST)                   AS m_score
       FROM tx CROSS JOIN anchor
     )
     SELECT custkey, recency_days, frequency, monetary_cents,
@@ -723,14 +736,17 @@ def analytics_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quintiled = distributed_ntile(
         distributed_ntile(
             distributed_ntile(
-                tx, 5, [F.col("last_order").desc(), "custkey"], out_col="r_score"
+                tx,
+                5,
+                [F.col("last_order").desc(), F.asc_nulls_first("custkey")],
+                out_col="r_score",
             ),
             5,
-            [F.col("frequency").desc(), "custkey"],
+            [F.col("frequency").desc(), F.asc_nulls_first("custkey")],
             out_col="f_score",
         ),
         5,
-        [F.col("monetary_cents").desc(), "custkey"],
+        [F.col("monetary_cents").desc(), F.asc_nulls_first("custkey")],
         out_col="m_score",
     )
     scored = quintiled.crossJoin(F.broadcast(anchor)).select(
@@ -1244,6 +1260,7 @@ def analytics_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, CAST(ts AS TIMESTAMP) AS s,
              CAST(ts AS TIMESTAMP) + INTERVAL '30 minutes' AS e
       FROM events
+      WHERE ts IS NOT NULL  -- a null-time presence has no sweep position
     ),
     deltas AS (
       SELECT event_type, s AS t, 1 AS d FROM pres
@@ -1258,8 +1275,10 @@ def analytics_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(max(conc) AS BIGINT) AS peak,
+           -- null-safe series identity (the NULL event_type series)
            min(CASE WHEN conc = (SELECT max(r2.conc) FROM run r2
-                                 WHERE r2.event_type = run.event_type)
+                                 WHERE r2.event_type
+                                       IS NOT DISTINCT FROM run.event_type)
                     THEN t END)      AS first_peak_at
     FROM run GROUP BY event_type
     """,
@@ -1281,7 +1300,12 @@ def analytics_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev = load(spark, sf_dir, "events").select("event_type", "ts")
+    # NULL ts has no sweep position (null-KEYS contract; oracle WHERE)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_type", "ts")
+    )
     pres = ev.select(
         "event_type",
         F.col("ts").alias("s"),
@@ -1294,7 +1318,9 @@ def analytics_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = deltas.select("event_type", "t", F.sum("d").over(w).alias("conc"))
     peak = run.groupBy("event_type").agg(F.max("conc").alias("peak"))
     return (
-        run.join(peak, "event_type")
+        # null-safe: the NULL event_type series joins to its own peak
+        run.join(peak.withColumnRenamed("event_type", "et2"),
+                 F.col("event_type").eqNullSafe(F.col("et2"))).drop("et2")
         .groupBy("event_type")
         .agg(
             F.max("peak").cast("bigint").alias("peak"),
@@ -1565,6 +1591,7 @@ def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
              lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS next_ts
       FROM events
+      WHERE ts IS NOT NULL  -- a null-time event has no dwell position
     )
     SELECT state,
            CAST(count(next_ts) AS BIGINT) AS n_visits,
@@ -1593,7 +1620,12 @@ def analytics_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 def analytics_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    # NULL ts has no dwell position (null-KEYS contract; oracle WHERE)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "event_type", "ts")
+    )
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         F.col("event_type").alias("state"),
@@ -1628,7 +1660,10 @@ def analytics_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
                FROM lots GROUP BY pk),
     run AS (
       SELECT l.pk, l.lot_id, l.qty, l.d, dm.dem,
-             coalesce(sum(l.qty) OVER (PARTITION BY l.pk ORDER BY l.d, l.lot_id
+             -- FIFO order NULLS FIRST (Spark ASC default, stated): a lot
+             -- with no ship date sorts as oldest stock on both sides
+             coalesce(sum(l.qty) OVER (PARTITION BY l.pk
+                        ORDER BY l.d NULLS FIRST, l.lot_id NULLS FIRST
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
       FROM lots l JOIN demand dm ON dm.pk = l.pk
     )
@@ -1663,7 +1698,11 @@ def analytics_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate").cast("date").alias("d"),
     )
     demand = lots.groupBy("pk").agg((F.count(F.lit(1)) * 15).alias("dem"))
-    w = W.partitionBy("pk").orderBy("d", "lot_id").rowsBetween(W.unboundedPreceding, -1)
+    w = (
+        W.partitionBy("pk")
+        .orderBy(F.asc_nulls_first("d"), F.asc_nulls_first("lot_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     run = lots.join(F.broadcast(demand), "pk").select(
         "pk",
         "lot_id",

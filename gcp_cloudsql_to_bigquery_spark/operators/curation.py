@@ -28,7 +28,9 @@ from ..registry import register
                        OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
                           > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_sess
-      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      FROM events
+      WHERE ts IS NOT NULL  -- NULL event time cannot be sessionized
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (
       SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
@@ -47,7 +49,12 @@ from ..registry import register
     "share it.",
 )
 def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    # NULL event time cannot be sessionized (null-KEYS contract; oracle WHERE)
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "ts", "value")
+    )
     w = W.partitionBy("user_id").orderBy("ts")
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     marked = e.withColumn(

@@ -1133,6 +1133,7 @@ _TRAVEL_V2 = 25  # squared speed threshold: grid-units² per second²
              CAST(CAST('0x' || substr(md5('gy:' || CAST(event_id AS VARCHAR)), 1, 5)
                        AS BIGINT) AS BIGINT) % 100000 AS y
       FROM events
+      WHERE ts IS NOT NULL  -- a null-time hop has no travel interval
     ),
     hops AS (
       SELECT user_id, event_id, ts, x, y,
@@ -1173,7 +1174,12 @@ _TRAVEL_V2 = 25  # squared speed threshold: grid-units² per second²
 def sec_impossible_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    # NULL ts has no travel interval (null-KEYS contract; oracle WHERE)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_id", "ts")
+    )
 
     def axis(tag: str):
         return (
