@@ -187,9 +187,13 @@ def elt_load_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "elt_bad_records_quarantine",
     oracle="""
-    SELECT CAST(count(CASE WHEN c_custkey % 97 <> 0 THEN 1 END) AS BIGINT) AS n_good,
+    -- a NULL key is NOT corruption: it exports as an empty field and
+    -- loads back as a typed NULL (good row) — only the planted %97 text
+    -- corruption quarantines (null-KEYS contract)
+    SELECT CAST(count(CASE WHEN c_custkey IS NULL OR c_custkey % 97 <> 0
+                      THEN 1 END) AS BIGINT) AS n_good,
            CAST(count(CASE WHEN c_custkey % 97 = 0 THEN 1 END) AS BIGINT)  AS n_quarantined,
-           CAST(sum(CASE WHEN c_custkey % 97 <> 0
+           CAST(sum(CASE WHEN c_custkey IS NULL OR c_custkey % 97 <> 0
                          THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END)
                 AS BIGINT) AS good_bal_cents
     FROM customer
@@ -211,10 +215,13 @@ def elt_load_qa_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def elt_bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load(spark, sf_dir, "customer")
+    # concat_ws SKIPS null fields (shortening the line and shifting
+    # columns) — encode NULL as an empty field instead, which PERMISSIVE
+    # reads back as a typed NULL, not a corrupt record (null-KEYS find)
     line = F.concat_ws(
         ",",
-        F.col("c_custkey"),
-        F.col("c_nationkey"),
+        F.coalesce(F.col("c_custkey").cast("string"), F.lit("")),
+        F.coalesce(F.col("c_nationkey").cast("string"), F.lit("")),
         F.when(F.col("c_custkey") % 97 == 0, F.lit("XXX")).otherwise(
             F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").cast("string")
         ),
@@ -480,7 +487,7 @@ def elt_right_to_erasure(spark, sf_dir):
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS cents
-      FROM orders WHERE o_orderstatus <> 'P'
+      FROM orders WHERE o_orderstatus <> 'P' AND o_orderkey IS NOT NULL
       GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, n, cents,
@@ -537,7 +544,12 @@ def elt_write_audit_publish(spark, sf_dir):
             return True
         return False  # pointer untouched — readers keep the old version
 
-    o = load(spark, sf_dir, "orders")
+    # the loader stages the CLEAN slice: a NULL primary key is quarantined
+    # before staging (otherwise the no-NULL-keys audit correctly rejects
+    # every version and nothing ever publishes — null-KEYS tier find; the
+    # oracle states the same exclusion).  The v3 duplicate-key corruption
+    # still exercises the audit-failure path.
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey").isNotNull())
     ok1 = stage_audit_publish(o, 1)
     ok2 = stage_audit_publish(o.filter(F.col("o_orderstatus") != "P"), 2)
     corrupt = o.limit(500).unionAll(o.limit(500))  # duplicate keys on purpose

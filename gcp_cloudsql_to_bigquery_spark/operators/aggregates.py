@@ -328,8 +328,14 @@ def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("pn"), F.sum("o_totalprice").alias("psum")
         )
 
+    # the split must be EXHAUSTIVE: a NULL order date satisfies neither
+    # inequality and would silently vanish from the maintained rollup —
+    # route null-dated rows into the delta batch (null-KEYS tier find;
+    # the oracle is the full recompute, which never loses them)
     stored = partial(o.filter(F.col("o_orderdate") < cutoff))
-    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    delta = partial(
+        o.filter((F.col("o_orderdate") >= cutoff) | F.col("o_orderdate").isNull())
+    )
     return (
         stored.unionByName(delta)
         .groupBy("o_orderpriority")
@@ -386,10 +392,14 @@ _MG_K = 1500
 @register(
     "agg_heavy_hitters_mg",
     oracle=f"""
+    -- NULL is not a trackable item: value_counts drops NaN and a semi
+    -- join can't match it — frequency analysis is over REAL keys, stated
     SELECT l_partkey, count(*) AS cnt
     FROM lineitem
+    WHERE l_partkey IS NOT NULL
     GROUP BY l_partkey
-    HAVING count(*) > (SELECT count(*) FROM lineitem) / {_MG_K}.0
+    HAVING count(*) > (SELECT count(*) FROM lineitem
+                       WHERE l_partkey IS NOT NULL) / {_MG_K}.0
     """,
     doc="Frequent-items via a Misra-Gries sketch + exact verify pass, "
     "oracle-proven equal to the brute-force GROUP BY ... HAVING cnt > n/k. "
@@ -407,7 +417,12 @@ _MG_K = 1500
     "all N rows' partial counts for a result of ~60 keys.",
 )
 def agg_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem").select("l_partkey")
+    # NULL key excluded on both sides (null-KEYS contract; oracle WHERE)
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey").isNotNull())
+        .select("l_partkey")
+    )
 
     def mg_candidates(batches):
         import pandas as pd
@@ -571,10 +586,14 @@ def agg_grouping_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 def elt_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderkey")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    # stored/delta splits must be EXHAUSTIVE: a NULL key satisfies neither
+    # modulus predicate and the row would vanish from the maintained view
+    # while the full-recompute oracle keeps it (null-KEYS tier find) —
+    # route NULL-key rows into the delta batch
     o_old = o.filter(F.col("o_orderkey") % 10 < 7)
-    o_new = o.filter(F.col("o_orderkey") % 10 >= 7)
+    o_new = o.filter((F.col("o_orderkey") % 10 >= 7) | F.col("o_orderkey").isNull())
     c_old = c.filter(F.col("c_custkey") % 10 < 7)
-    c_new = c.filter(F.col("c_custkey") % 10 >= 7)
+    c_new = c.filter((F.col("c_custkey") % 10 >= 7) | F.col("c_custkey").isNull())
     join_on = F.col("o_custkey") == F.col("c_custkey")
     stored = o_old.join(c_old, join_on)          # the materialized view
     d1 = o_new.join(c_old, join_on)              # dA * B_old
@@ -1042,11 +1061,14 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_crosstab",
     oracle="""
-    SELECT event_type,
-           CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS VARCHAR) AS dow,
+    SELECT coalesce(event_type, 'null') AS event_type,
+           -- crosstab STRINGIFIES null categories as 'null' (the engine's
+           -- documented label encoding) — stated, not accidental
+           coalesce(CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS VARCHAR), 'null')
+             AS dow,
            CAST(count(*) AS BIGINT) AS n
     FROM events
-    GROUP BY event_type, dow
+    GROUP BY 1, 2
     """,
     doc="Contingency table via DataFrameStatFunctions.crosstab — the "
     "categorical-pair profiling call (event_type x day-of-week here), "

@@ -402,14 +402,20 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof",
     oracle="""
     WITH od AS (
+      -- non-null (key, time) stated explicitly: DuckDB's ASOF sorts NULL
+      -- times LAST and would match a null-ts probe to the latest order —
+      -- an engine null-sort artifact, not as-of semantics (null-KEYS find)
       SELECT o_custkey, o_orderdate,
              max(o_orderkey) AS order_key,
              round(sum(o_totalprice), 2) AS day_spend
-      FROM orders GROUP BY o_custkey, o_orderdate
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+      GROUP BY o_custkey, o_orderdate
     )
     SELECT e.event_id, e.user_id, od.o_orderdate AS asof_orderdate,
            od.order_key, od.day_spend
-    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL) e
     ASOF JOIN od ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
     """,
     doc="As-of join via union + last(ignoreNulls) window: tag order-days and "
@@ -420,9 +426,19 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "many historical matches. The 100 TB as-of shape.",
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    # As-of semantics need a non-null (key, time) on both sides: the
+    # oracle's ASOF JOIN drops them via its equi/inequality predicates
+    # (NULL never matches); the union+window form must drop them
+    # EXPLICITLY or a null-key partition would carry payloads the join
+    # semantics forbid (null-KEYS contract)
+    events = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("event_id", "user_id", "ts")
+    )
     od = (
         load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
         .groupBy("o_custkey", "o_orderdate")
         .agg(
             F.max("o_orderkey").alias("order_key"),
@@ -556,11 +572,13 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     c AS (
       SELECT k, t, tag, event_id,
+             -- t NULLS FIRST (Spark ASC default, stated): a null-time
+             -- row sits at the timeline head on both sides
              last_value(p IGNORE NULLS) OVER
-               (PARTITION BY k ORDER BY t, tag
+               (PARTITION BY k ORDER BY t NULLS FIRST, tag
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
              first_value(p IGNORE NULLS) OVER
-               (PARTITION BY k ORDER BY t, tag
+               (PARTITION BY k ORDER BY t NULLS FIRST, tag
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pf
       FROM u
     )
@@ -615,8 +633,16 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast(p_type).alias("p"),
     )
     u = right_rows.unionByName(left_rows)
-    w_back = W.partitionBy("k").orderBy("t", "tag").rowsBetween(W.unboundedPreceding, 0)
-    w_fwd = W.partitionBy("k").orderBy("t", "tag").rowsBetween(0, W.unboundedFollowing)
+    w_back = (
+        W.partitionBy("k")
+        .orderBy(F.asc_nulls_first("t"), "tag")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        W.partitionBy("k")
+        .orderBy(F.asc_nulls_first("t"), "tag")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
     c = u.select(
         "k",
         "t",

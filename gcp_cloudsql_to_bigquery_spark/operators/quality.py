@@ -114,8 +114,11 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ordered AS (
       SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             -- change-stream order NULLS FIRST (Spark ASC default,
+             -- stated): a null-dated order sorts at history start
              lag(o_orderpriority) OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey) AS prev_priority
+                                ORDER BY o_orderdate NULLS FIRST,
+                                         o_orderkey NULLS FIRST) AS prev_priority
       FROM orders
     ),
     changes AS (
@@ -125,9 +128,11 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_custkey, o_orderpriority AS priority, valid_from,
            lead(valid_from) OVER (PARTITION BY o_custkey
-                                  ORDER BY valid_from, o_orderkey) AS valid_to,
+                                  ORDER BY valid_from NULLS FIRST,
+                                           o_orderkey NULLS FIRST) AS valid_to,
            lead(valid_from) OVER (PARTITION BY o_custkey
-                                  ORDER BY valid_from, o_orderkey) IS NULL AS is_current
+                                  ORDER BY valid_from NULLS FIRST,
+                                           o_orderkey NULLS FIRST) IS NULL AS is_current
     FROM changes
     """,
     doc="SCD Type-2 dimension build: collapse a change stream (each "
@@ -144,7 +149,9 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def elt_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
-    w_seq = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_seq = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_first("o_orderdate"), F.asc_nulls_first("o_orderkey")
+    )
     changes = (
         o.withColumn("prev_priority", F.lag("o_orderpriority").over(w_seq))
         .filter(
@@ -161,7 +168,9 @@ def elt_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same-day double change: chain intervals in CHRONOLOGICAL order
     # (valid_from, o_orderkey) — the same order change detection used — so
     # is_current always lands on the latest change, not a string-sort winner
-    w_iv = W.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    w_iv = W.partitionBy("o_custkey").orderBy(
+        F.asc_nulls_first("valid_from"), F.asc_nulls_first("o_orderkey")
+    )
     return changes.select(
         "o_custkey",
         F.col("o_orderpriority").alias("priority"),

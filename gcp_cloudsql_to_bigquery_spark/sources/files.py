@@ -717,10 +717,16 @@ def elt_range_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM supplier
     ),
     dig AS (
+      -- explicit NULL encoding in the digest: bare || returns NULL on a
+      -- null field (row silently leaves the checksum) while concat_ws
+      -- silently SKIPS it (field vanishes from the digest) — both wrong
+      -- for reconciliation; a sentinel keeps every row and field counted
       SELECT CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
-                      CAST(nat AS VARCHAR) || '|' ||
-                      CAST(cents AS VARCHAR)), 1, 10) AS BIGINT)) AS BIGINT)
+             CAST(sum(CAST('0x' || substr(md5(
+                      coalesce(CAST(k AS VARCHAR), 'null') || '|' ||
+                      coalesce(CAST(nat AS VARCHAR), 'null') || '|' ||
+                      coalesce(CAST(cents AS VARCHAR), 'null')), 1, 10)
+                      AS BIGINT)) AS BIGINT)
                AS rowhash_sum
       FROM base
     )
@@ -758,9 +764,9 @@ def elt_format_migration_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.md5(
                     F.concat_ws(
                         "|",
-                        F.col("k").cast("string"),
-                        F.col("nat").cast("string"),
-                        F.col("cents").cast("string"),
+                        F.coalesce(F.col("k").cast("string"), F.lit("null")),
+                        F.coalesce(F.col("nat").cast("string"), F.lit("null")),
+                        F.coalesce(F.col("cents").cast("string"), F.lit("null")),
                     ).cast("binary")
                 ),
                 1,
