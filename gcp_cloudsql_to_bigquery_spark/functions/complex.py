@@ -706,7 +706,9 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM s WHERE s_nationkey >= 5
     UNION ALL
     SELECT s_suppkey, NULL, NULL, NULL
-    FROM s WHERE s_nationkey < 5
+    -- the impl's when/otherwise routes a NULL gate into the EMPTY array
+    -- (CASE-else semantics), so a NULL nationkey keeps its stub row
+    FROM s WHERE s_nationkey < 5 OR s_nationkey IS NULL
     """,
     doc="Generator functions: posexplode_outer over a per-row "
     "array<struct> (built inline from columns) pivots each supplier into "
@@ -746,8 +748,10 @@ def fn_generators_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFram
     "fn_pandas_udf_iter",
     oracle="""
     WITH tok AS (
+      -- the relational replay correlates tokens back BY doc_id; an
+      -- id-less doc cannot be keyed (null-KEYS contract, both sides)
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
-      FROM documents
+      FROM documents WHERE doc_id IS NOT NULL
     ),
     scored AS (
       SELECT doc_id,
@@ -761,6 +765,7 @@ def fn_generators_posexplode_outer(spark: SparkSession, sf_dir: str) -> DataFram
                 ELSE CAST(coalesce(sum((s.b * 2654435761 % 1000) - 500), 0)
                           AS BIGINT) END AS score
     FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    WHERE d.doc_id IS NOT NULL
     GROUP BY d.doc_id, d.text
     """,
     doc="Iterator-form scalar Pandas UDF (Iterator[pd.Series] -> "
@@ -798,7 +803,8 @@ def fn_pandas_udf_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in batches:
             yield batch.map(score_doc)
 
-    d = load(spark, sf_dir, "documents")
+    # NULL doc_id excluded — the oracle's token join is id-keyed
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
     toks = F.filter(F.split(F.lower("text"), " "), lambda w: w != "")
     return d.select(
         "doc_id",
@@ -860,13 +866,17 @@ def fn_xpath_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority AS pri,
            -- count(col), not count(*): the pandas dialect's .count() counts
-           -- NON-NULL cells — that IS its documented semantic (null-tier find)
+           -- NON-NULL cells — that IS its documented semantic (null-tier find).
+           -- Likewise groupby() DROPS the NULL key (dropna=True default,
+           -- null-KEYS find) — the WHERE below states it
            CAST(count(o_totalprice) AS BIGINT) AS n,
            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS cents,
            CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS max_cents
-    FROM orders GROUP BY pri
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL
+    GROUP BY pri
     """,
     doc="PANDAS-ON-SPARK API surface (pyspark.pandas): the same grouped "
     "aggregate expressed through the pandas dialect — "

@@ -228,7 +228,10 @@ def curation_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_pack_sequences",
     oracle="""
     WITH t AS (
+      -- packing concatenates docs IN doc_id ORDER: a doc with no id has
+      -- no deterministic pack position, so it is excluded (null-KEYS)
       SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok FROM documents
+      WHERE doc_id IS NOT NULL
     ),
     c AS (
       SELECT doc_id, n_tok,
@@ -255,8 +258,11 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     BUDGET = 2048
     GROUP = 64  # docs per range; at scale pick ~rows/partition
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    # NULL doc_id excluded: no deterministic pack position (oracle WHERE)
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
     )
     d = d.withColumn("grp", (F.col("doc_id") / GROUP).cast("bigint"))
     # (1) per-range totals: small aggregate, one shuffle of partials
@@ -1045,9 +1051,11 @@ _KFOLDS = 5
     "curation_kfold_split",
     oracle=f"""
     SELECT doc_id, source,
+           -- NULL doc_id hashes to a NULL digest: placed FIRST in the
+           -- deal order (Spark ASC default, stated)
            CAST(ntile({_KFOLDS}) OVER (
              PARTITION BY source
-             ORDER BY md5('cv:' || CAST(doc_id AS VARCHAR))
+             ORDER BY md5('cv:' || CAST(doc_id AS VARCHAR)) NULLS FIRST
            ) AS BIGINT) AS fold
     FROM documents
     """,
@@ -1074,7 +1082,7 @@ def curation_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.ntile(_KFOLDS)
-        .over(W.partitionBy("source").orderBy(key))
+        .over(W.partitionBy("source").orderBy(F.asc_nulls_first(key)))
         .cast("bigint")
         .alias("fold"),
     )

@@ -1156,10 +1156,13 @@ _CDC_MOD = 8  # expected chunk length ≈ 8 tokens
     "text_cdc_chunk_dedup",
     oracle=f"""
     WITH tok AS (
+      -- chunk identity and rep_doc election are keyed BY doc: a doc
+      -- without id cannot own or represent chunks (null-KEYS contract)
       SELECT doc_id, t.t AS tok, t.i AS pos
       FROM documents,
            LATERAL (SELECT unnest(string_split(lower(text), ' ')) AS t,
                            generate_subscripts(string_split(lower(text), ' '), 1) AS i) t
+      WHERE doc_id IS NOT NULL
     ),
     flagged AS (
       SELECT doc_id, tok, pos,
@@ -1213,7 +1216,12 @@ _CDC_MOD = 8  # expected chunk length ≈ 8 tokens
 def text_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL doc_id excluded: chunks are keyed by doc (oracle WHERE)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
     tok = docs.select(
         "doc_id",
         F.posexplode(F.split(F.lower("text"), " ")).alias("pos0", "tok"),
@@ -1283,7 +1291,9 @@ _KN_D = 0.75  # discount — exact in binary, so the arithmetic replays bit-for-
              string_split(lower(text), ' ')[i.i + 1] AS nxt
       FROM documents,
            LATERAL (SELECT unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS i) i
-      WHERE string_split(lower(text), ' ')[i.i] <> ''
+      -- doc_id partitions the lead(): two NULL-id docs would merge into
+      -- one scrambled token stream on the window side (null-KEYS contract)
+      WHERE string_split(lower(text), ' ')[i.i] <> '' AND doc_id IS NOT NULL
     ),
     bi AS (
       SELECT w, nxt, CAST(count(*) AS BIGINT) AS cb
@@ -1332,7 +1342,13 @@ _KN_D = 0.75  # discount — exact in binary, so the arithmetic replays bit-for-
 def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL doc_id excluded: partitionBy(doc_id) would merge all id-less
+    # docs into ONE interleaved token stream (oracle states the WHERE)
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select("doc_id", "text")
+    )
     # lead() is computed over ALL positions (empties included) so nxt is the
     # literal next array slot, matching the oracle's positional [i+1] access;
     # a run of consecutive spaces therefore yields NO bigram (nxt='' is
