@@ -218,3 +218,142 @@ def test_interval_join_inverted_explodes_no_buckets(spark):
     ).selectExpr("k", "CAST(s AS TIMESTAMP) AS s", "CAST(e AS TIMESTAMP) AS e")
     out = interval_join(points, inverted, "k", "k", "t", "s", "e", 3600)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Wave 2: the null-KEYS hostile tier (VERDICT r12 item 3) — NULLs in
+# join/group/sort/primary-id columns.  First sweep found 66 real
+# divergences across ten fix classes (vector/doc identity contracts,
+# explicit null placement in ordered windows, event-time exclusion,
+# exhaustive stored/delta splits, export producers, pandas-dialect
+# semantics, DuckDB ASOF null-sort artifact, crosstab label encoding).
+# Every fixed query is pinned against its oracle ON THE NULLKEYS DATA.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hostile_nullkeys_sf(tmp_path_factory):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_hostile_sf", "/root/repo/scripts/make_hostile_sf.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path_factory.mktemp("hostile_nullkeys_sf")
+    return mod.main(str(out), tier="nullkeys")
+
+
+@pytest.fixture(scope="module")
+def duck_nullkeys(hostile_nullkeys_sf):
+    import duckdb
+
+    from gcp_cloudsql_to_bigquery_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{hostile_nullkeys_sf}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+NULLKEYS_FIXED = [
+    "agg_crosstab",
+    "agg_heavy_hitters_mg",
+    "agg_incremental_maintenance",
+    "analytics_cohort_ltv",
+    "analytics_event_transitions",
+    "analytics_fifo_allocation",
+    "analytics_peak_concurrency",
+    "analytics_rfm_segmentation",
+    "analytics_state_durations",
+    "ann_bruteforce_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_matryoshka_rerank",
+    "ann_recall_report",
+    "curation_kfold_split",
+    "curation_pack_sequences",
+    "dedup_semdedup",
+    "elt_bad_records_quarantine",
+    "elt_delimiter_sniffing",
+    "elt_format_migration_chain",
+    "elt_incremental_join_maintenance",
+    "elt_scd2_dimension",
+    "elt_write_audit_publish",
+    "fn_generators_posexplode_outer",
+    "fn_pandas_on_spark_api",
+    "fn_pandas_udf_iter",
+    "join_asof",
+    "join_asof_nearest",
+    "multimodal_audio_spectral",
+    "multimodal_bmff_box_walk",
+    "multimodal_decode_ppm",
+    "multimodal_decode_wav",
+    "multimodal_frame_sample",
+    "multimodal_image_histogram",
+    "multimodal_phash_dedup",
+    "multimodal_phash_thumbnail_match",
+    "multimodal_png_integrity",
+    "multimodal_resample_wav",
+    "multimodal_resize_ppm",
+    "multimodal_shot_boundaries",
+    "multimodal_tiff_metadata",
+    "sec_impossible_travel",
+    "sessionize_batch",
+    "src_fixed_width_trailer",
+    "src_python_datasource",
+    "src_python_datasource_stream",
+    "stream_elt_file_arrival",
+    "stream_incremental_sessionize",
+    "stream_session_window",
+    "stream_session_window_dynamic_gap",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "text_bigram_kneser_ney",
+    "text_cdc_chunk_dedup",
+    "ts_anomaly_seasonal_residual",
+    "ts_anomaly_zscore",
+    "ts_cusum_changepoint",
+    "ts_forecast_mase",
+    "ts_holt_linear",
+    "ts_ma_decompose",
+    "ts_max_drawdown",
+    "ts_moving_median",
+    "window_distinct_running",
+    "window_lag_lead",
+    "window_moving_avg",
+    "window_running_sum",
+    "window_session_batch",
+]
+
+
+@pytest.mark.parametrize("name", NULLKEYS_FIXED)
+def test_nullkeys_fixed_query_matches_oracle(
+    spark, duck_nullkeys, hostile_nullkeys_sf, name
+):
+    import importlib.util
+
+    import __spark_entry__ as entry
+
+    spec = importlib.util.spec_from_file_location(
+        "selfcheck", "/root/repo/scripts/selfcheck.py"
+    )
+    selfcheck = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(selfcheck)
+
+    sdf = entry.queries()[name](spark, hostile_nullkeys_sf)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = duck_nullkeys.execute(entry.oracle_sql()[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    assert len(srows) == len(orows), (
+        f"{name}: rowcount spark={len(srows)} duckdb={len(orows)}"
+    )
+    s = selfcheck.rowset(scols, srows)
+    o = selfcheck.rowset(ocols, orows)
+    assert s == o, f"{name}: first diffs {[p for p in zip(s, o) if p[0] != p[1]][:3]}"
