@@ -575,6 +575,9 @@ def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFr
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     paths AS (
+      -- || propagates NULL: a trigram STARTING at a null-typed event is a
+      -- NULL path (one group) — the impl uses concat (not concat_ws,
+      -- which would silently shorten it to a 2-step path)
       SELECT event_type || '>' || e2 || '>' || e3 AS path
       FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
     )
@@ -600,8 +603,12 @@ def analytics_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type", 1).over(w).alias("e2"),
         F.lead("event_type", 2).over(w).alias("e3"),
     ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    # concat, NOT concat_ws: a NULL event_type must null the whole path
+    # (matching the oracle's ||), not silently shorten the trigram to a
+    # two-step path (null-KEYS sibling-audit find — latent: the divergent
+    # paths sat below the top-20 cut on every tier)
     paths = seq.select(
-        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        F.concat(F.col("event_type"), F.lit(">"), F.col("e2"), F.lit(">"), F.col("e3")).alias("path")
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
     wr = W.orderBy(F.col("n").desc(), "path")

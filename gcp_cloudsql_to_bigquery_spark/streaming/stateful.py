@@ -142,7 +142,12 @@ class _TypeTotalsProcessor(StatefulProcessor):
         n, cents = self._agg.get() if self._agg.exists() else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            cents += int(pdf["cents"].sum())
+            # an all-NULL batch sums to NaN under min_count=1 — guard the
+            # int() (the running_user_stats NaN-fold crash class).  At
+            # promotion time (protobuf gate) the all-NULL-key total must
+            # also adopt the sibling's NULL-total contract (nv counter).
+            s = pdf["cents"].sum(min_count=1)
+            cents += 0 if pd.isna(s) else int(s)
         self._agg.update((n, cents))
         yield pd.DataFrame(
             {"event_type": [key[0]], "n": [n], "total_value": [cents / 100.0]}

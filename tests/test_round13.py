@@ -357,3 +357,53 @@ def test_nullkeys_fixed_query_matches_oracle(
     s = selfcheck.rowset(scols, srows)
     o = selfcheck.rowset(ocols, orows)
     assert s == o, f"{name}: first diffs {[p for p in zip(s, o) if p[0] != p[1]][:3]}"
+
+
+# ---------------------------------------------------------------------------
+# Sibling-audit find: analytics_top_paths used concat_ws where the oracle
+# uses || — a NULL event_type silently SHORTENED the trigram to a two-step
+# path instead of nulling it.  Latent on every tier (the divergent paths
+# sat below the top-20 cut); this fixture nulls enough types that the NULL
+# path MUST reach the ranking, pinning the concat (null-propagating) form.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nulltype_events_sf(tmp_path_factory):
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("nulltype_events_sf")
+    for name in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        shutil.copy(f"{SF0001}/{name}.parquet", out / f"{name}.parquet")
+    t = pq.read_table(out / "events.parquet")
+    # null every third event's type: null-START trigrams become frequent
+    mask = pc.equal(pc.bit_wise_and(t["event_id"], 3), 0)
+    etype = pc.if_else(mask, None, t["event_type"])
+    t = t.set_column(t.schema.get_field_index("event_type"), "event_type", etype)
+    pq.write_table(t, out / "events.parquet")
+    return str(out)
+
+
+def test_top_paths_null_start_trigram_is_null_path(spark, nulltype_events_sf):
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    key = lambda t: (t[0] is None, t[0] or "", t[1], t[2])  # noqa: E731
+    sdf = entry.queries()["analytics_top_paths"](spark, nulltype_events_sf)
+    srows = sorted(((r["path"], r["n"], r["rnk"]) for r in sdf.collect()), key=key)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{nulltype_events_sf}/events.parquet'"
+    )
+    orows = sorted(
+        (tuple(r) for r in con.execute(entry.oracle_sql()["analytics_top_paths"]).fetchall()),
+        key=key,
+    )
+    con.close()
+    assert any(p is None for p, _, _ in srows), "fixture must surface a NULL path"
+    assert srows == orows
