@@ -407,3 +407,88 @@ def test_top_paths_null_start_trigram_is_null_path(spark, nulltype_events_sf):
     con.close()
     assert any(p is None for p, _, _ in srows), "fixture must surface a NULL path"
     assert srows == orows
+
+
+# ---------------------------------------------------------------------------
+# Third-witness rule (README): the two REPLAY-style oracles changed this
+# round (holt's recursive step join, drawdown's trough subquery — both made
+# null-safe) get from-first-principles pure-Python recomputations over the
+# nullkeys fixture, so a shared Spark/DuckDB algorithmic bug cannot hide
+# behind the hash match.
+# ---------------------------------------------------------------------------
+
+
+def _events_pdf(sf):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf}/events.parquet").to_pandas()
+
+
+def test_holt_linear_pure_python_recompute(spark, hostile_nullkeys_sf):
+    import math
+
+    import __spark_entry__ as entry
+
+    pdf = _events_pdf(hostile_nullkeys_sf)
+    pdf = pdf[pdf["ts"].notna()].copy()
+    pdf["h"] = pdf["ts"].dt.floor("h")
+    cents = (pdf["value"] * 100 + 0.5).apply(math.floor).astype("int64")
+    pdf["c"] = cents
+    # NULL event_type is ONE series (the null-safe contract under test)
+    key = pdf["event_type"].where(pdf["event_type"].notna(), "\x00NULL")
+    expected = {}
+    for et, g in pdf.groupby(key):
+        hourly = g.groupby("h")["c"].sum().sort_index()
+        lv = tr = None
+        for h, x in hourly.items():
+            if lv is None:
+                lv, tr = float(x), 0.0
+            else:
+                lt = 0.5 * float(x) + 0.5 * (lv + tr)
+                tr = 0.5 * (lt - lv) + 0.5 * tr
+                lv = lt
+            q = lambda v: math.floor(v / 100.0 * 1e4 + 0.5)  # noqa: E731
+            et_out = None if et == "\x00NULL" else et
+            expected[(et_out, h.to_pydatetime())] = (q(lv), q(tr), q(lv + tr))
+    out = entry.queries()["ts_holt_linear"](spark, hostile_nullkeys_sf).collect()
+    assert len(out) == len(expected)
+    for r in out:
+        got = (r["level_x10k"], r["trend_x10k"], r["forecast_next_x10k"])
+        assert expected[(r["event_type"], r["h"])] == got, r
+
+
+def test_max_drawdown_pure_python_recompute(spark, hostile_nullkeys_sf):
+    import math
+
+    import __spark_entry__ as entry
+
+    pdf = _events_pdf(hostile_nullkeys_sf)
+    pdf = pdf[pdf["ts"].notna()].copy()
+    pdf["d"] = pdf["ts"].dt.date
+    pdf["net"] = ((pdf["value"] - 50.0) * 100 + 0.5).apply(math.floor).astype("int64")
+    key = pdf["event_type"].where(pdf["event_type"].notna(), "\x00NULL")
+    expected = {}
+    for et, g in pdf.groupby(key):
+        daily = g.groupby("d")["net"].sum().sort_index()
+        equity = peak = 0
+        mdd, trough, peak_eq = -1, None, None
+        run_eq = []
+        for d, net in daily.items():
+            equity += int(net)
+            run_eq.append((d, equity))
+        peak = None
+        for d, eq in run_eq:
+            peak = eq if peak is None else max(peak, eq)
+            dd = peak - eq
+            if dd > mdd:
+                mdd, trough = dd, d
+        peak_eq = max(eq for _, eq in run_eq)
+        et_out = None if et == "\x00NULL" else et
+        expected[et_out] = (mdd, trough, peak_eq)
+    out = entry.queries()["ts_max_drawdown"](spark, hostile_nullkeys_sf).collect()
+    assert len(out) == len(expected)
+    for r in out:
+        mdd, trough, peak_eq = expected[r["event_type"]]
+        assert r["max_drawdown_cents"] == mdd, r
+        assert r["trough_date"] == trough, r
+        assert r["peak_equity_cents"] == peak_eq, r
