@@ -109,6 +109,43 @@ EXTENDED_RUNS = 2
 SCALING = ("topk_per_group",)
 
 
+def time_oracle_extended(
+    sf_dir: str, sqls: "dict[str, str]", cap_sec: float = 900.0
+) -> "dict[str, float | str]":
+    """DuckDB wall-clock per query, interrupt-capped, ONE FRESH CONNECTION
+    PER QUERY (ADVICE r13): a shared connection has an interrupt race — a
+    cap timer firing in the gap between execute() returning and
+    timer.cancel() would cancel the NEXT query and record a spurious
+    '>=cap' bound.  A stray interrupt on connection N cannot touch
+    connection N+1; view creation over parquet is metadata-only (~ms)."""
+    import threading
+
+    import duckdb as _duckdb
+
+    from gcp_cloudsql_to_bigquery_spark.catalog import TABLES as _TABLES
+
+    out: "dict[str, float | str]" = {}
+    for name, sql in sqls.items():
+        econ = _duckdb.connect()
+        for t in _TABLES:
+            econ.execute(
+                f"CREATE OR REPLACE VIEW {t} AS "
+                f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        timer = threading.Timer(cap_sec, econ.interrupt)
+        timer.start()
+        t0 = time.time()
+        try:
+            econ.execute(sql).fetchall()
+            out[name] = round(time.time() - t0, 3)
+        except _duckdb.InterruptException:
+            out[name] = f">={int(cap_sec)}s (interrupted)"
+        finally:
+            timer.cancel()
+            econ.close()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -267,35 +304,12 @@ def main() -> None:
     # bound, which is itself the ">= cap" evidence the ratio needs.
     oracle_extended: dict[str, "float | str"] = {}
     try:
-        import threading
-
-        import duckdb as _duckdb
-
-        from gcp_cloudsql_to_bigquery_spark.catalog import TABLES as _TABLES
         from gcp_cloudsql_to_bigquery_spark.workload import oracle_sql as _osql
 
-        _ORACLE_EXT_CAP_SEC = 900.0
-        econ = _duckdb.connect()
-        for t in _TABLES:
-            econ.execute(
-                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-            )
         esqls = _osql()
-        for name in EXTENDED:
-            sql = esqls.get(name)
-            if sql is None:
-                continue
-            timer = threading.Timer(_ORACLE_EXT_CAP_SEC, econ.interrupt)
-            timer.start()
-            t0 = time.time()
-            try:
-                econ.execute(sql).fetchall()
-                oracle_extended[name] = round(time.time() - t0, 3)
-            except _duckdb.InterruptException:
-                oracle_extended[name] = f">={int(_ORACLE_EXT_CAP_SEC)}s (interrupted)"
-            finally:
-                timer.cancel()
-        econ.close()
+        oracle_extended = time_oracle_extended(
+            sf_dir, {n: esqls[n] for n in EXTENDED if n in esqls}
+        )
     except Exception as e:  # bench must still emit its JSON line
         oracle_extended["__error__"] = str(e)[:200]
 

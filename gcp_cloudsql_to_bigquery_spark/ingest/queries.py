@@ -222,8 +222,16 @@ def elt_bad_records_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
         F.coalesce(F.col("c_custkey").cast("string"), F.lit("")),
         F.coalesce(F.col("c_nationkey").cast("string"), F.lit("")),
-        F.when(F.col("c_custkey") % 97 == 0, F.lit("XXX")).otherwise(
-            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").cast("string")
+        # the balance field needs the same coalesce as the key fields: a
+        # row with NULL c_custkey AND NULL c_acctbal takes the otherwise()
+        # branch, yields NULL, and concat_ws would drop the field — a
+        # 2-field line PERMISSIVE flags corrupt while the oracle counts
+        # the row good (ADVICE r13, latent: no tier plants both NULLs)
+        F.coalesce(
+            F.when(F.col("c_custkey") % 97 == 0, F.lit("XXX")).otherwise(
+                F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint").cast("string")
+            ),
+            F.lit(""),
         ),
     )
     out = tmp_dir("quarantine_") + "/export"

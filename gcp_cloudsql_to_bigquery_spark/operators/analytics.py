@@ -572,7 +572,7 @@ def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFr
              lead(event_type, 2) OVER w AS e3
       FROM (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
             FROM events)
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ),
     paths AS (
       -- || propagates NULL: a trigram STARTING at a null-typed event is a
@@ -597,7 +597,10 @@ def analytics_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFr
 )
 def analytics_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS FIRST pinned on BOTH sides: Spark ASC already places NULL ts
+    # first, DuckDB defaults to NULLS LAST — unpinned, a null-ts event
+    # (nullkeys tier) shifts every lead() trigram around it (ADVICE r13).
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_first(), "event_id")
     seq = ev.select(
         "event_type",
         F.lead("event_type", 1).over(w).alias("e2"),
@@ -1156,7 +1159,7 @@ def analytics_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps AS (
       SELECT user_id,
              epoch_us(ts) - epoch_us(lag(ts) OVER w) AS g_us
-      FROM purch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      FROM purch WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ),
     bucketed AS (
       SELECT CASE WHEN g_us < 3600000000        THEN '0_under_1h'
@@ -1184,7 +1187,10 @@ def analytics_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFram
     purch = load(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     ).select("user_id", "ts", "event_id")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS FIRST pinned (same contract as analytics_top_paths): a null-ts
+    # purchase must sort to the head of the timeline on both engines, else
+    # the lag() neighbor of the first real purchase differs (ADVICE r13).
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_first(), "event_id")
     gaps = purch.select(
         (
             F.unix_micros(F.col("ts").cast("timestamp"))

@@ -133,24 +133,33 @@ def _tws_available() -> bool:
 
 
 class _TypeTotalsProcessor(StatefulProcessor):
-    """Per-event-type running (count, cent-exact total) via typed ValueState."""
+    """Per-event-type running (count, cent-exact total) via typed ValueState.
+
+    The state carries a non-null-value counter ``nv`` alongside (n, cents):
+    SQL ``sum()`` over zero non-null rows is NULL, so a key whose every
+    ``cents`` is NULL must emit ``total_value`` None — the same contract
+    ``running_user_stats`` adopted in r13 (ADVICE r13: carry nv NOW, before
+    the protobuf promotion gate, not after)."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._agg = handle.getValueState("agg", "n BIGINT, cents BIGINT")
+        self._agg = handle.getValueState("agg", "n BIGINT, cents BIGINT, nv BIGINT")
 
     def handleInputRows(self, key, rows, timerValues):
-        n, cents = self._agg.get() if self._agg.exists() else (0, 0)
+        n, cents, nv = self._agg.get() if self._agg.exists() else (0, 0, 0)
         for pdf in rows:
             n += len(pdf)
+            nv += int(pdf["cents"].notna().sum())
             # an all-NULL batch sums to NaN under min_count=1 — guard the
-            # int() (the running_user_stats NaN-fold crash class).  At
-            # promotion time (protobuf gate) the all-NULL-key total must
-            # also adopt the sibling's NULL-total contract (nv counter).
+            # int() (the running_user_stats NaN-fold crash class).
             s = pdf["cents"].sum(min_count=1)
             cents += 0 if pd.isna(s) else int(s)
-        self._agg.update((n, cents))
+        self._agg.update((n, cents, nv))
         yield pd.DataFrame(
-            {"event_type": [key[0]], "n": [n], "total_value": [cents / 100.0]}
+            {
+                "event_type": [key[0]],
+                "n": [n],
+                "total_value": [cents / 100.0 if nv > 0 else None],
+            }
         )
 
     def close(self) -> None:

@@ -268,8 +268,10 @@ NULLKEYS_FIXED = [
     "analytics_event_transitions",
     "analytics_fifo_allocation",
     "analytics_peak_concurrency",
+    "analytics_repurchase_intervals",  # r14: NULLS FIRST ts pin (ADVICE r13)
     "analytics_rfm_segmentation",
     "analytics_state_durations",
+    "analytics_top_paths",  # r14: NULLS FIRST ts pin (ADVICE r13)
     "ann_bruteforce_topk",
     "ann_ivf_kmeans_topk",
     "ann_matryoshka_rerank",

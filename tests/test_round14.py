@@ -1,0 +1,269 @@
+"""Round-14 witnesses: the ADVICE r13 closures.
+
+- ``analytics_top_paths`` / ``analytics_repurchase_intervals``: nullable
+  ``ts`` window order pinned NULLS FIRST on BOTH sides (Spark ASC puts
+  NULL first, DuckDB defaults to NULLS LAST) — the fixtures here plant
+  NULL ts densely enough that the divergent lead()/lag() neighbors MUST
+  reach the visible output, which the nullkeys tier's sparse planting
+  never forced (the divergent paths sat below the top-20 cut).
+- ``_TypeTotalsProcessor``: carries a non-null counter ``nv`` in its
+  ValueState and emits ``total_value`` None when nv==0 — the SQL
+  sum-over-zero-non-null-rows contract, adopted BEFORE the protobuf
+  promotion gate instead of deferred to it.
+- ``elt_bad_records_quarantine``: a row with BOTH c_custkey and c_acctbal
+  NULL now exports a 3-field line (balance coalesced to ''), which
+  PERMISSIVE reads back as a good row — matching the oracle.
+- ``bench.time_oracle_extended``: fresh DuckDB connection per timed query;
+  an interrupt landing on query N's connection cannot cancel query N+1.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF0001 = "/root/testdata/sf0.001"
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _copy_sf(dst):
+    for name in _TABLES:
+        shutil.copy(f"{SF0001}/{name}.parquet", dst / f"{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# NULLS FIRST ts pin (ADVICE r13, medium) — forced-divergence fixtures
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nullts_events_sf(tmp_path_factory):
+    """sf0.001 with every third event's ts nulled (purchases included):
+    dense enough that NULL-ts rows sit adjacent to real rows in most user
+    timelines, so an unpinned ORDER BY ts diverges between engines in the
+    lead()/lag() neighborhoods that reach the final output."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("nullts_events_sf")
+    _copy_sf(out)
+    t = pq.read_table(out / "events.parquet")
+    mask = pc.equal(pc.bit_wise_and(t["event_id"], 3), 0)
+    ts = pc.if_else(mask, None, t["ts"])
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts)
+    pq.write_table(t, out / "events.parquet")
+    return str(out)
+
+
+def _duck_on(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _match(spark, sf_dir, name):
+    import importlib.util
+
+    import __spark_entry__ as entry
+
+    spec = importlib.util.spec_from_file_location(
+        "selfcheck", "/root/repo/scripts/selfcheck.py"
+    )
+    selfcheck = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(selfcheck)
+
+    sdf = entry.queries()[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = _duck_on(sf_dir)
+    try:
+        res = con.execute(entry.oracle_sql()[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+    finally:
+        con.close()
+    assert sorted(scols) == sorted(ocols), f"{name}: column mismatch"
+    assert len(srows) == len(orows), (
+        f"{name}: rowcount spark={len(srows)} duckdb={len(orows)}"
+    )
+    s = selfcheck.rowset(scols, srows)
+    o = selfcheck.rowset(ocols, orows)
+    assert s == o, f"{name}: first diffs {[p for p in zip(s, o) if p[0] != p[1]][:3]}"
+
+
+def test_top_paths_null_ts_matches_oracle(spark, nullts_events_sf):
+    """With 1/4 of ts NULL, an unpinned window order shifts lead() trigrams
+    engine-to-engine; the NULLS FIRST pin makes both sides agree."""
+    _match(spark, nullts_events_sf, "analytics_top_paths")
+
+
+def test_repurchase_intervals_null_ts_matches_oracle(spark, nullts_events_sf):
+    """NULL-ts purchases must sort to the head of each user's purchase
+    timeline on both engines, else the lag() neighbor of the first real
+    purchase differs and the bucket counts drift."""
+    _match(spark, nullts_events_sf, "analytics_repurchase_intervals")
+
+
+def test_null_ts_ordering_is_load_bearing(nullts_events_sf):
+    """The pin is not vacuous on this fixture: DuckDB's default (NULLS
+    LAST) and the pinned NULLS FIRST order produce DIFFERENT trigram
+    counts on the nulled-ts events — i.e. an unpinned oracle would have
+    diverged from Spark's ASC-nulls-first here."""
+    con = _duck_on(nullts_events_sf)
+    try:
+        base = """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+                FROM events)
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts {nulls}, event_id)
+        )
+        SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY path ORDER BY path
+        """
+        first = con.execute(base.format(nulls="NULLS FIRST")).fetchall()
+        last = con.execute(base.format(nulls="NULLS LAST")).fetchall()
+    finally:
+        con.close()
+    assert first != last, "fixture failed to force a NULL-ts ordering divergence"
+
+
+# ---------------------------------------------------------------------------
+# _TypeTotalsProcessor nv contract (ADVICE r13, low)
+# ---------------------------------------------------------------------------
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+class _FakeHandle:
+    def getValueState(self, name, schema):
+        assert "nv" in schema, "state schema must carry the non-null counter"
+        return _FakeValueState()
+
+
+def _run_tws(batches):
+    from gcp_cloudsql_to_bigquery_spark.streaming.stateful import (
+        _TypeTotalsProcessor,
+    )
+
+    p = _TypeTotalsProcessor()
+    p.init(_FakeHandle())
+    out = None
+    for pdf in batches:
+        out = list(p.handleInputRows(("purchase",), iter([pdf]), None))[-1]
+    return out.iloc[0]
+
+
+def test_tws_all_null_cents_emit_null_total():
+    """sum() over zero non-null rows is SQL NULL (TWS_ORACLE_SQL), not 0.0
+    — the running_user_stats nv contract, adopted pre-promotion."""
+    row = _run_tws([pd.DataFrame({"cents": pd.array([None, None], dtype="Int64")})])
+    assert row["n"] == 2
+    assert row["total_value"] is None or pd.isna(row["total_value"])
+
+
+def test_tws_null_total_recovers_on_first_non_null():
+    """A later batch with a real value flips the emitted total from NULL to
+    the numeric sum — nv must persist across batches in the ValueState."""
+    row = _run_tws(
+        [
+            pd.DataFrame({"cents": pd.array([None], dtype="Int64")}),
+            pd.DataFrame({"cents": pd.array([250, None], dtype="Int64")}),
+        ]
+    )
+    assert row["n"] == 3
+    assert row["total_value"] == pytest.approx(2.50)
+
+
+# ---------------------------------------------------------------------------
+# quarantine: both-NULL (key, balance) row is good (ADVICE r13, low)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bothnull_customer_sf(tmp_path_factory):
+    """sf0.001 with one customer row carrying BOTH c_custkey and c_acctbal
+    NULL — the combination no hostile tier plants (the nullkeys tier nulls
+    keys and values on different rows)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("bothnull_customer_sf")
+    _copy_sf(out)
+    t = pq.read_table(out / "customer.parquet")
+    first = pc.equal(t["c_custkey"], t["c_custkey"][0])
+    t = t.set_column(
+        t.schema.get_field_index("c_acctbal"),
+        "c_acctbal",
+        pc.if_else(first, pa.scalar(None, pa.float64()), t["c_acctbal"]),
+    )
+    t = t.set_column(
+        t.schema.get_field_index("c_custkey"),
+        "c_custkey",
+        pc.if_else(first, pa.scalar(None, pa.int64()), t["c_custkey"]),
+    )
+    pq.write_table(t, out / "customer.parquet")
+    return str(out)
+
+
+def test_quarantine_both_null_row_counts_good(spark, bothnull_customer_sf):
+    """The both-NULL row must export as a 3-field ',,<nation>,' style line
+    (balance coalesced to ''), load back un-corrupt, and count good —
+    matching the oracle, which never sees the CSV round-trip."""
+    _match(spark, bothnull_customer_sf, "elt_bad_records_quarantine")
+
+
+# ---------------------------------------------------------------------------
+# bench oracle-extended: fresh connection per timed query (ADVICE r13, low)
+# ---------------------------------------------------------------------------
+
+
+def test_oracle_extended_interrupt_cannot_leak_to_next_query():
+    """Query 1 blows a ~0 cap and is interrupted; query 2 must still record
+    a numeric time.  Under the old shared-connection loop, an interrupt
+    delivered around query 1's completion could cancel query 2's execute;
+    with one connection per query that cross-talk is structurally gone."""
+    import bench
+
+    heavy = (
+        "SELECT count(*) FROM (SELECT a.o_orderkey FROM orders a, orders b "
+        "WHERE (a.o_orderkey * b.o_orderkey) % 7 = 3)"
+    )
+    out = bench.time_oracle_extended(
+        SF0001, {"heavy": heavy, "trivial": "SELECT 1 AS x"}, cap_sec=0.05
+    )
+    assert isinstance(out["trivial"], float), out
+    # the heavy one either got interrupted (the bound string) or, on a very
+    # fast box, finished under the cap — both are valid records; what may
+    # NOT happen is the trivial query inheriting the interrupt
+    assert "interrupted" not in str(out["trivial"])
