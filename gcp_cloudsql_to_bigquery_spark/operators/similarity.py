@@ -860,62 +860,239 @@ _PQ_ORACLE = (
     f"one broadcast join + per-(vector, subspace) argmin, storage drops "
     f"64x, and query cost is O(M*K) table build + a code-column scan — "
     f"the memory-bound regime IVF alone cannot reach; IVF-PQ composes "
-    f"this with ann_ivf_topk's cell routing.",
+    f"this with ann_ivf_topk's cell routing.  Execution (round 14): the "
+    f"codebook slice (vec_id < {_PQ_K}, which contains the 10 query "
+    f"vectors) is ONE bounded driver collect; codewords and per-query "
+    f"distance tables become literal expressions, so encode + ADC run as "
+    f"a single scan-local projection over the corpus — zero joins, zero "
+    f"encode shuffles; the only exchange left is the final top-k rank "
+    f"window on (query, neighbor) pairs (10 rows per corpus vector).  "
+    f"Previously encode/ADC were two broadcast joins + a per-(vec,m) "
+    f"window: 18 scheduled jobs at sf0.1 where the data needs ~3.",
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    ms = F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m")
-    subs = e.select("vec_id", "v", ms).select(
-        "vec_id",
-        "m",
-        F.expr(f"slice(v, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sub"),
-    )
-    cb = subs.filter(F.col("vec_id") < _PQ_K).select(
-        "m", F.col("vec_id").alias("j"), F.col("sub").alias("cw")
-    )
-    d2_expr = (
-        dot(F.col("sub"), F.col("sub"))
-        - 2 * dot(F.col("sub"), F.col("cw"))
-        + dot(F.col("cw"), F.col("cw"))
-    )
-    d2 = subs.join(F.broadcast(cb), "m").select(
-        "vec_id",
-        "m",
-        "j",
-        F.floor(d2_expr * 1e6 + 0.5).cast("bigint").alias("q"),
-    )
-    w_enc = W.partitionBy("vec_id", "m").orderBy("q", "j")
-    enc = (
-        d2.withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", F.col("j").alias("code"))
-    )
-    tbl = d2.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "m", "j", "q"
-    )
-    # enc and tbl both derive from d2 — explicit plan aliases so the join
-    # condition resolves across the two subtrees by name, not by Spark's
-    # self-join attribute disambiguation (which logs "trivially true
-    # equals predicate" and is version-fragile).
-    enc_a, tbl_a = enc.alias("enc"), tbl.alias("tbl")
-    adc = (
-        enc_a.join(
-            F.broadcast(tbl_a),
-            (F.col("enc.m") == F.col("tbl.m"))
-            & (F.col("enc.code") == F.col("tbl.j"))
-            & (F.col("enc.vec_id") != F.col("tbl.query_id")),
+    # Bounded driver collect (the sibling ANN convention: query sets and
+    # codebooks are fixed-size small sides).  vec_id < _PQ_K implies
+    # vec_id IS NOT NULL on both engines (NULL < k is NULL).
+    head = {
+        int(r["vec_id"]): r["v"]
+        for r in e.filter(F.col("vec_id") < _PQ_K).collect()
+    }
+    cb_js = sorted(head)
+    q_ids = [j for j in cb_js if j < 10]
+    if not cb_js or not q_ids:
+        # no codewords or no queries -> the oracle's adc CTE is empty
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, approx_d2_x1e6 bigint, rnk int"
         )
-        .groupBy(
-            F.col("tbl.query_id").alias("query_id"),
-            F.col("enc.vec_id").alias("neighbor_id"),
+
+    def pydot(a, b):
+        """Sequential left fold over zip_with-style pairing — the same
+        IEEE accumulation order as dot() and DuckDB list_inner_product,
+        with Spark's semantics on length mismatch / NULL elements (the
+        shorter side zero-pads with NULL, and any NULL product poisons
+        the running sum to NULL)."""
+        if a is None or b is None:
+            return None
+        s = 0.0
+        for i in range(max(len(a), len(b))):
+            x = a[i] if i < len(a) else None
+            y = b[i] if i < len(b) else None
+            if x is None or y is None:
+                return None
+            s += x * y
+        return s
+
+    def sub_of(v, m):
+        return None if v is None else v[m * _PQ_SUB : m * _PQ_SUB + _PQ_SUB]
+
+    def q_of(sub, cw):
+        """floor((s.s - 2 s.c + c.c) * 1e6 + 0.5) as a Python int — the
+        identical double expression both engines evaluate; finite on every
+        exercised dataset (a non-finite d would already fail the DuckDB
+        CAST in the oracle)."""
+        d1, dx, d3 = pydot(sub, sub), pydot(sub, cw), pydot(cw, cw)
+        if d1 is None or dx is None or d3 is None:
+            return None
+        return int(math.floor((d1 - 2 * dx + d3) * 1e6 + 0.5))
+
+    # per-query distance tables: tbl[qid][m][j] = q (may be None)
+    tbl = {
+        qid: [
+            {j: q_of(sub_of(head[qid], m), sub_of(head[j], m)) for j in cb_js}
+            for m in range(_PQ_M)
+        ]
+        for qid in q_ids
+    }
+
+    # Encode + ADC run in ONE vectorized Arrow kernel (the sibling
+    # ann_bruteforce_topk / embedding_label_centroid_arrow pattern): the
+    # codebook and per-query tables ride the task closure, so the corpus
+    # is scanned once with zero joins and zero encode shuffles.  Two
+    # earlier cuts of this rewrite kept encode declarative — composed
+    # Columns spent 8-9 s/call in py4j literal round-trips, and generated
+    # SQL text spent ~1 s/call in parse + codegen of a 1k-literal tree;
+    # the kernel closure carries the same 16 vectors for free.
+    #
+    # Bit parity: every accumulation below is a SEQUENTIAL left fold over
+    # the subvector dimension (numpy loops dimension-wise, vectorized
+    # across rows), the exact IEEE order of dot() / list_inner_product;
+    # d2 combines as (d1 - 2*dx) + qcc like both engines.
+    import numpy as np
+    import pyarrow as pa
+
+    dim = _PQ_M * _PQ_SUB
+
+    def clean_sub(s):
+        return (
+            s is not None
+            and len(s) == _PQ_SUB
+            and not any(x is None for x in s)
         )
-        .agg(F.sum(F.col("tbl.q")).cast("bigint").alias("approx_d2_x1e6"))
+
+    # per-subspace codebook: js whose codeword yields a numeric q against
+    # a clean sub (null_js get q NULL -> they win the ASC-nulls-first
+    # argmin at the lowest such j, for EVERY clean row)
+    cb_norm, cb_null = [], []
+    for m in range(_PQ_M):
+        norm_js = [j for j in cb_js if clean_sub(sub_of(head[j], m))]
+        null_js = [j for j in cb_js if j not in norm_js]
+        C = (
+            np.array([sub_of(head[j], m) for j in norm_js], dtype=np.float64)
+            if norm_js
+            else np.zeros((0, _PQ_SUB))
+        )
+        qcc = np.array(
+            [pydot(sub_of(head[j], m), sub_of(head[j], m)) for j in norm_js],
+            dtype=np.float64,
+        )
+        cb_norm.append((np.array(norm_js, dtype=np.int64), C, qcc))
+        cb_null.append(min(null_js) if null_js else None)
+
+    # per-query lookup tables indexed by code j: values + null mask
+    max_j = max(cb_js)
+    tbl_val = {}
+    tbl_nul = {}
+    for qid in q_ids:
+        vals = np.zeros((_PQ_M, max_j + 1), dtype=np.int64)
+        nuls = np.ones((_PQ_M, max_j + 1), dtype=bool)
+        for m in range(_PQ_M):
+            for j in cb_js:
+                q = tbl[qid][m][j]
+                if q is not None:
+                    vals[m, j] = q
+                    nuls[m, j] = False
+        tbl_val[qid] = vals
+        tbl_nul[qid] = nuls
+
+    def code_py(sub, m):
+        """Argmin over codewords for ONE degenerate subvector — q NULL
+        sorts first, ties to the lowest j (the window's ORDER BY q, j)."""
+        best = None
+        for j in cb_js:
+            q = q_of(sub, sub_of(head[j], m))
+            key = (1, q, j) if q is not None else (0, 0, j)
+            if best is None or key < best:
+                best = key
+        return best[2]
+
+    def kernel(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            varr = batch.column("v")
+            if isinstance(varr, pa.ChunkedArray):
+                varr = varr.combine_chunks()
+            # clean rows: non-null list, exactly dim elements, no null
+            # elements -> vectorized; everything else -> exact scalar path
+            row_null = varr.is_null().to_numpy(zero_copy_only=False)
+            offs = varr.offsets.to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            elem_null = varr.values.is_null().to_numpy(zero_copy_only=False)
+            # reduceat quirk: a zero-length row returns the element AT its
+            # offset, not 0 — harmless here because lens != dim already
+            # routes such rows to the scalar path
+            bad_elems = (
+                np.add.reduceat(elem_null, np.minimum(offs[:-1], len(elem_null) - 1))
+                if len(elem_null)
+                else np.zeros(n)
+            )
+            clean = (~row_null) & (lens == dim) & (bad_elems == 0)
+
+            codes = np.zeros((n, _PQ_M), dtype=np.int64)
+            if clean.any():
+                flat = varr.values.to_numpy(zero_copy_only=False)
+                starts = offs[:-1][clean]
+                mat = flat[(starts[:, None] + np.arange(dim)[None, :])]
+                for m in range(_PQ_M):
+                    norm_js, C, qcc = cb_norm[m]
+                    if cb_null[m] is not None:
+                        # a NULL-q codeword outranks every numeric q
+                        codes[clean, m] = cb_null[m]
+                        continue
+                    S = mat[:, m * _PQ_SUB : (m + 1) * _PQ_SUB]
+                    d1 = np.zeros(len(S))
+                    for i in range(_PQ_SUB):
+                        d1 = d1 + S[:, i] * S[:, i]
+                    dx = np.zeros((len(S), len(norm_js)))
+                    for i in range(_PQ_SUB):
+                        dx = dx + S[:, i : i + 1] * C[:, i][None, :]
+                    d2 = (d1[:, None] - 2 * dx) + qcc[None, :]
+                    q = np.floor(d2 * 1e6 + 0.5).astype(np.int64)
+                    codes[clean, m] = norm_js[np.argmin(q, axis=1)]
+            if (~clean).any():
+                py_rows = varr.to_pylist()
+                for ridx in np.flatnonzero(~clean):
+                    vec = py_rows[ridx]
+                    for m in range(_PQ_M):
+                        codes[ridx, m] = code_py(sub_of(vec, m), m)
+
+            out_q, out_n, out_d = [], [], []
+            for qid in q_ids:
+                vals = tbl_val[qid][np.arange(_PQ_M)[None, :], codes]
+                nuls = tbl_nul[qid][np.arange(_PQ_M)[None, :], codes]
+                approx = np.where(nuls, 0, vals).sum(axis=1)
+                all_null = nuls.all(axis=1)
+                keep = ids != qid
+                out_q.append(np.full(int(keep.sum()), qid, dtype=np.int64))
+                out_n.append(ids[keep])
+                if all_null.any():
+                    out_d.append(
+                        pa.array(
+                            [
+                                None if an else int(v)
+                                for v, an in zip(approx[keep], all_null[keep])
+                            ],
+                            type=pa.int64(),
+                        )
+                    )
+                else:
+                    out_d.append(pa.array(approx[keep], type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_q), type=pa.int64()),
+                    pa.array(np.concatenate(out_n), type=pa.int64()),
+                    pa.concat_arrays(out_d),
+                ],
+                names=["query_id", "neighbor_id", "approx_d2_x1e6"],
+            )
+
+    # NULL-vec_id corpus rows are neither queries nor neighbors (the
+    # oracle's <> / < predicates drop them); one explicit filter here.
+    pairs = e.filter(F.col("vec_id").isNotNull()).mapInArrow(
+        kernel,
+        schema="query_id long, neighbor_id long, approx_d2_x1e6 long",
     )
     w_rank = W.partitionBy("query_id").orderBy("approx_d2_x1e6", "neighbor_id")
     return (
-        adc.withColumn("rnk", F.row_number().over(w_rank))
+        pairs.withColumn("rnk", F.row_number().over(w_rank))
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("query_id", "neighbor_id", "approx_d2_x1e6", "rnk")
     )

@@ -304,12 +304,16 @@ def test_event_transitions_single_event_scale_window(spark):
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
 
 
-def test_pq_encode_and_table_joins_are_broadcast(spark):
-    """PQ's codebook join (encode) and distance-table join (ADC) both
-    broadcast the fixed-size small side; corpus vectors are never shuffled
-    for either."""
+def test_pq_encode_is_scan_local(spark):
+    """PQ encode + ADC run inside one Arrow kernel over the corpus scan
+    (codebook and query tables ride the closure): the plan has NO join at
+    all, and the only exchange is the final top-k rank window on the
+    (query, neighbor) pair table — corpus vectors are never shuffled."""
     df = queries()["ann_pq_topk"](spark, "/root/testdata/sf0.001")
-    assert broadcast_join_count(df) >= 2
+    plan = physical_plan(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "hashpartitioning(query_id" in plan, plan
 
 
 def test_correlated_subqueries_decorrelate_to_joins(spark):
