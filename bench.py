@@ -294,6 +294,26 @@ def main() -> None:
         extended[name] = round(best, 3)
     spark.catalog.clearCache()
 
+    # Scaling-exponent reading for the extended pipelines (VERDICT r13
+    # item 6): one sf0.01 point next to the headline-sf point puts the
+    # claimed near-linear candidate growth IN the artifact instead of
+    # PERF.md prose.  One run (these are multi-second pipelines; jitter is
+    # proportionally small), fresh plan, cache cleared.
+    scaling_extended: dict[str, dict[str, "float | str"]] = {}
+    for name in ("dedup_minhash_lsh", "curation_dedup_pipeline"):
+        row2: dict[str, "float | str"] = {}
+        if name in extended:
+            row2[os.path.basename(bench_dir)] = extended[name]
+        try:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, "/root/testdata/sf0.01").toPandas()
+            row2["sf0.01"] = round(time.time() - t0, 3)
+        except Exception as e:
+            row2["sf0.01__error__"] = str(e)[:120]
+        scaling_extended[name] = row2
+    spark.catalog.clearCache()
+
     # Oracle-side wall-clocks for the extended trio (VERDICT r12 item 5):
     # PERF.md has long argued the dedup family's wall-time is a corpus
     # constant with the DuckDB side far slower, but the 2x criterion
@@ -338,6 +358,7 @@ def main() -> None:
                 "queries_extended": extended,
                 "oracle_extended": oracle_extended,
                 "scaling": scaling,
+                "scaling_extended": scaling_extended,
                 "plan_build": plan_build,
                 "cold_run": cold_run,
                 # environment context (VERDICT r9 item 7): shared-host load

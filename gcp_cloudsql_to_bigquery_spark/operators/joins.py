@@ -31,8 +31,13 @@ from ..registry import register
 @register(
     "join_star_q3",
     oracle="""
+    -- revenue is cent-quantized PER ITEM before the sum (exact integer
+    -- accumulation): round(sum(double)) is summation-order dependent, and
+    -- the r14 skewed-volume sweep caught groups whose sums landed within
+    -- an ulp of a .xx5 boundary, rounding to different cents per engine
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -57,7 +62,17 @@ def join_star_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("bigint")
+                )
+                / 100.0
+            ).alias("revenue")
+        )
     )
 
 

@@ -81,11 +81,15 @@ _GATE_FRONT: tuple[str, ...] = (
     # then the 11 oldest r6-vintage rows (CORRECTNESS_r06 artifact order).
     # Done = CORRECTNESS_r14 50/50 and the staleness floor moves to r6
     # (30-row remainder leads r15).
-    # changed impls (4):
+    # changed impls (5; join_star_q3 is the r14 skewed-volume sweep's one
+    # real divergence — round(sum(double)) rounded different cents per
+    # engine on sums landing within an ulp of a .xx5 boundary; revenue is
+    # now cent-quantized per item before an exact integer sum):
     "analytics_top_paths",
     "analytics_repurchase_intervals",
     "elt_bad_records_quarantine",
     "ann_pq_topk",
+    "join_star_q3",
     # r5-vintage rotation cohort (35):
     "agg_approx_count_distinct",
     "agg_arg_max_min",
@@ -122,7 +126,7 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_hypertable_rollup",
     "window_session_batch",
     "window_time_range_frame",
-    # r6-vintage head (11 of 41 — fills the gate to 50):
+    # r6-vintage head (10 of 41 — fills the gate to 50):
     "ts_interval_subtract_sla",
     "text_secrets_scan",
     "curation_calibration_curve",
@@ -133,8 +137,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_seasonal_profile",
     "analytics_cohort_ltv",
     "join_asof_nearest",
+    # --- end of the 50-slot r14 gate; r15 leads here (r6 remainder,
+    # starting with agg_grouping_metadata) ---
     "agg_grouping_metadata",
-    # --- end of the 50-slot r14 gate; r15 leads here (r6 remainder) ---
     # --- ROUND 13 GATE (50 slots): changed-impl-first + staleness rotation
     # (VERDICT r12 items 1+3).  Round 13 closed ADVICE r12 (stateful
     # NULL-value fold, geomean NULL group, drain confirm, nonzero-SQL

@@ -321,3 +321,65 @@ def test_pq_kernel_scalar_and_vector_paths_agree(spark):
     b = queries()["ann_pq_topk"](spark, SF0001).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) == 50
+
+
+# ---------------------------------------------------------------------------
+# Skewed-VOLUME geometry (VERDICT r13 item 2): sf0.1 row counts with
+# hostile distributions (scripts/make_skewed_sf.py).  The full-registry
+# sweep at this geometry found ONE divergence — join_star_q3's
+# round(sum(double), 2) rounded different cents per engine on tie-heavy
+# sums landing within an ulp of a .xx5 boundary.  Revenue is now
+# cent-quantized per item before an exact integer sum; this pins the fix
+# on the exact data that exposed it.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_sf(tmp_path_factory):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_skewed_sf", "/root/repo/scripts/make_skewed_sf.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path_factory.mktemp("skewed_sf")
+    return mod.main(str(out))
+
+
+def test_star_q3_cent_sums_match_on_tie_heavy_volume(spark, skewed_sf):
+    """The three groups that rounded differently pre-fix (orderkeys 49493,
+    85495, 94801 in the sweep log) now hash-match, along with the rest of
+    the 552-row result."""
+    _match(spark, skewed_sf, "join_star_q3")
+
+
+def test_star_q3_rounding_was_order_dependent(skewed_sf):
+    """Load-bearing check: on this data, DuckDB's round(sum(...), 2) and
+    the cent-quantized form genuinely DISAGREE for at least one group —
+    i.e. the old oracle shape was unfixable by any Spark-side summation
+    order, and the contract change was necessary."""
+    con = _duck_on(skewed_sf)
+    try:
+        diff = con.execute(
+            """
+            WITH g AS (
+              SELECT l_orderkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS a,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                         * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       / 100.0 AS b
+              FROM customer
+              JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+                AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+              GROUP BY l_orderkey
+            )
+            SELECT count(*) FROM g WHERE a <> b
+            """
+        ).fetchone()[0]
+    finally:
+        con.close()
+    assert diff > 0, "fixture no longer forces the rounding-boundary case"
