@@ -822,10 +822,20 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Exact jaccard is recomputed from the original shingles, NOT from "
     "the 2^18-bin TF vectors (bin collisions would bias it).  Scale "
     "shape matches the hand-rolled path: narrow signature pass, bucket "
-    "join, verify only candidates.",
+    "join, verify only candidates.  The candidate join is an EXPLICIT "
+    "(table, hash)-keyed self-join over model.transform's signature "
+    "column rather than model.approxSimilarityJoin: the r14 "
+    "skewed-volume sweep caught approxSimilarityJoin collapsing into a "
+    "single 19-minute task at 5000 docs (one-partition explode feeding "
+    "a broadcast join whose per-row Iterator keyDistance ran on every "
+    "bucket pair, jstack-confirmed) — the explicit join shuffles on the "
+    "bucket key like the hand-rolled path, and dropping the redundant "
+    "approx-distance prefilter only widens candidate recall (the exact "
+    "shingle-set jaccard >= 0.8 filter below is the real gate).",
 )
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
+    from pyspark.ml.functions import vector_to_array
 
     d = with_shingles(load(spark, sf_dir, "documents")).select("doc_id", "shingles")
     tf = HashingTF(
@@ -834,13 +844,26 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = tf.transform(d)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
     model = mh.fit(v)
-    cand = (
-        model.approxSimilarityJoin(v, v, 0.35, distCol="jd")
+    # signature row: one (doc, table, min-hash value) per OR table
+    sig = (
+        model.transform(v)
+        .select("doc_id", F.posexplode("hashes").alias("t", "hv"))
         .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
+            "doc_id", "t", F.element_at(vector_to_array("hv"), 1).alias("h")
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    la, lb = sig.alias("la"), sig.alias("lb")
+    cand = (
+        la.join(
+            lb,
+            (F.col("la.t") == F.col("lb.t"))
+            & (F.col("la.h") == F.col("lb.h"))
+            & (F.col("la.doc_id") < F.col("lb.doc_id")),
+        )
+        .select(
+            F.col("la.doc_id").alias("doc_a"), F.col("lb.doc_id").alias("doc_b")
+        )
+        .distinct()
     )
     sh = d.select(
         "doc_id",

@@ -81,15 +81,20 @@ _GATE_FRONT: tuple[str, ...] = (
     # then the 11 oldest r6-vintage rows (CORRECTNESS_r06 artifact order).
     # Done = CORRECTNESS_r14 50/50 and the staleness floor moves to r6
     # (30-row remainder leads r15).
-    # changed impls (5; join_star_q3 is the r14 skewed-volume sweep's one
-    # real divergence — round(sum(double)) rounded different cents per
-    # engine on sums landing within an ulp of a .xx5 boundary; revenue is
-    # now cent-quantized per item before an exact integer sum):
+    # changed impls (6).  join_star_q3 is the r14 skewed-volume sweep's
+    # one VALUE divergence — round(sum(double)) rounded different cents
+    # per engine on sums within an ulp of a .xx5 boundary; revenue is now
+    # cent-quantized per item before an exact integer sum.
+    # dedup_minhash_ml is the sweep's one SCALE finding — MLlib
+    # approxSimilarityJoin collapsed into a single 19-minute task at
+    # 5000 docs; candidates now come from an explicit (table, hash)-keyed
+    # self-join over the estimator's signatures (>19 min -> 81 s).
     "analytics_top_paths",
     "analytics_repurchase_intervals",
     "elt_bad_records_quarantine",
     "ann_pq_topk",
     "join_star_q3",
+    "dedup_minhash_ml",
     # r5-vintage rotation cohort (35):
     "agg_approx_count_distinct",
     "agg_arg_max_min",
@@ -99,7 +104,6 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_percentile_approx",
     "agg_stats_regression",
     "dedup_incremental_index",
-    "dedup_minhash_ml",
     "dq_constraint_audit",
     "elt_compact_small_files",
     "elt_dynamic_partition_overwrite",

@@ -383,3 +383,37 @@ def test_star_q3_rounding_was_order_dependent(skewed_sf):
     finally:
         con.close()
     assert diff > 0, "fixture no longer forces the rounding-boundary case"
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_ml (VERDICT r13 item 2's SCALE finding): MLlib
+# approxSimilarityJoin collapsed into a single 19-minute task at sf0.1
+# volume (one-partition explode feeding a broadcast join whose per-row
+# Iterator keyDistance ran on every bucket pair — jstack-confirmed).
+# Candidates now come from an explicit (table, hash)-keyed self-join over
+# the estimator's signature column: same buckets, same recall contract
+# (the approx-distance prefilter was redundant under the exact
+# jaccard >= 0.8 gate), but the pair work shuffles on the bucket key.
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_ml_candidate_join_is_bucket_keyed(spark):
+    """The plan must shuffle/join on the (table, hash) bucket key — never
+    a nested-loop or single-partition pair scan."""
+    from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+    df = queries()["dedup_minhash_ml"](spark, SF0001)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the bucket equi-join keys (t, h) appear as join/exchange keys
+    assert "t#" in plan and "h#" in plan, plan
+
+
+def test_minhash_ml_matches_exact_ground_truth(spark):
+    """End-to-end vs the exact all-pairs oracle at sf0.001 — the recall
+    contract (8 OR tables, j >= 0.8 -> P(candidate) ~ 1) must survive the
+    candidate-stage rewrite."""
+    _match(spark, SF0001, "dedup_minhash_ml")
