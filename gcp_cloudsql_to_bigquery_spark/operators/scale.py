@@ -99,6 +99,18 @@ def global_order_stats(
         .withColumn("_pid", F.expr("shiftright(_mid, 33)").cast("bigint"))
         .withColumn("_lrn", F.expr("_mid % shiftleft(1L, 33)") + 1)
     )
+    # MATERIALIZE once before branching (r14 skewed-volume find, the
+    # round's worst bug): the offsets branch and the final-join branch
+    # each re-execute this range exchange, and RangePartitioner's boundary
+    # SAMPLE depends on the upstream aggregate's row order — which differs
+    # between the two branches' column-pruned plans.  Different boundaries
+    # => the per-partition counts describe different partition contents
+    # than the rows being ranked, and ranks interleave silently (observed:
+    # every partition's count differed between branches at sf0.1 volume;
+    # ranks off by up to 16 inside tie bands).  localCheckpoint pins ONE
+    # physical layout that both branches read; the checkpointed input is
+    # group-grain (the df being ranked), never the fact table.
+    part = part.localCheckpoint(eager=True)
     aggs = [F.count(F.lit(1)).alias("_c")]
     if val_col is not None:
         aggs.append(F.sum(val_col).alias("_s"))

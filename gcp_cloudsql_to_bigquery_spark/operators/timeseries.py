@@ -1337,7 +1337,13 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT r.event_type,
            r.raw_us,
            r.raw_us - m.masked_us AS effective_us,
-           (r.raw_us - m.masked_us) * 1000000 // r.raw_us AS sla_ppm
+           -- ppm via 128-bit floor division: effective_us * 1e6 overflows
+           -- INT64 once a type's uptime exceeds ~107 days of microseconds
+           -- (the r14 skewed-VOLUME sweep hit it at sf0.1; DuckDB errors,
+           -- Spark would wrap silently) — HUGEINT here, exact decimal
+           -- floor-division on the Spark side
+           CAST((CAST(r.raw_us - m.masked_us AS HUGEINT) * 1000000)
+                // r.raw_us AS BIGINT) AS sla_ppm
     FROM raw r JOIN msk m ON r.event_type = m.event_type
     """,
     doc="INTERVAL SUBTRACTION for SLA ACCOUNTING — uptime minus "
@@ -1389,11 +1395,17 @@ def ts_interval_subtract_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0).cast("bigint"), F.least("e", "me") - F.greatest("s", "ms"))
         ).alias("masked_us")
     )
+    # ppm via exact decimal floor division (the oracle's HUGEINT twin):
+    # numer - numer % raw is divisible, so the decimal divide is exact and
+    # Spark's round-at-result-scale behavior can never bump the quotient.
+    numer = "CAST(raw_us - masked_us AS DECIMAL(38, 0)) * 1000000"
     return raw.join(msk, "event_type").select(
         "event_type",
         "raw_us",
         (F.col("raw_us") - F.col("masked_us")).alias("effective_us"),
-        F.expr("(raw_us - masked_us) * 1000000 div raw_us").alias("sla_ppm"),
+        F.expr(
+            f"CAST((({numer}) - (({numer}) % raw_us)) / raw_us AS BIGINT)"
+        ).alias("sla_ppm"),
     )
 
 

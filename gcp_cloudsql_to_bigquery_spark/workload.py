@@ -81,20 +81,29 @@ _GATE_FRONT: tuple[str, ...] = (
     # then the 11 oldest r6-vintage rows (CORRECTNESS_r06 artifact order).
     # Done = CORRECTNESS_r14 50/50 and the staleness floor moves to r6
     # (30-row remainder leads r15).
-    # changed impls (6).  join_star_q3 is the r14 skewed-volume sweep's
-    # one VALUE divergence — round(sum(double)) rounded different cents
-    # per engine on sums within an ulp of a .xx5 boundary; revenue is now
-    # cent-quantized per item before an exact integer sum.
-    # dedup_minhash_ml is the sweep's one SCALE finding — MLlib
-    # approxSimilarityJoin collapsed into a single 19-minute task at
-    # 5000 docs; candidates now come from an explicit (table, hash)-keyed
-    # self-join over the estimator's signatures (>19 min -> 81 s).
+    # changed impls (8) — the r14 skewed-VOLUME sweep's fix classes:
+    # join_star_q3: round(sum(double)) rounded different cents per engine
+    #   on sums within an ulp of a .xx5 boundary -> per-item cent
+    #   quantization + exact integer sum.
+    # dedup_minhash_ml (SCALE): MLlib approxSimilarityJoin collapsed into
+    #   a single 19-minute task at 5000 docs -> explicit (table, hash)-
+    #   keyed self-join over the estimator's signatures (>19 min -> 81 s).
+    # ts_interval_subtract_sla: effective_us * 1e6 overflows INT64 at
+    #   sf0.1 volume (DuckDB errors, Spark wraps) -> 128-bit floor div.
+    # analytics_rfm_segmentation (the round's worst bug, via
+    #   global_order_stats): the offsets and final-join branches re-ran
+    #   the range exchange with DIFFERENT sampled boundaries, silently
+    #   interleaving ranks -> eager localCheckpoint fence; siblings
+    #   pareto/gini/equidepth/calibration ride the same fix, all proven
+    #   on 8 geometries + the pytest net.
     "analytics_top_paths",
     "analytics_repurchase_intervals",
     "elt_bad_records_quarantine",
     "ann_pq_topk",
     "join_star_q3",
     "dedup_minhash_ml",
+    "analytics_rfm_segmentation",
+    "ts_interval_subtract_sla",
     # r5-vintage rotation cohort (35):
     "agg_approx_count_distinct",
     "agg_arg_max_min",
@@ -130,8 +139,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_hypertable_rollup",
     "window_session_batch",
     "window_time_range_frame",
-    # r6-vintage head (10 of 41 — fills the gate to 50):
-    "ts_interval_subtract_sla",
+    # r6-vintage head (8 of 41 — fills the gate to 50; sla above is also
+    # r6-vintage, so 9 r6 rows confirm this round):
     "text_secrets_scan",
     "curation_calibration_curve",
     "analytics_equidepth_histogram",
@@ -140,9 +149,9 @@ _GATE_FRONT: tuple[str, ...] = (
     "curation_importance_resampling",
     "ts_seasonal_profile",
     "analytics_cohort_ltv",
-    "join_asof_nearest",
     # --- end of the 50-slot r14 gate; r15 leads here (r6 remainder,
-    # starting with agg_grouping_metadata) ---
+    # starting with join_asof_nearest) ---
+    "join_asof_nearest",
     "agg_grouping_metadata",
     # --- ROUND 13 GATE (50 slots): changed-impl-first + staleness rotation
     # (VERDICT r12 items 1+3).  Round 13 closed ADVICE r12 (stateful

@@ -417,3 +417,51 @@ def test_minhash_ml_matches_exact_ground_truth(spark):
     contract (8 OR tables, j >= 0.8 -> P(candidate) ~ 1) must survive the
     candidate-stage rewrite."""
     _match(spark, SF0001, "dedup_minhash_ml")
+
+
+# ---------------------------------------------------------------------------
+# global_order_stats branch-divergence bug (the round's worst find): the
+# offsets branch and the final-join branch each re-executed the range
+# exchange, and RangePartitioner's boundary sample depends on the upstream
+# aggregate's row order — which differs between the branches' column-pruned
+# plans.  At sf0.1 volume EVERY partition's count described different
+# contents than the rows being ranked; ranks interleaved silently (rfm
+# quintiles off by one for hundreds of customers).  Fixed by an eager
+# localCheckpoint fence pinning ONE physical layout for both branches.
+# ---------------------------------------------------------------------------
+
+
+def test_global_order_stats_ranks_are_a_permutation_in_order(spark, skewed_sf):
+    """On the exposing data (wide rollup + tie-heavy order key), the rank
+    column must be exactly 1..n AND walking ranks in order must never
+    violate the sort order — the unfenced form failed both (297 seam
+    violations)."""
+    from gcp_cloudsql_to_bigquery_spark.catalog import load
+    from gcp_cloudsql_to_bigquery_spark.operators.scale import global_order_stats
+    from pyspark.sql import functions as F
+
+    o = load(spark, skewed_sf, "orders")
+    tx = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+    )
+    ranked = global_order_stats(
+        tx, [F.col("frequency").desc(), F.asc_nulls_first("custkey")]
+    )
+    rows = sorted((r["_rn"], r["frequency"], r["custkey"]) for r in ranked.collect())
+    assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [(-r[1], r[2]) for r in rows]
+    assert keys == sorted(keys), "rank walk violates the sort order"
+
+
+def test_rfm_quintiles_match_oracle_on_skewed_volume(spark, skewed_sf):
+    """End-to-end: the three ntile scores hash-match DuckDB's on the
+    exposing geometry."""
+    _match(spark, skewed_sf, "analytics_rfm_segmentation")
+
+
+def test_sla_ppm_survives_int64_overflow_volume(spark, skewed_sf):
+    """effective_us * 1e6 exceeds INT64 at sf0.1 volume (~107 days of
+    microseconds per type): DuckDB errored, Spark would wrap silently.
+    Both sides now floor-divide in 128-bit (HUGEINT / exact decimal)."""
+    _match(spark, skewed_sf, "ts_interval_subtract_sla")
