@@ -478,13 +478,20 @@ def test_no_unpartitioned_window_over_fact_grain_family(spark):
 
 
 def test_equidepth_histogram_no_ntile_no_global_sort(spark):
-    """The rank is derived from range partitions + monotonically_increasing_id
-    — the plan must carry a range exchange and NO ntile window at all."""
+    """The rank is derived from range partitions + monotonically_increasing_id,
+    NO ntile window at all.  Since the round-14 boundary fence
+    (global_order_stats localCheckpoints the range-partitioned input so the
+    offsets and final-join branches cannot re-sample different boundaries),
+    the range exchange is materialized AT the checkpoint: the visible plan
+    must read the checkpointed scan carrying the decoded (_pid, _lrn) rank
+    columns and contain NO downstream rangepartitioning — a reappearing
+    range exchange would mean the fence regressed to the re-sampling bug."""
     df = queries()["analytics_equidepth_histogram"](spark, SF)
     plan = inspect.physical_plan(df)
     assert "ntile" not in plan, plan
-    assert "monotonically_increasing_id" in plan, plan
-    assert "rangepartitioning(cents" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "_pid" in plan and "_lrn" in plan, plan
+    assert "rangepartitioning" not in plan, plan
 
 
 def test_no_fact_by_fact_cartesian_registry_claim(spark):
