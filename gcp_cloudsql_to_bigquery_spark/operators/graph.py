@@ -150,7 +150,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_triangle_count",
     oracle="""
-    WITH raw AS (
+    -- raw is MATERIALIZED as an optimizer fence (same rows either way):
+    -- without it DuckDB hops the src <> dst predicate into an EARLY
+    -- customer x supplier inequality join, and on hot-customer data the
+    -- (order, supplier)-pair intermediate explodes to ~1e8 rows (observed:
+    -- 80 GB spill-to-disk death at skewed sf0.1 volume, r14 sweep).  The
+    -- fence pins the many-to-one fact-join order; the filter then runs on
+    -- the 600k-row joined result.
+    WITH raw AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst
       FROM lineitem l
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -292,7 +299,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "graph_link_prediction",
     oracle="""
-    WITH raw AS (
+    -- MATERIALIZED: the same optimizer fence as graph_triangle_count's raw
+    -- (see the note there) — prevents the src <> dst predicate from being
+    -- hopped into an early customer x supplier inequality join that
+    -- explodes on hot-customer data (228 s observed unfenced at skewed
+    -- sf0.1 volume).
+    WITH raw AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
       FROM lineitem l
       JOIN orders o   ON l.l_orderkey = o.o_orderkey

@@ -78,10 +78,11 @@ _GATE_FRONT: tuple[str, ...] = (
     # (VERDICT item 3: 18 jobs -> 3, ~1.2 s -> ~0.6 s at sf0.1, bit parity
     # proven at 3 SFs + 4 hostile tiers).  The 4 changed impls lead; then
     # the FULL 35-row r5-vintage rotation cohort (the judge's recount),
-    # then the 11 oldest r6-vintage rows (CORRECTNESS_r06 artifact order).
-    # Done = CORRECTNESS_r14 50/50 and the staleness floor moves to r6
-    # (30-row remainder leads r15).
-    # changed impls (8) — the r14 skewed-VOLUME sweep's fix classes:
+    # then the oldest r6-vintage rows to fill 50 (CORRECTNESS_r06 artifact
+    # order).  Done = CORRECTNESS_r14 50/50 and the staleness floor moves
+    # to r6 (remainder leads r15, starting with ts_seasonal_profile).
+    # changed impls + changed oracles (10) — the r14 skewed-VOLUME sweep's
+    # fix classes:
     # join_star_q3: round(sum(double)) rounded different cents per engine
     #   on sums within an ulp of a .xx5 boundary -> per-item cent
     #   quantization + exact integer sum.
@@ -96,6 +97,14 @@ _GATE_FRONT: tuple[str, ...] = (
     #   interleaving ranks -> eager localCheckpoint fence; siblings
     #   pareto/gini/equidepth/calibration ride the same fix, all proven
     #   on 8 geometries + the pytest net.
+    # graph_triangle_count / graph_link_prediction (changed ORACLES): the
+    #   skewed-volume sweep killed the unfenced triangle oracle with an
+    #   80 GB DuckDB spill — the optimizer hops the src <> dst predicate
+    #   into an early customer x supplier inequality join that explodes on
+    #   the hot customer.  raw is now AS MATERIALIZED in both (same rows;
+    #   triangle disk-death -> 12 s, link_prediction 228 s -> 2.5 s);
+    #   re-proven on sf0.01 + sf0.1 + skewed volume + all four hostile
+    #   tiers.
     "analytics_top_paths",
     "analytics_repurchase_intervals",
     "elt_bad_records_quarantine",
@@ -104,6 +113,8 @@ _GATE_FRONT: tuple[str, ...] = (
     "dedup_minhash_ml",
     "analytics_rfm_segmentation",
     "ts_interval_subtract_sla",
+    "graph_triangle_count",
+    "graph_link_prediction",
     # r5-vintage rotation cohort (35):
     "agg_approx_count_distinct",
     "agg_arg_max_min",
@@ -139,18 +150,19 @@ _GATE_FRONT: tuple[str, ...] = (
     "ts_hypertable_rollup",
     "window_session_batch",
     "window_time_range_frame",
-    # r6-vintage head (8 of 41 — fills the gate to 50; sla above is also
-    # r6-vintage, so 9 r6 rows confirm this round):
+    # r6-vintage head (6 of 41 — fills the gate to 50 after the two
+    # changed-oracle graph rows joined the changed block; sla above is
+    # also r6-vintage, so 7 r6 rows confirm this round):
     "text_secrets_scan",
     "curation_calibration_curve",
     "analytics_equidepth_histogram",
     "analytics_pareto_8020",
     "analytics_gini_coefficient",
     "curation_importance_resampling",
+    # --- end of the 50-slot r14 gate; r15 leads here (r6 remainder,
+    # starting with ts_seasonal_profile) ---
     "ts_seasonal_profile",
     "analytics_cohort_ltv",
-    # --- end of the 50-slot r14 gate; r15 leads here (r6 remainder,
-    # starting with join_asof_nearest) ---
     "join_asof_nearest",
     "agg_grouping_metadata",
     # --- ROUND 13 GATE (50 slots): changed-impl-first + staleness rotation
