@@ -307,14 +307,13 @@ def test_pq_null_embedding_rows_match_oracle(spark, nullvec_embeddings_sf):
     _match(spark, nullvec_embeddings_sf, "ann_pq_topk")
 
 
-def test_pq_kernel_scalar_and_vector_paths_agree(spark):
-    """Force the whole corpus down the scalar path (single-row batches via
-    a 1-partition repartition is not enough — instead compare the full
-    query output against itself computed from a fixture where vectors are
-    bit-identical but carry an appended element, trimmed back).  Simpler
-    and strict: the registered query's output is deterministic across two
-    runs (vector path), and the nullvec fixture (scalar rows mixed in)
-    still yields exactly 10 x 5 unique ranked rows."""
+def test_pq_topk_deterministic_across_runs(spark):
+    """Determinism only: two runs of the registered query agree and yield
+    exactly 10 x 5 ranked rows.  (ADVICE r14 low: this test's old name
+    claimed scalar-vs-vector agreement it never checked — the REAL
+    agreement test now lives in tests/test_round15.py, driving the
+    extracted _pq_build_kernel on mixed clean/degenerate Arrow batches
+    against a pure-Python reference.)"""
     from gcp_cloudsql_to_bigquery_spark.workload import queries
 
     a = queries()["ann_pq_topk"](spark, SF0001).collect()
