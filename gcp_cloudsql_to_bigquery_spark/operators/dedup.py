@@ -813,25 +813,27 @@ def dedup_incremental_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="MinHash LSH via pyspark.ml (the library path next to the "
     "hand-rolled dedup_minhash_lsh): shingle sets → binary HashingTF "
-    "vectors → ml.feature.MinHashLSH (8 tables, pinned seed) → "
-    "approxSimilarityJoin candidates → exact Jaccard verification on "
-    "64-bit-hashed shingle sets.  Candidate recall at j>=0.8 with 8 "
-    "OR-ed tables is 1-(1-j)^8 ≈ 1-2e-6, so the verified output equals "
-    "the exact ground truth (the oracle) — same contract the hand-rolled "
-    "banding satisfies, demonstrated through the MLlib estimator API.  "
-    "Exact jaccard is recomputed from the original shingles, NOT from "
-    "the 2^18-bin TF vectors (bin collisions would bias it).  Scale "
-    "shape matches the hand-rolled path: narrow signature pass, bucket "
-    "join, verify only candidates.  The candidate join is an EXPLICIT "
-    "(table, hash)-keyed self-join over model.transform's signature "
-    "column rather than model.approxSimilarityJoin: the r14 "
-    "skewed-volume sweep caught approxSimilarityJoin collapsing into a "
-    "single 19-minute task at 5000 docs (one-partition explode feeding "
-    "a broadcast join whose per-row Iterator keyDistance ran on every "
-    "bucket pair, jstack-confirmed) — the explicit join shuffles on the "
-    "bucket key like the hand-rolled path, and dropping the redundant "
-    "approx-distance prefilter only widens candidate recall (the exact "
-    "shingle-set jaccard >= 0.8 filter below is the real gate).",
+    "vectors → ml.feature.MinHashLSH (16 tables, pinned seed) → 8 AND-2 "
+    "BANDS over the estimator's hashes → explicit (band, hash)-keyed "
+    "self-join with a lossless PPJoin size band in the join condition → "
+    "exact Jaccard verification on 64-bit-hashed shingle sets.  "
+    "Candidate recall at j>=0.8 with 8 OR-ed 2-row bands is "
+    "1-(1-j^2)^8 >= 0.99972 — above the hand-rolled path's accepted "
+    "1-(1-j^4)^16 >= 0.9996 contract, and exactly 1 for j=1 exact "
+    "duplicates — so the verified output equals the exact ground truth "
+    "(the oracle), demonstrated through the MLlib estimator API.  Exact "
+    "jaccard is recomputed from the original shingles, NOT from the "
+    "2^18-bin TF vectors (bin collisions would bias it).  Scale shape "
+    "matches the hand-rolled path: narrow signature pass, bucket-keyed "
+    "join, verify only candidates.  History: r14 dropped "
+    "model.approxSimilarityJoin after the skewed-volume sweep caught it "
+    "collapsing into a single 19-minute task (one-partition explode + "
+    "per-row Iterator keyDistance, jstack-confirmed); r15 banded the "
+    "tables + added the size prune after the same tier showed single-"
+    "hash OR buckets going quadratic (~3900-doc buckets, 44M collision "
+    "rows, 12.1M verify pairs ~= all-pairs at 5000 docs) — banding cuts "
+    "that to 8.3M/4.2M and the skewed Spark wall from 66 s to 30 s "
+    "(VERDICT r14 item 6).",
 )
 def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
@@ -842,23 +844,62 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
     v = tf.transform(d)
-    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=16, seed=42)
     model = mh.fit(v)
-    # signature row: one (doc, table, min-hash value) per OR table
-    sig = (
+    # Banded signatures (round 15, VERDICT r14 item 6): the estimator's 16
+    # min-hashes compose into 8 AND-2 bands — band hash = xxhash64 of the
+    # two member hashes, the same AND/OR structure the hand-rolled path
+    # uses (16 bands x 4 rows there).  Single-hash OR tables have
+    # P(bucket collision) = j, so on the r14 skewed-VOLUME tier (5000
+    # deliberately self-similar docs) buckets reached ~3900 docs and the
+    # self-join enumerated 44M collision rows / 12.1M distinct pairs —
+    # nearly all-pairs; banding squares the per-band collision prob
+    # (j^2), cutting enumeration to 8.3M rows and the verify set to
+    # 4.2M, at recall 1-(1-j^2)^8 >= 0.99972 for j >= 0.8 — ABOVE the
+    # hand-rolled path's accepted 1-(1-j^4)^16 >= 0.9996 contract, and
+    # exactly 1 for the j=1 exact duplicates that dominate dense tiers.
+    # A band-hash xxhash64 collision can only ADD a false candidate
+    # (removed by the exact verify), never drop a true pair.  Each
+    # signature row also carries n, the doc's DISTINCT hashed-shingle
+    # count — the same n the exact verify divides by.
+    nsh = F.size(F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))))
+    rows = (
         model.transform(v)
-        .select("doc_id", F.posexplode("hashes").alias("t", "hv"))
+        .select("doc_id", nsh.alias("n"), F.posexplode("hashes").alias("i", "hv"))
         .select(
-            "doc_id", "t", F.element_at(vector_to_array("hv"), 1).alias("h")
+            "doc_id", "n", "i", F.element_at(vector_to_array("hv"), 1).alias("hr")
         )
     )
+    # band assembly: one tiny groupBy over 16 rows/doc (the two members of
+    # band t are tables 2t and 2t+1; max-of-when picks each deterministically)
+    sig = rows.groupBy(
+        "doc_id", "n", (F.col("i") / 2).cast("int").alias("t")
+    ).agg(
+        F.xxhash64(
+            F.max(F.when(F.col("i") % 2 == 0, F.col("hr"))),
+            F.max(F.when(F.col("i") % 2 == 1, F.col("hr"))),
+        ).alias("h")
+    )
+
+    def _ceil9(x: "F.Column") -> "F.Column":
+        # epsilon-robust ceil(t*n) — same guard as prefix_filtered_candidates
+        return F.ceil(F.round(x, 9))
+
     la, lb = sig.alias("la"), sig.alias("lb")
     cand = (
         la.join(
             lb,
             (F.col("la.t") == F.col("lb.t"))
             & (F.col("la.h") == F.col("lb.h"))
-            & (F.col("la.doc_id") < F.col("lb.doc_id")),
+            & (F.col("la.doc_id") < F.col("lb.doc_id"))
+            # LOSSLESS size band (Xiao et al. WWW'08, the PPJoin prune the
+            # hand-rolled path already stacks): J(A,B) >= 0.8 forces
+            # |A| >= ceil(0.8*|B|) and vice versa on the SAME distinct
+            # hashed-shingle sets the exact verify scores, so the prune
+            # runs INSIDE the bucket join, ahead of the distinct and the
+            # array-verify joins (drops 57% of collisions at skewed volume)
+            & (F.col("la.n") >= _ceil9(F.lit(0.8) * F.col("lb.n")))
+            & (F.col("lb.n") >= _ceil9(F.lit(0.8) * F.col("la.n"))),
         )
         .select(
             F.col("la.doc_id").alias("doc_a"), F.col("lb.doc_id").alias("doc_b")

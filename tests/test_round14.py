@@ -413,8 +413,9 @@ def test_minhash_ml_candidate_join_is_bucket_keyed(spark):
 
 def test_minhash_ml_matches_exact_ground_truth(spark):
     """End-to-end vs the exact all-pairs oracle at sf0.001 — the recall
-    contract (8 OR tables, j >= 0.8 -> P(candidate) ~ 1) must survive the
-    candidate-stage rewrite."""
+    contract (since r15: 8 OR-ed AND-2 bands over 16 estimator tables,
+    j >= 0.8 -> P(candidate) >= 0.99972) must survive the candidate-stage
+    rewrites."""
     _match(spark, SF0001, "dedup_minhash_ml")
 
 
