@@ -70,6 +70,87 @@ _load_optional()
 # closures only (VERDICT r9 item 2 — gap analysis written to COVERAGE.md
 # before either was added); frozen again at 375 thereafter.
 _GATE_FRONT: tuple[str, ...] = (
+    # --- ROUND 15 GATE (50 slots): changed-impl-first + staleness rotation
+    # (VERDICT r14 items 1+2+6, ADVICE r14).  The 4 changed impls/oracles
+    # lead:
+    # ann_pq_topk: ADVICE r14 medium — the kernel's clamped-reduceat
+    #   null-mask truncated the previous row's segment (trailing NULL
+    #   element at the values-buffer end mis-entered the vectorized path,
+    #   floor(NaN) -> garbage code) -> exact prefix-sum counts; plus
+    #   batch-local top-k (<= k rows/query/batch cross the Arrow
+    #   boundary) and the enc-window q NULLS FIRST oracle pin.
+    # ann_ivfpq_topk (changed ORACLE): same enc-window NULLS FIRST pin
+    #   (branch unreachable in DuckDB — list_inner_product errors on NULL
+    #   elements; pinned for drift-proofing).
+    # ann_pq_rerank: rides ann_pq_topk_candidates' ranked_topk refactor
+    #   (same single-window plan; Spark 4's Partial WindowGroupLimit is
+    #   the native map-side bound, pinned in tests/test_round15.py).
+    # dedup_minhash_ml (SCALE, VERDICT r14 item 6): 16 estimator tables
+    #   banded AND-2 into 8 bucket keys + lossless PPJoin size band in
+    #   the join condition — single-hash buckets went quadratic at skewed
+    #   volume (44M collision rows, 12.1M-pair verify ~= all-pairs);
+    #   now 8.3M/4.2M, skewed Spark wall 66 s -> 30 s, recall contract
+    #   1-(1-j^2)^8 >= 0.99972 at j>=0.8, re-proven on all 5 geometries.
+    "ann_pq_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_rerank",
+    "dedup_minhash_ml",
+    # r6-vintage rotation cohort (all 32 remaining r6 rows, artifact
+    # order — the staleness floor moves past r6 when these confirm):
+    "ts_seasonal_profile",
+    "analytics_cohort_ltv",
+    "join_asof_nearest",
+    "agg_grouping_metadata",
+    "window_distinct_running",
+    "elt_incremental_join_maintenance",
+    "text_segment_dedup",
+    "join_scd2_point_in_time",
+    "agg_boolean_filter_family",
+    "src_csv_quoted_edges",
+    "multimodal_resize_ppm",
+    "multimodal_resample_wav",
+    "ts_time_weighted_avg",
+    "ts_counter_rate",
+    "join_fuzzy_blocked",
+    "join_geo_radius",
+    "text_hashed_classifier_score",
+    "text_duplicate_span_fraction",
+    "agg_mode_deterministic",
+    "agg_entropy",
+    "agg_count_min_sketch",
+    "analytics_audience_overlap",
+    "analytics_event_transitions",
+    "elt_snapshot_diff",
+    "agg_weighted_median",
+    "curation_epoch_shuffle",
+    "analytics_frequent_pairs",
+    "fn_url_parse",
+    "fn_collation_group",
+    "dq_reconciliation_rowhash",
+    "analytics_window_funnel",
+    "ts_m4_downsample",
+    # r7-vintage head (14 of 35, CORRECTNESS_r07 artifact order — fills
+    # the gate to 50; the r7 remainder leads r16):
+    "sql_unpivot",
+    "sql_exists_correlated",
+    "sql_lateral_column_alias",
+    "dedup_containment",
+    "text_unicode_normalize",
+    "join_interval_overlap",
+    "src_binary_file",
+    "elt_range_partition_layout",
+    "analytics_attribution_last_touch",
+    "embedding_label_centroid_arrow",
+    "analytics_sequence_match",
+    "fn_generators_posexplode_outer",
+    "text_bigram_logprob",
+    "ts_outlier_mad",
+    # --- end of the 50-slot r15 gate; r16 leads here (r7 remainder,
+    # starting with agg_quantile_sketch) ---
+    "agg_quantile_sketch",
+    "graph_copurchase_similarity",
+    "dq_freshness_partition_audit",
+    "ts_ma_decompose",
     # --- ROUND 14 GATE (50 slots): changed-impl-first + staleness rotation
     # (VERDICT r13 item 1).  Round 14 closed ADVICE r13 4/4 (NULLS FIRST
     # ts pins on the two path/interval analytics queries, TWS nv counter,
