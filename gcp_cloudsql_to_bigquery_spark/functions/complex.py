@@ -469,6 +469,8 @@ def embedding_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kernel(batches):
+        import math
+
         import numpy as np
         import pyarrow as pa
 
@@ -476,40 +478,80 @@ def embedding_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             if b.num_rows == 0:
                 continue
             emb = b.column(1)
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
             null = np.asarray(emb.is_null())
-            if null.any():
-                # slow path for batches carrying absent embeddings: NULL
-                # rows get NULL l2_norm AND NULL unit_first (the oracle's
-                # propagation through list_sum), present rows the fast math
-                rows = emb.to_pylist()
-                mats = [
-                    np.asarray(r, dtype=np.float64) if r is not None else None
-                    for r in rows
-                ]
-                norms = np.array(
-                    [np.sqrt((m * m).sum()) if m is not None else np.nan for m in mats]
+            offs = emb.offsets.to_numpy(zero_copy_only=False)
+            lens = offs[1:] - offs[:-1]
+            elem_null = emb.values.is_null().to_numpy(zero_copy_only=False)
+            # exact per-row NULL-element counts via prefix sums — the
+            # round-15 sibling audit of the PQ kernel's clamped-reduceat
+            # bug class (ADVICE r14 medium): this kernel's old fast path
+            # never checked ELEMENT validity at all, so a NULL element
+            # flowed through flatten() as NaN and both outputs went NaN
+            # where the oracle's list_sum SKIPS null elements (and its
+            # all-NULL/empty sum is NULL); the old slow path's
+            # np.asarray(list-with-None) did the same.  Witnessed in
+            # tests/test_round15.py against DuckDB on exactly that
+            # geometry (no hostile tier plants element-level nulls).
+            if len(elem_null):
+                csum = np.concatenate(
+                    ([0], np.cumsum(elem_null, dtype=np.int64))
                 )
-                firsts = np.array(
-                    [m[0] if m is not None and m.size else np.nan for m in mats]
-                )
+                n_bad = csum[offs[1:]] - csum[offs[:-1]]
             else:
-                # .flatten() honors slice offsets; .values on a sliced
-                # ListArray would return the whole child buffer
+                n_bad = np.zeros(b.num_rows, dtype=np.int64)
+            if (
+                not null.any()
+                and not n_bad.any()
+                and lens.min() == lens.max()
+                and lens[0] > 0
+            ):
+                # fast path: rectangular, fully-valid batch.  .flatten()
+                # honors slice offsets; .values on a sliced ListArray
+                # would return the whole child buffer
                 flat = np.asarray(emb.flatten(), dtype=np.float64)
                 mat = flat.reshape(b.num_rows, -1)
                 norms = np.sqrt((mat * mat).sum(axis=1))
                 firsts = mat[:, 0]
+                norm_null = np.zeros(b.num_rows, dtype=bool)
+                first_null = norm_null
+            else:
+                # exact row path (the PQ-kernel scalar-path philosophy):
+                # SQL list_sum skips NULL elements and is NULL for empty
+                # or all-NULL lists; the unit numerator is the ORIGINAL
+                # first element (positionally NULL-able)
+                rows = emb.to_pylist()
+                norms = np.zeros(b.num_rows)
+                firsts = np.zeros(b.num_rows)
+                norm_null = np.zeros(b.num_rows, dtype=bool)
+                first_null = np.zeros(b.num_rows, dtype=bool)
+                for i, r in enumerate(rows):
+                    if r is None:
+                        norm_null[i] = True
+                        first_null[i] = True
+                        continue
+                    vals = [x for x in r if x is not None]
+                    if vals:
+                        norms[i] = math.sqrt(sum(x * x for x in vals))
+                    else:
+                        norm_null[i] = True
+                    if r and r[0] is not None:
+                        firsts[i] = r[0]
+                    else:
+                        first_null[i] = True
             # zero-norm vectors cannot be normalized: unit_first is NULL
             # (masked), matching the oracle's x/0 -> NULL — NOT numpy's NaN
-            zero = norms == 0
+            zero = (norms == 0) & ~norm_null
+            unit_null = norm_null | first_null | zero
             unit = np.divide(
-                firsts, norms, out=np.zeros_like(norms), where=~(zero | null)
+                firsts, norms, out=np.zeros_like(norms), where=~unit_null
             )
             yield pa.RecordBatch.from_arrays(
                 [
                     b.column(0),
-                    pa.array(np.round(norms, 6), mask=null),
-                    pa.array(np.round(unit, 6), mask=zero | null),
+                    pa.array(np.round(norms, 6), mask=norm_null),
+                    pa.array(np.round(unit, 6), mask=unit_null),
                 ],
                 names=["vec_id", "l2_norm", "unit_first"],
             )

@@ -1373,22 +1373,65 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_label_centroid_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
 
+    _D = 64  # the oracle's fixed dim axis (CROSS JOIN range(64))
+
     def centroids(table: "pa.Table") -> "pa.Table":
+        import math
+
         import numpy as np
 
         label = table.column("label")[0].as_py()
-        mat = np.stack(table.column("v").to_pylist()).astype("float64")
-        m = np.floor(mat * 1e6 + 0.5).astype("int64")
-        n = m.shape[0]
-        s = m.sum(axis=0)
-        cent = (2 * s + n) // (2 * n)  # python/numpy floor division
-        dims = np.arange(1, m.shape[1] + 1, dtype="int32")
+        varr = table.column("v").combine_chunks()
+        nvec = len(varr)
+        offs = varr.offsets.to_numpy(zero_copy_only=False)
+        lens = offs[1:] - offs[:-1]
+        elem_null = varr.values.is_null().to_numpy(zero_copy_only=False)
+        # exact per-row NULL-element counts via prefix sums — round-15
+        # sibling audit of the PQ kernel's element-validity bug class
+        # (ADVICE r14 medium): np.stack(to_pylist()).astype(float64)
+        # turned a NULL element into NaN and the whole dim's integer sum
+        # into garbage, where the oracle's sum(m) SKIPS the NULL element
+        # while count(*) still counts the vector (and an all-NULL dim
+        # sums to NULL).  Witnessed vs DuckDB in tests/test_round15.py.
+        if len(elem_null):
+            csum = np.concatenate(([0], np.cumsum(elem_null, dtype=np.int64)))
+            n_bad = csum[offs[1:]] - csum[offs[:-1]]
+        else:
+            n_bad = np.zeros(nvec, dtype=np.int64)
+        if not n_bad.any() and lens.min() == lens.max() and lens[0] == _D:
+            # fast path: rectangular fully-valid group — one vectorized
+            # column reduction (the hot path on every benign/skewed tier)
+            mat = np.asarray(varr.flatten(), dtype=np.float64).reshape(nvec, _D)
+            m = np.floor(mat * 1e6 + 0.5).astype("int64")
+            s = m.sum(axis=0)
+            cent = pa.array((2 * s + nvec) // (2 * nvec), pa.int64())
+        else:
+            # exact path: sum quantized NON-NULL elements per dim (dims
+            # beyond a short vector are NULL in the oracle's v[d.dim] and
+            # likewise skipped); a dim with zero contributions has a NULL
+            # sum -> NULL centroid
+            sums = [0] * _D
+            cnts = [0] * _D
+            for r in varr.to_pylist():
+                for di in range(min(len(r), _D)):
+                    x = r[di]
+                    if x is not None:
+                        sums[di] += int(math.floor(x * 1e6 + 0.5))
+                        cnts[di] += 1
+            cent = pa.array(
+                [
+                    (2 * sums[di] + nvec) // (2 * nvec) if cnts[di] else None
+                    for di in range(_D)
+                ],
+                pa.int64(),
+            )
+        dims = np.arange(1, _D + 1, dtype="int32")
         return pa.table(
             {
-                "label": pa.array([label] * m.shape[1], pa.int32()),
+                "label": pa.array([label] * _D, pa.int32()),
                 "dim": pa.array(dims, pa.int32()),
-                "n": pa.array([n] * m.shape[1], pa.int64()),
-                "centroid_micro": pa.array(cent, pa.int64()),
+                "n": pa.array([nvec] * _D, pa.int64()),
+                "centroid_micro": cent,
             }
         )
 
