@@ -614,11 +614,17 @@ def analytics_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("event_type"), F.lit(">"), F.col("e2"), F.lit(">"), F.col("e3")).alias("path")
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    # Global top-k via orderBy().limit(): TakeOrderedAndProject runs a
+    # per-partition top-20 heap + a k-row driver merge — no exchange, no
+    # full sort.  The old rank-then-filter shape single-partition-sorted
+    # EVERY distinct trigram (r15 registry scan: Spark's
+    # InferWindowGroupLimit never fires for empty partition specs, and a
+    # cast between the rank and its filter would defeat it anyway); the
+    # 20-row rank window after the limit is free and emits the identical
+    # rnk because limit and window share the same total order.
+    top = counted.orderBy(F.col("n").desc(), "path").limit(20)
     wr = W.orderBy(F.col("n").desc(), "path")
-    return (
-        counted.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
-        .filter(F.col("rnk") <= 20)
-    )
+    return top.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
 
 
 @register(

@@ -739,9 +739,15 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
         "component", F.coalesce("component", "doc_id")
     )
     w = W.partitionBy("component").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-    ranked = members.withColumn("rn", F.row_number().over(w)).withColumn(
+    # n_members BEFORE rn: with the count window stacked between the
+    # row_number window and its rn==1 filter, Spark's WindowGroupLimit
+    # rule cannot fire (r15 registry scan); computed first, the count
+    # still sees every member (same value) while the rank window gets
+    # its map-side group-limit — both windows share one exchange on
+    # component either way
+    ranked = members.withColumn(
         "n_members", F.count(F.lit(1)).over(W.partitionBy("component"))
-    )
+    ).withColumn("rn", F.row_number().over(w))
     return ranked.filter(F.col("rn") == 1).select(
         "component",
         F.col("doc_id").alias("keeper"),

@@ -91,10 +91,27 @@ _GATE_FRONT: tuple[str, ...] = (
     #   volume (44M collision rows, 12.1M-pair verify ~= all-pairs);
     #   now 8.3M/4.2M, skewed Spark wall 66 s -> 30 s, recall contract
     #   1-(1-j^2)^8 >= 0.99972 at j>=0.8, re-proven on all 5 geometries.
+    # embedding_normalize_arrow / embedding_label_centroid_arrow
+    #   (sibling audit of the element-validity kernel class): NULL
+    #   elements inside list<double> flowed through the vectorized paths
+    #   as NaN where the oracles' list_sum SKIPS them — both kernels now
+    #   prefix-sum the element mask and route degenerate rows to exact
+    #   SQL-semantics paths; witnessed vs DuckDB on a planted fixture.
+    # analytics_top_paths / dedup_cluster_representatives (plan shape,
+    #   r15 WindowGroupLimit registry scan): top_paths' global top-20 now
+    #   plans as TakeOrderedAndProject (the cast-then-filter rank shape
+    #   single-partition-sorted every distinct trigram); cluster reps'
+    #   count window moved below the rank window so the rn==1 filter gets
+    #   its map-side group-limit.  Outputs identical; plans pinned in
+    #   tests/test_round15.py.
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "ann_pq_rerank",
     "dedup_minhash_ml",
+    "embedding_normalize_arrow",
+    "embedding_label_centroid_arrow",
+    "analytics_top_paths",
+    "dedup_cluster_representatives",
     # r6-vintage rotation cohort (all 32 remaining r6 rows, artifact
     # order — the staleness floor moves past r6 when these confirm):
     "ts_seasonal_profile",
@@ -129,8 +146,10 @@ _GATE_FRONT: tuple[str, ...] = (
     "dq_reconciliation_rowhash",
     "analytics_window_funnel",
     "ts_m4_downsample",
-    # r7-vintage head (14 of 35, CORRECTNESS_r07 artifact order — fills
-    # the gate to 50; the r7 remainder leads r16):
+    # r7-vintage head (10 of 35, CORRECTNESS_r07 artifact order — fills
+    # the gate to 50 after the changed block grew to 8;
+    # embedding_label_centroid_arrow is r7-vintage AND changed, so it
+    # sits in the changed block and 9 further r7 rows confirm here):
     "sql_unpivot",
     "sql_exists_correlated",
     "sql_lateral_column_alias",
@@ -140,13 +159,12 @@ _GATE_FRONT: tuple[str, ...] = (
     "src_binary_file",
     "elt_range_partition_layout",
     "analytics_attribution_last_touch",
-    "embedding_label_centroid_arrow",
     "analytics_sequence_match",
+    # --- end of the 50-slot r15 gate; r16 leads here (r7 remainder,
+    # starting with fn_generators_posexplode_outer) ---
     "fn_generators_posexplode_outer",
     "text_bigram_logprob",
     "ts_outlier_mad",
-    # --- end of the 50-slot r15 gate; r16 leads here (r7 remainder,
-    # starting with agg_quantile_sketch) ---
     "agg_quantile_sketch",
     "graph_copurchase_similarity",
     "dq_freshness_partition_audit",

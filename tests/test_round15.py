@@ -407,3 +407,32 @@ def test_normalize_arrow_fast_and_exact_paths_agree(spark, nullelem_embeddings_s
     for vid, vals in base.items():
         if vid not in touched:
             assert mixed[vid] == vals, vid
+
+
+# ---------------------------------------------------------------------------
+# 6. Registry-wide WindowGroupLimit scan finds (r15): rank-filter queries
+# whose plan shape silently defeated Spark's map-side group-limit.
+# ---------------------------------------------------------------------------
+
+
+def test_top_paths_is_take_ordered_not_global_sort(spark):
+    """Global top-20 must plan as TakeOrderedAndProject (per-partition
+    heap + k-row driver merge) — the old rank-then-filter shape
+    single-partition-sorted every distinct trigram, and
+    InferWindowGroupLimit never fires for empty partition specs."""
+    from gcp_cloudsql_to_bigquery_spark.plans.inspect import physical_plan
+    from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+    plan = physical_plan(queries()["analytics_top_paths"](spark, SF0001))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cluster_representatives_rank_window_group_limited(spark):
+    """With n_members computed BELOW the rank window, the rn==1 filter
+    sits directly on the row_number window and WindowGroupLimit fires
+    (the old interleaving count window defeated it)."""
+    from gcp_cloudsql_to_bigquery_spark.plans.inspect import physical_plan
+    from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+    plan = physical_plan(queries()["dedup_cluster_representatives"](spark, SF0001))
+    assert "WindowGroupLimit" in plan, plan
