@@ -309,6 +309,13 @@ def test_pq_encode_is_scan_local(spark):
     (codebook and query tables ride the closure): the plan has NO join at
     all, and the only exchange is the final top-k rank window on the
     (query, neighbor) pair table — corpus vectors are never shuffled."""
+    # pin the FRESH build: ann_pq_topk keeps a prepared-plan cache (r16),
+    # and a cached DataFrame another test already executed explains as the
+    # final adaptive plan (ShuffleQueryStage wrappers) instead of the
+    # pre-execution shape this test pins
+    from gcp_cloudsql_to_bigquery_spark.operators import similarity as S
+
+    S._PQ_PLAN_CACHE.clear()
     df = queries()["ann_pq_topk"](spark, "/root/testdata/sf0.001")
     plan = physical_plan(df)
     assert "Join" not in plan, plan

@@ -214,12 +214,16 @@ def test_pq_rank_windows_have_partial_window_group_limit(spark):
     extra shuffle — see ranked_topk's docstring.)"""
     import re
 
+    from gcp_cloudsql_to_bigquery_spark.operators import similarity as S
     from gcp_cloudsql_to_bigquery_spark.operators.similarity import (
         ann_pq_topk_candidates,
     )
     from gcp_cloudsql_to_bigquery_spark.plans.inspect import physical_plan
     from gcp_cloudsql_to_bigquery_spark.workload import queries
 
+    # fresh build (see test_plans.test_pq_encode_is_scan_local): a cached,
+    # already-executed prepared plan explains in its final adaptive shape
+    S._PQ_PLAN_CACHE.clear()
     for df, k in (
         (queries()["ann_pq_topk"](spark, SF0001), 5),
         (queries()["ann_ivfpq_topk"](spark, SF0001), 5),
@@ -340,13 +344,17 @@ def nullelem_embeddings_sf(tmp_path_factory):
 
 def _match(spark, sf_dir, name):
     import importlib.util
+    from pathlib import Path
 
     import duckdb
 
     import __spark_entry__ as entry
 
+    # repo-relative (ADVICE r15 low: the old absolute /root/repo path broke
+    # any other checkout)
     spec = importlib.util.spec_from_file_location(
-        "selfcheck", "/root/repo/scripts/selfcheck.py"
+        "selfcheck",
+        str(Path(__file__).resolve().parents[1] / "scripts" / "selfcheck.py"),
     )
     selfcheck = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(selfcheck)
