@@ -414,6 +414,23 @@ def main() -> None:
                 "oracle_total": round(
                     sum(v for k, v in oracle_timings.items() if k != "__error__"), 3
                 ),
+                # batch-only headline totals (VERDICT r15 item 5): the
+                # streaming entries pay an honest micro-batch floor the
+                # DuckDB oracle's batch rewrite does not (50x on
+                # stream_tumbling_window), which masks batch regressions in
+                # round-over-round headline diffs — machine-readable here
+                # instead of prose in PERF.md
+                "headline_batch_only": round(
+                    sum(v for k, v in timings.items() if k not in STREAMING), 3
+                ),
+                "oracle_batch_only": round(
+                    sum(
+                        v
+                        for k, v in oracle_timings.items()
+                        if k not in STREAMING and k != "__error__"
+                    ),
+                    3,
+                ),
                 "queries_extended": extended,
                 "oracle_extended": oracle_extended,
                 "queries_skewed": queries_skewed,
