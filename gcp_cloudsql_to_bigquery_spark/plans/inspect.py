@@ -98,6 +98,34 @@ def _unwrap_adaptive(node):
     return node
 
 
+def _reaches_scan_without_agg(node) -> bool:
+    """True if this subtree reaches a datasource scan with no intervening
+    aggregation / limit / group-limit — i.e. its row count is fact-grain,
+    not bounded by a reduction.  Shared by the three scale invariants
+    (unpartitioned window, fact cartesian, single-partition barrier):
+    LocalTableScan/RDDScan literals are driver-local and bounded;
+    FileSourceScan/BatchScan/RowDataSourceScan are the unbounded bases."""
+    cls = node.getClass().getSimpleName()
+    if (
+        "Aggregate" in cls
+        or "Limit" in cls
+        or "TakeOrdered" in cls
+        or cls == "WindowGroupLimitExec"
+    ):
+        return False
+    if cls in ("LocalTableScanExec", "RDDScanExec"):
+        # createDataFrame literals (LocalTableScan, or ExistingRDD when
+        # the conversion takes the RDD path) — driver-local, bounded
+        return False
+    if "Scan" in cls:  # FileSourceScanExec / BatchScanExec / RowDataSourceScanExec
+        return True
+    ch = node.children()
+    return any(
+        _reaches_scan_without_agg(_unwrap_adaptive(ch.apply(i)))
+        for i in range(ch.size())
+    )
+
+
 def unpartitioned_fact_window_count(df: DataFrame) -> int:
     """WindowExec nodes with an EMPTY partition spec fed by a datasource
     scan with no intervening aggregation/limit — i.e. a global sort over
@@ -107,27 +135,7 @@ def unpartitioned_fact_window_count(df: DataFrame) -> int:
     legitimate bounded-rollup case and are NOT counted.  Keeping this at
     zero is the no-one-task-sort invariant from VERDICT r5 item 3."""
 
-    def reaches_scan_without_agg(node) -> bool:
-        cls = node.getClass().getSimpleName()
-        if (
-            "Aggregate" in cls
-            or "Limit" in cls
-            or "TakeOrdered" in cls
-            or cls == "WindowGroupLimitExec"
-        ):
-            return False
-        if cls in ("LocalTableScanExec", "RDDScanExec"):
-            # createDataFrame literals (LocalTableScan, or ExistingRDD when
-            # the conversion takes the RDD path) — driver-local, bounded
-            return False
-        if "Scan" in cls:  # FileSourceScanExec / BatchScanExec / RowDataSourceScanExec
-            return True
-        ch = node.children()
-        return any(
-            reaches_scan_without_agg(_unwrap_adaptive(ch.apply(i)))
-            for i in range(ch.size())
-        )
-
+    reaches_scan_without_agg = _reaches_scan_without_agg
     bad = 0
 
     def walk(node) -> None:
@@ -157,27 +165,7 @@ def fact_cartesian_count(df: DataFrame) -> int:
     Keeping this at zero registry-wide pins the claim that every crossJoin
     in the engine is a bounded broadcast bind."""
 
-    def reaches_scan_without_agg(node) -> bool:
-        cls = node.getClass().getSimpleName()
-        if (
-            "Aggregate" in cls
-            or "Limit" in cls
-            or "TakeOrdered" in cls
-            or cls == "WindowGroupLimitExec"
-        ):
-            return False
-        if cls in ("LocalTableScanExec", "RDDScanExec"):
-            # createDataFrame literals (LocalTableScan, or ExistingRDD when
-            # the conversion takes the RDD path) — driver-local, bounded
-            return False
-        if "Scan" in cls:
-            return True
-        ch = node.children()
-        return any(
-            reaches_scan_without_agg(_unwrap_adaptive(ch.apply(i)))
-            for i in range(ch.size())
-        )
-
+    reaches_scan_without_agg = _reaches_scan_without_agg
     bad = 0
 
     def walk(node) -> None:
@@ -195,6 +183,40 @@ def fact_cartesian_count(df: DataFrame) -> int:
 
     walk(_unwrap_adaptive(df._jdf.queryExecution().executedPlan()))
     return bad
+
+
+def unbounded_single_partition_exchanges(df: DataFrame) -> list[str]:
+    """``Exchange SinglePartition`` nodes whose input reaches a datasource
+    scan with no intervening aggregation / limit / group-limit — i.e. an
+    ALL-DATA one-task barrier (the sibling class of the unpartitioned
+    window: every row funnels through a single reducer no matter the
+    cluster size).  Bounded feeds are NOT counted: a global-aggregate
+    final stage receives one partial row per map task, a GlobalLimit
+    receives <= k rows per task from its LocalLimit, a WindowGroupLimit
+    bounds each group map-side.  Returns one describing string per
+    offending exchange (its immediate child node class) so audits can
+    report WHERE the barrier sits; len() == the invariant count.
+
+    Registry-wide scan methodology from round 15 (WindowGroupLimit scan,
+    VERDICT r15 item 3)."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "ShuffleExchangeExec" and "SinglePartition" in str(
+            node.outputPartitioning()
+        ):
+            ch = node.children()
+            for i in range(ch.size()):
+                child = _unwrap_adaptive(ch.apply(i))
+                if _reaches_scan_without_agg(child):
+                    out.append(child.getClass().getSimpleName())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(_unwrap_adaptive(ch.apply(i)))
+
+    walk(_unwrap_adaptive(df._jdf.queryExecution().executedPlan()))
+    return out
 
 
 def is_cache_substituted(df: DataFrame) -> bool:

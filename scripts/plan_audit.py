@@ -1,5 +1,5 @@
 """Registry-wide physical-plan audit: build every query's plan and check
-the two scale invariants introduced in round 6.
+the scale invariants (two introduced in round 6, a third in round 16).
 
 Plan *building* is lazy for almost every query since round 8: the verify
 barriers in ``dedup_ngram_jaccard`` / ``dedup_minhash_lsh`` /
@@ -33,7 +33,13 @@ Invariants:
    (the one-task global sort that caps at a single core no matter the
    cluster — VERDICT r5 item 3);
 2. no CartesianProduct / BroadcastNestedLoopJoin with BOTH sides
-   unaggregated scans (a genuinely quadratic fact-by-fact product).
+   unaggregated scans (a genuinely quadratic fact-by-fact product);
+3. no ``Exchange SinglePartition`` fed by an unaggregated datasource
+   scan — an ALL-DATA one-task barrier, the sibling class of (1); the
+   r16 registry-wide scan (same methodology as r15's WindowGroupLimit
+   scan) found only the already-documented ntile entry.  Bounded feeds
+   (global-agg finals over partials, GlobalLimit over LocalLimit) are
+   exempt by construction.
 
 Known-justified exceptions are allowlisted with reasons (kept in sync
 with tests/test_plans.py, which pins the same invariants in CI).
@@ -55,6 +61,12 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
         1,
         "ntile WINDOW-FUNCTION coverage entry over the customer dimension; "
         "documented single-reducer caveat, scale path is scale.distributed_ntile",
+    ),
+    ("window_ntile_first_last", "single_partition"): (
+        1,
+        "the SAME documented single-reducer: the unpartitioned ntile window's "
+        "input exchange — one allowlisted query, one exchange, customer-dim "
+        "bounded; scale path is scale.distributed_ntile",
     ),
     ("fn_ip_cidr_lookup", "cartesian"): (
         1,
@@ -112,6 +124,10 @@ def main() -> int:
         for kind, count in (
             ("window", inspect.unpartitioned_fact_window_count(df)),
             ("cartesian", inspect.fact_cartesian_count(df)),
+            (
+                "single_partition",
+                len(inspect.unbounded_single_partition_exchanges(df)),
+            ),
         ):
             expected, _why = ALLOWLIST.get((name, kind), (0, ""))
             if count != expected:

@@ -537,3 +537,37 @@ def test_no_fact_by_fact_cartesian_registry_claim(spark):
     ):
         df = queries()[q](spark, SF)
         assert inspect.fact_cartesian_count(df) == expected, q
+
+
+def test_no_unbounded_single_partition_barrier_family(spark):
+    """Third scale invariant (round 16): no ``Exchange SinglePartition``
+    whose input is fact-grain — every row funnels through ONE reducer no
+    matter the cluster size.  Bounded feeds (a global-agg final stage fed
+    one partial row per map task, a GlobalLimit fed <= k rows per task by
+    its LocalLimit, post-WindowGroupLimit ranks) are exempt by the
+    detector's boundedness walk.  The r16 full-registry scan (377 plans,
+    scripts/scan_singlepartition.py — the r15 WindowGroupLimit scan
+    methodology) found exactly ONE hit: the documented ntile single-
+    reducer.  This test pins the detector on the high-single-partition-
+    count queries from the count-based sweep (global-agg/limit heavy
+    plans, 4-14 SinglePartition exchanges each, all bounded) plus the
+    r15-fixed pair, and the allowlisted exception."""
+    for q in (
+        "elt_incremental_bookmark_extract",  # 14 bounded global-agg finals
+        "elt_right_to_erasure",
+        "ann_recall_report",
+        "elt_data_vault_model",
+        "dq_population_stability",
+        "curation_dedup_pipeline",
+        "scale_bloom_semi_join",
+        "analytics_top_paths",  # r15 fix: TakeOrderedAndProject, no barrier
+        "dedup_cluster_representatives",  # r15 fix: map-side group limit
+    ):
+        df = queries()[q](spark, SF)
+        found = inspect.unbounded_single_partition_exchanges(df)
+        assert found == [], f"{q}: unbounded one-task barrier(s) {found}"
+    # the one allowlisted hit: the ntile coverage entry's input exchange —
+    # same documented single-reducer as the window invariant, customer-dim
+    # bounded, scale path is scale.distributed_ntile
+    df = queries()["window_ntile_first_last"](spark, SF)
+    assert len(inspect.unbounded_single_partition_exchanges(df)) == 1
