@@ -283,6 +283,15 @@ def main() -> None:
                 row[key + "__error__"] = str(e)[:120]
         scaling[name] = row
 
+    # Extended tier runs at full-core shuffle width (VERDICT r15 item 4):
+    # the multi-second dedup/curation pipelines were capped at 8 reducer
+    # tasks on a 32-core box — stage-timed at sf0.1, the candidate-verify
+    # stage alone fell 44.4 s -> 22.3 s at width 32 (PERF.md r16 table).
+    # The sub-second headliners keep width 8 (more tasks = pure scheduling
+    # overhead at their size), so this is scoped to the extended + extended-
+    # scaling blocks and restored after.
+    shuffle_before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
     extended: dict[str, float] = {}
     for name in EXTENDED:
         # end-to-end (plan build + execute) fresh each rep.  The dedup
@@ -329,6 +338,7 @@ def main() -> None:
             except Exception as e:
                 row2["sf0.01__error__"] = str(e)[:120]
         scaling_extended[name] = row2
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_before)
     spark.catalog.clearCache()
 
     # Skewed-VOLUME headline reading (VERDICT r14 item 4): the r14 hostile

@@ -70,6 +70,91 @@ _load_optional()
 # closures only (VERDICT r9 item 2 — gap analysis written to COVERAGE.md
 # before either was added); frozen again at 375 thereafter.
 _GATE_FRONT: tuple[str, ...] = (
+    # --- ROUND 16 GATE (50 slots): changed-impl-first + staleness rotation
+    # (VERDICT r15 items 1+2, ADVICE r15).  The 2 changed impls lead:
+    # ann_pq_topk (VERDICT item 2): the 16-row codebook/query head now
+    #   comes from ONE driver-side pyarrow footer-pruned read instead of a
+    #   scheduled Spark collect, and repeat invocations reuse a prepared
+    #   plan per (session, tier) — 3 jobs -> 2, steady-state 0.46 s ->
+    #   ~0.07 s at sf0.1, output hash unchanged (tests/test_round16.py).
+    # embedding_label_centroid_arrow (ADVICE r15): the centroid kernel
+    #   splits fast/exact per ROW instead of per GROUP, so one degenerate
+    #   row (NULL element / short vector) no longer routes its whole label
+    #   group to the scalar path; kernel extracted to module level and
+    #   driven against a pure-Python reference on mixed groups.
+    "ann_pq_topk",
+    "embedding_label_centroid_arrow",
+    # r7-vintage rotation cohort (all 24 remaining r7 rows, CORRECTNESS_r07
+    # artifact order — the staleness floor moves past r7 when these
+    # confirm; VERDICT r15 item 1):
+    "fn_generators_posexplode_outer",
+    "text_bigram_logprob",
+    "ts_outlier_mad",
+    "agg_quantile_sketch",
+    "graph_copurchase_similarity",
+    "dq_freshness_partition_audit",
+    "ts_ma_decompose",
+    "curation_temperature_sampling",
+    "join_strategy_hints",
+    "multimodal_audio_spectral",
+    "sql_parameterized_query",
+    "text_lang_confusion",
+    "elt_early_arriving_facts",
+    "ts_cusum_changepoint",
+    "elt_right_to_erasure",
+    "text_chunk_sentences",
+    "ts_moving_median",
+    "fn_timestamp_parse_fallback",
+    "fn_pseudonymize_consistent",
+    "text_novelty_rate",
+    "elt_cell_level_diff",
+    "agg_ks_two_sample",
+    "dq_data_contract",
+    "profile_columns_generic",
+    # r8-vintage head (24 of 39, CORRECTNESS_r08 artifact order — fills
+    # the gate to 50; the 15-row r8 remainder leads r17, starting with
+    # elt_storage_tiering_plan):
+    "dedup_connected_components",
+    "dedup_ngram_jaccard",
+    "curation_dedup_pipeline",
+    "ts_gapfill_locf",
+    "ts_gapfill_interpolate",
+    "elt_merge_upsert",
+    "analytics_attribution_linear",
+    "window_percent_of_total",
+    "join_band_tiering",
+    "analytics_new_vs_returning",
+    "analytics_trending_decayed",
+    "scale_bloom_filter_audit",
+    "curation_dataset_card",
+    "scale_hash_uniformity_chi2",
+    "dq_sequence_gaps",
+    "fn_xpath_extract",
+    "dedup_signal_agreement",
+    "multimodal_image_histogram",
+    "sec_row_column_policies",
+    "agg_bootstrap_poisson_ci",
+    "graph_random_walk",
+    "text_skipgram_pairs",
+    "ts_anomaly_seasonal_residual",
+    "scale_bloom_semi_join",
+    # --- end of the 50-slot r16 gate; r17 leads here (r8 remainder) ---
+    "elt_storage_tiering_plan",
+    "fn_decimal_exact_money",
+    "geo_morton_rollup",
+    "analytics_rolling_wau",
+    "ts_liveness_check",
+    "curation_sample_weights_export",
+    "elt_incremental_bookmark_extract",
+    "multimodal_phash_dedup",
+    "agg_correlation_matrix",
+    "multimodal_phash_thumbnail_match",
+    "curation_leakage_safe_split",
+    "sec_k_anonymity_audit",
+    "dedup_url_canonical",
+    "multimodal_shot_boundaries",
+    "fn_calendar_edge_semantics",
+    # --- (superseded r15 ordering below; first occurrence wins) ---
     # --- ROUND 15 GATE (50 slots): changed-impl-first + staleness rotation
     # (VERDICT r14 items 1+2+6, ADVICE r14).  The 4 changed impls/oracles
     # lead:
