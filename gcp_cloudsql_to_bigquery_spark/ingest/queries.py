@@ -682,16 +682,38 @@ def elt_storage_tiering_plan(spark, sf_dir):
     "failure modes bookmark off-by-ones cause).  The JDBC source "
     "applies the bookmark as a pushed-down predicate (WHERE key > ?), "
     "so the source database scans only the delta — the difference "
-    "between a 100 TB nightly copy and a GB-sized one.",
+    "between a 100 TB nightly copy and a GB-sized one.  Scale note "
+    "(r16 buffer-agg scan): the 60th-percentile split mark is computed "
+    "via scale.global_order_stats (range-partitioned exact ranks) "
+    "instead of percentile_disc — over the all-distinct key column the "
+    "percentile aggregate's value->count buffer IS the table, merged on "
+    "one reducer; the rank form is the same smallest-value-with-"
+    "cume_dist>=p semantics as an exact integer comparison (rank*10 >= "
+    "n*6), shuffle-distributed, and the 1-row mark is checkpointed so "
+    "the audit branches stop re-planning the percentile 6x.",
 )
 def elt_incremental_bookmark_extract(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from ..catalog import load
+    from ..operators.scale import global_order_stats
 
     o = load(spark, sf_dir, "orders")
-    hwm_df = o.agg(
-        F.expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY o_orderkey)").alias("hwm")
+    # percentile_disc(0.6) == the smallest key whose exact global rank r
+    # satisfies r >= 0.6*n (NULL keys excluded, as the aggregate form
+    # ignores them); integer cross-multiplication avoids the double
+    # comparison entirely.  min() over the qualifying 40% is a partial-
+    # aggregated scan of the checkpointed rank table, never a value-
+    # buffering aggregate.  Eager 1-row checkpoint: every audit branch
+    # broadcasts the mark without re-running the rank machinery.
+    ranked = global_order_stats(
+        o.select("o_orderkey").filter(F.col("o_orderkey").isNotNull()),
+        ["o_orderkey"],
+    )
+    hwm_df = (
+        ranked.filter(F.col("_rn") * 10 >= F.col("_n_total") * 6)
+        .agg(F.min("o_orderkey").alias("hwm"))
+        .localCheckpoint(eager=True)
     )
     pull1 = o.crossJoin(F.broadcast(hwm_df)).filter(F.col("o_orderkey") <= F.col("hwm"))
     pull2 = o.crossJoin(F.broadcast(hwm_df)).filter(F.col("o_orderkey") > F.col("hwm"))

@@ -219,6 +219,88 @@ def unbounded_single_partition_exchanges(df: DataFrame) -> list[str]:
     return out
 
 
+#: aggregate functions whose buffer COLLECTS values (size ~ input, or
+#: ~ distinct values) rather than a fixed-size state — the unbounded-
+#: global-buffer invariant's target set.  Sketches (approx_percentile,
+#: hll, count-min, kmv) keep fixed-size state and are the designed scale
+#: path; they are deliberately absent.
+_BUFFER_AGG_FNS = (
+    "percentile(",
+    "percentile_disc(",
+    "median(",
+    "mode(",
+    "collect_list(",
+    "collect_set(",
+    "listagg(",
+    "array_agg(",
+)
+
+
+def unbounded_global_buffer_aggregates(df: DataFrame) -> list[str]:
+    """GLOBAL (ungrouped) aggregate nodes whose functions buffer values
+    (exact percentiles, collect_*, listagg, mode) over fact-grain input.
+
+    The single-partition invariant walks past these — a global agg's
+    exchange carries one ROW per map task — but for value-collecting
+    functions that one row holds the task's entire column slice, and the
+    lone final reducer merges ~the whole column in memory: an OOM at
+    100 TB, not a slow query.  Grouped variants distribute by key and
+    are fine; bounded inputs (dims, post-limit, post-aggregate) are
+    fine.  Only the PARTIAL (scan-adjacent) half of a two-phase global
+    agg can trip this — the final half sees its partial child as a
+    bound — so each offending aggregate is flagged exactly once.
+    Returns the matched function names, one entry per offending node.
+
+    Round-16 registry scan (scripts/scan_udf_buffers.py) findings: 4
+    hits — two rewritten onto scale.global_order_stats (the bookmark
+    high-water mark, the range-layout boundaries), two allowlisted
+    (agg_quantile_sketch's exact side IS its sketch-validation subject;
+    profile_table's median is over the 11-distinct discount domain, so
+    the value->count buffer is domain-bounded)."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls in (
+            "HashAggregateExec",
+            "ObjectHashAggregateExec",
+            "SortAggregateExec",
+        ):
+            try:
+                n_keys = node.groupingExpressions().size()
+                fns = node.aggregateExpressions().toString()
+            except Exception:
+                n_keys, fns = -1, ""
+            if n_keys == 0 and any(f in fns for f in _BUFFER_AGG_FNS):
+                ch = node.children()
+                if any(
+                    _reaches_scan_without_agg(_unwrap_adaptive(ch.apply(i)))
+                    for i in range(ch.size())
+                ):
+                    out.append(
+                        "+".join(
+                            f.rstrip("(") for f in _BUFFER_AGG_FNS if f in fns
+                        )
+                    )
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(_unwrap_adaptive(ch.apply(i)))
+
+    walk(_unwrap_adaptive(df._jdf.queryExecution().executedPlan()))
+    return out
+
+
+def batch_eval_python_count(df: DataFrame) -> int:
+    """Row-at-a-time Python eval nodes (``BatchEvalPython`` /
+    ``BatchEvalPythonUDTF``): every row crosses the JVM/Python boundary
+    through pickle individually, ~10-100x slower than the Arrow-batched
+    paths (``ArrowEvalPython``, ``MapInArrow``, pandas_udf family — none
+    of which match this substring).  Zero registry-wide since r16
+    (Python UDTFs ride ``spark.sql.execution.pythonUDTF.arrow.enabled``,
+    session.py)."""
+    return count_occurrences(df, "BatchEvalPython")
+
+
 def is_cache_substituted(df: DataFrame) -> bool:
     """True if the CacheManager substituted a cached plan into this
     DataFrame (an ``InMemoryTableScan`` in the executed plan).

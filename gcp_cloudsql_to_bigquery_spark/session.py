@@ -24,6 +24,12 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow batches for pandas_udf / applyInPandas / createDataFrame(pandas).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ...and for Python UDTFs: unset, every UDTF evaluates row-at-a-time
+    # through pickle (BatchEvalPythonUDTF — the r16 registry UDF scan's
+    # only two hits).  Arrow-batched UDTF eval is the same semantics over
+    # columnar transfer; with it on, the registry carries ZERO
+    # row-at-a-time Python nodes (standing invariant in plan_audit).
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # ANSI off keeps permissive casts (reference semantics are permissive:
     # everything maps through a lossy 5-type system, SURVEY.md §1).
     "spark.sql.ansi.enabled": "false",

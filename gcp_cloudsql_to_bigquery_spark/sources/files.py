@@ -682,15 +682,26 @@ def src_binary_file(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast boundary compare, and the per-partition (count, min, max) "
     "profile proves the ranges are disjoint, ordered, and ~25% balanced.  "
     "This is the write-side layout that makes downstream range predicates "
-    "prune files at 100 TB; at scale the quantile pass runs on a sample "
-    "or sketch and the routing plan is unchanged.",
+    "prune files at 100 TB; the quantile pass itself is the distributed "
+    "rank machinery (scale.global_order_stats), never a value-buffering "
+    "percentile aggregate — over a high-cardinality column the exact "
+    "percentile's value->count buffer approaches the column itself, "
+    "merged on one reducer (r16 buffer-agg scan).  All three cut points "
+    "fall out of ONE rank pass as integer-exact conditional minima "
+    "(percentile_disc(p) == the smallest value whose exact rank r has "
+    "r >= p*n, cross-multiplied to avoid the double compare).",
 )
 def elt_range_partition_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import global_order_stats
+
     o = load(spark, sf_dir, "orders").select("o_totalprice")
-    b = o.agg(
-        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").alias("p25"),
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50"),
-        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").alias("p75"),
+    ranked = global_order_stats(
+        o.filter(F.col("o_totalprice").isNotNull()), ["o_totalprice"]
+    )
+    b = ranked.agg(
+        F.min(F.when(F.col("_rn") * 4 >= F.col("_n_total"), F.col("o_totalprice"))).alias("p25"),
+        F.min(F.when(F.col("_rn") * 2 >= F.col("_n_total"), F.col("o_totalprice"))).alias("p50"),
+        F.min(F.when(F.col("_rn") * 4 >= F.col("_n_total") * 3, F.col("o_totalprice"))).alias("p75"),
     )
     assigned = o.crossJoin(F.broadcast(b)).select(
         F.when(F.col("o_totalprice") <= F.col("p25"), 0)

@@ -71,7 +71,7 @@ _load_optional()
 # before either was added); frozen again at 375 thereafter.
 _GATE_FRONT: tuple[str, ...] = (
     # --- ROUND 16 GATE (50 slots): changed-impl-first + staleness rotation
-    # (VERDICT r15 items 1+2, ADVICE r15).  The 2 changed impls lead:
+    # (VERDICT r15 items 1+2, ADVICE r15).  The 6 changed impls lead:
     # ann_pq_topk (VERDICT item 2): the 16-row codebook/query head now
     #   comes from ONE driver-side pyarrow footer-pruned read instead of a
     #   scheduled Spark collect, and repeat invocations reuse a prepared
@@ -82,8 +82,25 @@ _GATE_FRONT: tuple[str, ...] = (
     #   row (NULL element / short vector) no longer routes its whole label
     #   group to the scalar path; kernel extracted to module level and
     #   driven against a pure-Python reference on mixed groups.
+    # fn_python_udtf / fn_udtf_table_argument (r16 row-at-a-time scan):
+    #   the registry's only two BatchEvalPython nodes — Python UDTFs now
+    #   evaluate Arrow-batched (pythonUDTF.arrow.enabled, session.py);
+    #   same semantics, columnar transfer, re-proven on all 5 hostile
+    #   geometries + 3 benign SFs.
+    # elt_incremental_bookmark_extract / elt_range_partition_layout (r16
+    #   buffer-agg scan): their global exact percentiles collected the
+    #   column into ONE reducer's aggregation buffer (all-distinct
+    #   o_orderkey / high-cardinality o_totalprice) — both rewritten onto
+    #   scale.global_order_stats with integer-exact rank selection
+    #   (percentile_disc(p) == smallest value with rank*q >= n*p), the
+    #   bookmark's 1-row mark checkpointed so the audit branches stop
+    #   re-planning the quantile 6x.  Same outputs on all 8 geometries.
     "ann_pq_topk",
     "embedding_label_centroid_arrow",
+    "fn_python_udtf",
+    "fn_udtf_table_argument",
+    "elt_incremental_bookmark_extract",
+    "elt_range_partition_layout",
     # r7-vintage rotation cohort (all 24 remaining r7 rows, CORRECTNESS_r07
     # artifact order — the staleness floor moves past r7 when these
     # confirm; VERDICT r15 item 1):
@@ -111,9 +128,11 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_ks_two_sample",
     "dq_data_contract",
     "profile_columns_generic",
-    # r8-vintage head (24 of 39, CORRECTNESS_r08 artifact order — fills
-    # the gate to 50; the 15-row r8 remainder leads r17, starting with
-    # elt_storage_tiering_plan):
+    # r8-vintage head (20 of 39, CORRECTNESS_r08 artifact order — fills
+    # the gate to 50 after the changed block grew to 6;
+    # elt_incremental_bookmark_extract is r8-vintage AND changed, so it
+    # sits in the changed block and 20 further r8 rows confirm here; the
+    # 14-row r8 remainder leads r17, starting with graph_random_walk):
     "dedup_connected_components",
     "dedup_ngram_jaccard",
     "curation_dedup_pipeline",
@@ -134,18 +153,17 @@ _GATE_FRONT: tuple[str, ...] = (
     "multimodal_image_histogram",
     "sec_row_column_policies",
     "agg_bootstrap_poisson_ci",
+    # --- end of the 50-slot r16 gate; r17 leads here (r8 remainder) ---
     "graph_random_walk",
     "text_skipgram_pairs",
     "ts_anomaly_seasonal_residual",
     "scale_bloom_semi_join",
-    # --- end of the 50-slot r16 gate; r17 leads here (r8 remainder) ---
     "elt_storage_tiering_plan",
     "fn_decimal_exact_money",
     "geo_morton_rollup",
     "analytics_rolling_wau",
     "ts_liveness_check",
     "curation_sample_weights_export",
-    "elt_incremental_bookmark_extract",
     "multimodal_phash_dedup",
     "agg_correlation_matrix",
     "multimodal_phash_thumbnail_match",

@@ -39,7 +39,15 @@ Invariants:
    r16 registry-wide scan (same methodology as r15's WindowGroupLimit
    scan) found only the already-documented ntile entry.  Bounded feeds
    (global-agg finals over partials, GlobalLimit over LocalLimit) are
-   exempt by construction.
+   exempt by construction;
+4. no ``BatchEvalPython``/``BatchEvalPythonUDTF`` — row-at-a-time
+   pickle eval; every Python crossing must be Arrow-batched (r16:
+   Python UDTFs ride the arrow conf in session.py);
+5. no GLOBAL value-collecting aggregate (exact percentile, collect_*,
+   listagg, mode) over fact-grain input — the one-row-per-task
+   exchange hides a buffer that holds the task's whole column slice,
+   merged on a single reducer (r16 scan: two rewritten onto
+   scale.global_order_stats, two allowlisted below).
 
 Known-justified exceptions are allowlisted with reasons (kept in sync
 with tests/test_plans.py, which pins the same invariants in CI).
@@ -85,6 +93,18 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
         "inherits ann_ivfpq_topk's two bounded coarse-assignment cartesians "
         "by composition (the report unions all six ANN family subplans)",
     ),
+    ("agg_quantile_sketch", "buffer_agg"): (
+        1,
+        "the exact percentile_disc IS the query's subject: it validates the "
+        "KLL/approx sketch against ground truth; at 100 TB only the sketch "
+        "side runs — the exact side exists to bound its error at test scale",
+    ),
+    ("profile_table", "buffer_agg"): (
+        1,
+        "median over l_discount: the percentile buffer is a value->count "
+        "map, and the discount DOMAIN has 11 distinct values — the buffer "
+        "is domain-bounded regardless of row count",
+    ),
 }
 
 
@@ -127,6 +147,11 @@ def main() -> int:
             (
                 "single_partition",
                 len(inspect.unbounded_single_partition_exchanges(df)),
+            ),
+            ("py_row_udf", inspect.batch_eval_python_count(df)),
+            (
+                "buffer_agg",
+                len(inspect.unbounded_global_buffer_aggregates(df)),
             ),
         ):
             expected, _why = ALLOWLIST.get((name, kind), (0, ""))

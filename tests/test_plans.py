@@ -571,3 +571,58 @@ def test_no_unbounded_single_partition_barrier_family(spark):
     # bounded, scale path is scale.distributed_ntile
     df = queries()["window_ntile_first_last"](spark, SF)
     assert len(inspect.unbounded_single_partition_exchanges(df)) == 1
+
+
+def test_no_row_at_a_time_python_eval_family(spark):
+    """Fourth scale invariant (round 16): zero ``BatchEvalPython`` /
+    ``BatchEvalPythonUDTF`` nodes — every JVM->Python crossing must be
+    Arrow-batched.  The r16 registry scan found exactly two hits, both
+    Python UDTFs (Spark evaluates UDTFs row-at-a-time through pickle
+    unless ``spark.sql.execution.pythonUDTF.arrow.enabled`` is on — now
+    an engine-level default in session.py); with the conf on, both plan
+    as ArrowEvalPythonUDTF and the registry is clean.  Pins the two
+    former hits plus one representative of each Arrow-batched family."""
+    for q in (
+        "fn_python_udtf",  # ex-hit: lateral chunker UDTF
+        "fn_udtf_table_argument",  # ex-hit: polymorphic TABLE(...) UDTF
+        "fn_arrow_python_udf",
+        "fn_pandas_udf_iter",
+        "embedding_normalize_arrow",
+    ):
+        df = queries()[q](spark, SF)
+        n = inspect.batch_eval_python_count(df)
+        assert n == 0, f"{q}: {n} row-at-a-time Python eval node(s)"
+    # and the UDTFs really did keep their Python-eval node, Arrow-batched
+    assert "ArrowEvalPythonUDTF" in inspect.physical_plan(
+        queries()["fn_python_udtf"](spark, SF)
+    )
+
+
+def test_no_unbounded_global_buffer_aggregate_family(spark):
+    """Fifth scale invariant (round 16): no GLOBAL value-collecting
+    aggregate (exact percentile / collect_* / listagg / mode) over
+    fact-grain input — the global agg's exchange carries one row per map
+    task, but for these functions that row holds the task's entire
+    column slice and the lone reducer merges ~the whole column (OOM at
+    100 TB, invisible to the single-partition row-count walk).  The r16
+    registry scan found 4 hits: the bookmark high-water mark and the
+    range-layout boundaries (both REWRITTEN onto the distributed rank
+    machinery, pinned here), plus two allowlisted (the sketch-validation
+    entry whose exact side is its subject; the 11-distinct-domain
+    median)."""
+    for q in (
+        "elt_incremental_bookmark_extract",  # r16 fix: global_order_stats hwm
+        "elt_range_partition_layout",  # r16 fix: one rank pass, 3 cut points
+        "agg_percentiles",  # grouped percentiles — must stay un-flagged
+        "fn_listagg",
+        "agg_mode_deterministic",
+    ):
+        df = queries()[q](spark, SF)
+        found = inspect.unbounded_global_buffer_aggregates(df)
+        assert found == [], f"{q}: global buffer agg(s) over fact grain {found}"
+    for q, why in (
+        ("agg_quantile_sketch", "exact side IS the sketch-validation subject"),
+        ("profile_table", "median buffer bounded by the 11-value discount domain"),
+    ):
+        df = queries()[q](spark, SF)
+        assert len(inspect.unbounded_global_buffer_aggregates(df)) == 1, (q, why)
