@@ -228,3 +228,65 @@ def test_minhash_ml_oracle_pairs_carry_negligible_miss_budget(sf_dir):
         f"in borderline pairs; re-derive the banding contract before "
         f"trusting differential greens"
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. integer-exact rank selection == percentile_disc (r16 buffer-agg fixes)
+# ---------------------------------------------------------------------------
+# elt_incremental_bookmark_extract and elt_range_partition_layout replaced
+# their GLOBAL percentile_disc aggregates (value->count buffer merged on a
+# single reducer — plan_audit invariant 5) with rank selection over
+# scale.global_order_stats: percentile_disc(p) == the smallest value whose
+# exact 1-based rank r satisfies r >= p*n, cross-multiplied to integers
+# (r*q >= n*p_num) so no double comparison exists on the Spark side.  The
+# registry oracles witness this against DuckDB's independent quantile_disc
+# on 8 data geometries; this net pins the equivalence ON CRAFTED EDGE
+# FIXTURES (exact-boundary n, duplicates straddling the cut, n=1, all-
+# equal values) directly against Spark's own percentile_disc aggregate,
+# so a future refactor of the rank arithmetic fails here first.
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        list(range(1, 11)),            # n=10: 0.6*n exact integer boundary
+        list(range(1, 8)),             # n=7: ceil lands mid-gap
+        [5, 5, 5, 7, 7, 9, 9, 9, 9],   # duplicates straddling every cut
+        [42],                          # n=1: every percentile is the value
+        [3, 3, 3, 3],                  # all-equal, n divisible by 4
+        list(range(1, 6)),             # n=5: 0.25/0.75 non-integer ranks
+    ],
+)
+def test_rank_selection_matches_percentile_disc(spark, values):
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_to_bigquery_spark.operators.scale import global_order_stats
+
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    ranked = global_order_stats(df, ["x"])
+    got = ranked.agg(
+        F.min(F.when(F.col("_rn") * 4 >= F.col("_n_total"), F.col("x"))).alias("p25"),
+        F.min(F.when(F.col("_rn") * 10 >= F.col("_n_total") * 6, F.col("x"))).alias("p60"),
+        F.min(F.when(F.col("_rn") * 4 >= F.col("_n_total") * 3, F.col("x"))).alias("p75"),
+    ).first()
+    want = df.agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY x)").alias("p25"),
+        F.expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY x)").alias("p60"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY x)").alias("p75"),
+    ).first()
+    assert (got.p25, got.p60, got.p75) == (want.p25, want.p60, want.p75), values
+
+
+def test_bookmark_plan_has_no_percentile_and_one_rank_pass(spark):
+    """The rewritten bookmark query must carry ZERO percentile aggregates
+    (the buffer-agg class it left) and read its high-water mark from the
+    eager 1-row checkpoint (Scan ExistingRDD) — re-planning the quantile
+    6x across the audit branches was the other half of the r16 finding."""
+    from gcp_cloudsql_to_bigquery_spark.plans import inspect
+    from gcp_cloudsql_to_bigquery_spark.workload import queries
+
+    df = queries()["elt_incremental_bookmark_extract"](spark, SFD)
+    plan = inspect.physical_plan(df)
+    assert "percentile" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert inspect.unbounded_global_buffer_aggregates(df) == []
