@@ -290,3 +290,41 @@ def test_bookmark_plan_has_no_percentile_and_one_rank_pass(spark):
     assert "percentile" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
     assert inspect.unbounded_global_buffer_aggregates(df) == []
+
+
+# ---------------------------------------------------------------------------
+# 6. RocksDB state store — the production large-state scale path
+# ---------------------------------------------------------------------------
+# The HDFS-backed (in-JVM-heap) state store the suite runs on caps state at
+# executor memory; the 100 TB story for stateful streaming is Spark's
+# bundled RocksDB provider (state spills to local SSD, bounded heap).  This
+# witness drives a real stateful aggregation end-to-end under RocksDB and
+# asserts EXACT result parity with the default provider — validating the
+# scale path is a one-conf swap, not a semantics change.  (The provider is
+# read at query start, so a runtime conf set/restore scopes it to this
+# test; each run_to_completion call uses a fresh checkpoint, so providers
+# never mix within one checkpoint lineage.)
+
+
+def test_rocksdb_state_store_parity(spark):
+    from gcp_cloudsql_to_bigquery_spark.streaming.events import (
+        stream_tumbling_window,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    base = stream_tumbling_window(spark, SFD).orderBy(
+        "win_start", "event_type"
+    ).collect()
+    prev = spark.conf.get(key)
+    spark.conf.set(key, rocks)
+    try:
+        got = stream_tumbling_window(spark, SFD).orderBy(
+            "win_start", "event_type"
+        ).collect()
+    finally:
+        spark.conf.set(key, prev)
+    assert got == base
+    assert len(got) > 0
