@@ -912,7 +912,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of actual execution; a real engine amortizes that (bench.py's
     # protocol note), and the driver/selfcheck call each query once per
     # session so correctness paths never see the cache.
-    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
+    # The codebook head is baked into the kernel as DRIVER-SIDE literals,
+    # so the key must change when the DATA changes, not just the path: a
+    # same-session regeneration of a fixed tier path (the /tmp hostile
+    # tiers) would otherwise serve a stale codebook.  (mtime_ns, size) of
+    # the embeddings file is the same freshness token a parquet footer
+    # cache would use; one stat call, no read.
+    try:
+        st = _os.stat(_os.path.join(sf_dir, "embeddings.parquet"))
+        fingerprint = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fingerprint = None
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir), fingerprint)
     cached = _PQ_PLAN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -954,9 +965,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# (application id, sf_dir) -> prepared ann_pq_topk plan; see the function's
-# leading comment.  Bounded: one DataFrame handle per (session, tier).
-_PQ_PLAN_CACHE: dict[tuple[str, str], DataFrame] = {}
+# (application id, sf_dir, embeddings-file (mtime_ns, size)) -> prepared
+# ann_pq_topk plan; see the function's leading comment.  Bounded: one
+# DataFrame handle per (session, tier, data generation).
+_PQ_PLAN_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _pq_head_from_parquet(sf_dir: str, k: int = _PQ_K) -> dict:
