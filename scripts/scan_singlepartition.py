@@ -12,6 +12,10 @@ by LocalLimit, post-WindowGroupLimit ranks) are ignored by construction —
 ``inspect.unbounded_single_partition_exchanges`` encodes the boundedness
 walk shared with the window/cartesian invariants.
 
+The detector lives in ``plans/inspect.py`` and runs as STANDING
+invariant 3 in ``scripts/plan_audit.py`` since round 16; this script
+remains as the forensic form (per-query hit listing) of the same scan.
+
 Usage: python scripts/scan_singlepartition.py [--sf /root/testdata/sf0.001]
 Prints one line per offending (query, child-node) and a summary.
 """

@@ -20,6 +20,10 @@ inputs (dim tables, post-limit, post-aggregate) are fine; sketch
 aggregates (approx_percentile, hll, count-min, kmv) are the designed
 scale path and are NOT flagged.
 
+Both detectors live in ``plans/inspect.py`` and run as STANDING
+invariants 4+5 in ``scripts/plan_audit.py`` since round 16; this script
+remains as the forensic form (per-query hit listing) of the same scan.
+
 Usage: python scripts/scan_udf_buffers.py [--sf /root/testdata/sf0.001]
 """
 
