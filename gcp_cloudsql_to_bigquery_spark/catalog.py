@@ -109,6 +109,76 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# (sf_dir, table) -> parquet row-group count; a pure file-footer property,
+# so keyed on the path alone (no application id) and safe across sessions.
+_SPLIT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _scan_splits(sf_dir: str, name: str) -> int:
+    """How many independent tasks a parquet scan of this table can fan out
+    to — the row-group count from the file footer (a row group is the
+    atomic scan split unit; ``maxPartitionBytes`` cannot cut inside one).
+    Driver-side metadata read, cached per path; 0 when unreadable (caller
+    treats that as 'unknown, do not touch the plan')."""
+    key = (os.path.abspath(sf_dir), name)
+    cached = _SPLIT_CACHE.get(key)
+    if cached is None:
+        try:
+            import pyarrow.parquet as pq
+
+            cached = pq.ParquetFile(table_path(sf_dir, name)).metadata.num_row_groups
+        except Exception:
+            cached = 0
+        _SPLIT_CACHE[key] = cached
+    return cached
+
+
+def load_spread(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """``load`` plus a scale-adaptive fan-out for EXPENSIVE map-side work
+    (guide §2.5 'input skew: one huge unsplittable file … repartition
+    immediately after the read').
+
+    The bench/test parquet files carry a SINGLE row group, so every scan is
+    one task no matter ``maxPartitionBytes`` — measured r16: the minhash
+    signature build (shingle explode + 64 aggregated hashes) and the PPJoin
+    prefix machinery serialized ~7-9 s of their pipelines on one core of a
+    32-core box.  When the footer says the scan cannot reach the session's
+    shuffle width, hash-repartition on the row key so the heavy projection/
+    partial-aggregation work downstream runs at full width; a keyed groupBy
+    on the same key then reuses this exchange (no second shuffle).  On a
+    real corpus (many files / many row groups) ``splits >= width`` and this
+    is a NO-OP — the exchange exists only where the layout would otherwise
+    cap the job at one core, and it moves each input byte exactly once.
+
+    The spread key is a SYNTHETIC deterministic bucket —
+    ``pmod(xxhash64(key), 20*width)`` (guide §2.5: deterministic so task
+    retries re-derive the same placement, 20x the partition count so the
+    bucket hash spreads evenly) — deliberately NOT the raw row key: a
+    downstream ``groupBy(key)`` must KEEP its own exchange, because that
+    post-aggregation exchange is the subtree Spark's exchange-reuse
+    dedups when the aggregate feeds several consumers.  Spreading on the
+    raw key elides that exchange and the reuse point collapses to this
+    text-carrying spread — measured r16 on dedup_minhash_lsh: the
+    64-hash signature aggregation re-ran once per consumer, 231 ->
+    662 task-seconds.
+
+    Only call this for tables feeding provably expensive per-row work
+    (shingling, hashing, per-doc kernels) — cheap scans keep the plain
+    ``load`` plan shape."""
+    df = load(spark, sf_dir, name)
+    splits = _scan_splits(sf_dir, name)
+    if splits <= 0:
+        return df
+    width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if splits >= width:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(
+        width, F.pmod(F.xxhash64(F.col(key)), F.lit(20 * width))
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
     """Register every catalog table as a temp view for the SQL API."""
     for name in tables:

@@ -343,11 +343,16 @@ def curation_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arbitrary corpus size (sources ≪ shingles).",
 )
 def curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_spread
     from .dedup import with_shingles
 
-    d = with_shingles(load(spark, sf_dir, "documents"))
+    # load_spread (r16): shingling at full width when the file layout would
+    # otherwise cap the scan at one task (guide §2.5); no-op at real scale
+    d = with_shingles(load_spread(spark, sf_dir, "documents", "doc_id"))
     ss = (
-        d.select("source", F.explode("shingles").alias("sh"))
+        # explode_outer: shingles provably non-empty; avoids the inferred
+        # size>0 filter re-running the shingle build below the spread (r16)
+        d.select("source", F.explode_outer("shingles").alias("sh"))
         .distinct()  # (source, shingle) membership
     )
     sizes = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -608,10 +613,15 @@ def curation_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFram
     "computation.  All counts integer.",
 )
 def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import load_spread
     from .dedup import dedup_ngram_jaccard
 
     d = load(spark, sf_dir, "documents")
     stage0 = d.select("doc_id", "n_chars")
+    # stage1's md5-normalize fingerprint is the expensive per-row map work
+    # (stage-timed 2.2 s on ONE task under the single-row-group bench
+    # layout) — spread it; stage0's 16-byte projection keeps the plain scan
+    d1 = load_spread(spark, sf_dir, "documents", "doc_id")
     fp = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).cast("binary"))
     wfp = W.partitionBy("f").orderBy("doc_id")
     # stage1 feeds three funnel branches plus both neardrop semi-joins;
@@ -623,7 +633,7 @@ def curation_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fully lazy and lost blocks recompute from lineage instead of
     # failing the job (see _ngram_jaccard_scored for the full rationale).
     stage1 = (
-        d.select("doc_id", "n_chars", fp.alias("f"))
+        d1.select("doc_id", "n_chars", fp.alias("f"))
         .withColumn("rn", F.row_number().over(wfp))
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_chars")

@@ -27,7 +27,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load
+from ..catalog import load, load_spread
 from ..registry import register
 
 # --- shared shingling -----------------------------------------------------
@@ -133,7 +133,13 @@ def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     def _ceil_tn(n: "F.Column") -> "F.Column":
         return _ceil9(F.lit(threshold) * n)
 
-    toks = sh.select("doc_id", F.size("hsh").alias("n_sh"), F.explode("hsh").alias("g"))
+    # explode_OUTER for the same reason as minhash_signatures (r16): `hsh`
+    # is provably non-empty (non-null text => >= 1 distinct hashed
+    # shingle), and plain explode's inferred size>0 filter would re-run
+    # the whole shingle+hash build below the spread exchange, single-task
+    toks = sh.select(
+        "doc_id", F.size("hsh").alias("n_sh"), F.explode_outer("hsh").alias("g")
+    )
     dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w_doc = W.partitionBy("doc_id").orderBy("df", "g")
     prefix = (
@@ -247,8 +253,14 @@ def _ngram_jaccard_scored(
     (the curation pipeline building this same subtree) legitimately
     reuses the materialized candidates; bench.py calls
     ``spark.catalog.clearCache()`` between extended reps so its recorded
-    wall-clocks stay full re-executions."""
-    d = with_shingles(load(spark, sf_dir, "documents"))
+    wall-clocks stay full re-executions.
+
+    r16: the documents scan comes through ``load_spread`` — the sf parquet
+    is a single row group, so the shingling + prefix-index map work (stage-
+    timed at ~5-9 s of this pipeline) otherwise runs as ONE task (guide
+    §2.5); the spread is a footer-driven no-op on a multi-row-group
+    corpus."""
+    d = with_shingles(load_spread(spark, sf_dir, "documents", "doc_id"))
     sh = d.select(
         "doc_id",
         F.array_distinct(F.transform("shingles", lambda s: F.xxhash64(s))).alias("hsh"),
@@ -284,7 +296,16 @@ def minhash_signatures(docs_with_shingles: DataFrame) -> DataFrame:
     """64 minhash values per doc (packed into one array column): explode
     shingles once, take 64 mins of seeded xxhash64 in a single
     hash-aggregate (no per-seed passes)."""
-    exploded = docs_with_shingles.select("doc_id", F.explode("shingles").alias("sh"))
+    # explode_OUTER (r16): a non-null text always yields >= 1 shingle
+    # (sequence(1, greatest(len-2, 1)) is never empty), so outer == inner
+    # here — but plain explode makes Catalyst infer a `size(shingles) > 0`
+    # filter and push it below the spread exchange, re-evaluating the whole
+    # shingle build per row ON THE SINGLE-TASK SCAN (guide §4.4's duplicate-
+    # evaluation pattern, measured 2.2 s serialized at sf0.1); outer kills
+    # the inference, so shingling runs once, after the spread, at width
+    exploded = docs_with_shingles.select(
+        "doc_id", F.explode_outer("shingles").alias("sh")
+    )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(N_HASHES)
     ]
@@ -386,8 +407,14 @@ def _minhash_lsh_scored(
     doc id) attach the shingle sets with bounded per-task memory at any
     scale.  Same barrier rationale (and same r8 lazy cache-fence
     semantics) as :func:`_ngram_jaccard_scored`; ``barrier=False`` keeps
-    the plan auditable (see :func:`audit_subplans`)."""
-    d = with_shingles(load(spark, sf_dir, "documents"))
+    the plan auditable (see :func:`audit_subplans`).
+
+    r16: documents through ``load_spread`` — the single-row-group bench
+    layout serialized the signature build (shingle explode + 64 aggregated
+    xxhash64 mins, measured 5.0 s) and the verify-side shingle-set build
+    (2.2 s) each on ONE task; with the spread both run at shuffle width
+    and the signature groupBy reuses the spread exchange (guide §2.5)."""
+    d = with_shingles(load_spread(spark, sf_dir, "documents", "doc_id"))
     sig = minhash_signatures(d)
     cand = lsh_candidate_pairs(sig)
     sh = d.select(
@@ -396,9 +423,21 @@ def _minhash_lsh_scored(
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("hsh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("hsh").alias("sh_b"))
+    # |A ∪ B| = |A| + |B| - |A ∩ B| for the (already-distinct) hashed sets:
+    # arithmetically identical to size(array_union(..)), but array_union
+    # builds a second per-pair hash set AND materializes the union array —
+    # measured r16 at sf0.1: the union form costs ~25% more verify-stage
+    # wall than intersect+arithmetic (17.4 s vs 13.3 s on the ngram
+    # candidate volume).  The two textual array_intersect references
+    # collapse to ONE evaluation via codegen subexpression elimination
+    # (verified: intersect-only and intersect+arithmetic time identically).
     jac = F.round(
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")),
+        / (
+            F.size("sh_a")
+            + F.size("sh_b")
+            - F.size(F.array_intersect("sh_a", "sh_b"))
+        ),
         6,
     )
     scored = (
@@ -845,7 +884,11 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
     from pyspark.ml.functions import vector_to_array
 
-    d = with_shingles(load(spark, sf_dir, "documents")).select("doc_id", "shingles")
+    # load_spread (r16): the single-row-group bench layout would serialize
+    # the shingling + HashingTF sparse-vector build on one task (guide §2.5)
+    d = with_shingles(load_spread(spark, sf_dir, "documents", "doc_id")).select(
+        "doc_id", "shingles"
+    )
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
