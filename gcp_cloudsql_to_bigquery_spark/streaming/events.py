@@ -102,6 +102,17 @@ def run_to_completion(
     ckpt = _tmp_stream_dir("ckpt_", _CKPT_DIR)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # COMPLETE-mode drains skip the trailing no-data micro-batch (r16):
+    # that batch exists to advance the watermark for append/update state
+    # eviction and final-window flushes (see stream_stream_left_outer's
+    # docstring — append NEEDS it); complete mode re-emits the FULL
+    # aggregation state after every data batch and never evicts, so the
+    # extra batch is a pure planning+commit round-trip (~0.1-0.2 s of the
+    # per-run micro-batch floor at bench scale).  Scoped to this start and
+    # restored, exactly like the shuffle-partition override.
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    if output_mode == "complete":
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             stream_df.writeStream.outputMode(output_mode)
@@ -114,6 +125,7 @@ def run_to_completion(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
     # the MEMORY sink holds the rows; the per-invocation checkpoint (offsets
     # + per-partition state store) is dead weight once the query terminates
     # — remove it instead of leaking RAM-backed /dev/shm per invocation
