@@ -87,7 +87,21 @@ def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
 
     1. **Prefix filter**: under the global (df, g) shingle order, each doc
        indexes only its ``|X| - ceil(t*|X|) + 1`` rarest shingles; any
-       pair with J >= t must collide inside both prefixes.
+       pair with J >= t must collide inside both prefixes.  r16 adds the
+       paper's ASYMMETRIC refinement (§4, "indexing prefix"): ordering
+       each pair by (set size, doc_id), the probing (larger) side keeps
+       the standard prefix while the indexed (smaller) side only needs
+       its ``|X| - ceil(2t/(1+t)*|X|) + 1`` rarest shingles.  Proof that
+       the smallest common token w of a qualifying pair |x| <= |y| lands
+       in both retained prefixes: the overlap O = |x∩y| satisfies
+       O >= alpha = ceil(t/(1+t)*(|x|+|y|)) >= ceil(2t/(1+t)*|x|) (using
+       |y| >= |x|) and O >= ceil(t*|y|) (because O(1+t) >= t(|x|+|y|)
+       with O <= |x| forces |x| >= t|y|); all O common tokens sort at or
+       after w inside each doc's (df, g)-ordered list, so w's rank is
+       <= |x|-O+1 <= idx_len(x) and <= |y|-O+1 <= probe_len(y).  At
+       t=0.65 the indexed side carries 0.212n+1 instead of 0.35n+1
+       tokens, cutting the prefix-collision fan-out (and the candidate
+       set fed to the exact verify) ~40%.
     2. **Size band**: J >= t forces the two set sizes within a factor t.
     3. **Positional filter** (r7): a collision row where token g has rank
        ``ra``/``rb`` in its doc's full sorted order can only witness a
@@ -137,7 +151,14 @@ def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     # is provably non-empty (non-null text => >= 1 distinct hashed
     # shingle), and plain explode's inferred size>0 filter would re-run
     # the whole shingle+hash build below the spread exchange, single-task
-    toks = sh.select(
+    # NULL doc_id docs can never appear in a pair (the callers' oracles all
+    # pair via a.doc_id < b.doc_id, which drops NULLs) — exclude them HERE,
+    # before dfreq.  Under the old symmetric join the doc_a < doc_b filter
+    # dropped them implicitly; the r16 (size, id) pair order compares sizes
+    # first (never NULL), so without this filter a (x, NULL-id) collision
+    # would pass orientation and least/greatest would collapse it into a
+    # spurious (x, x) self-pair (null-KEYS hostile tier find).
+    toks = sh.filter(F.col("doc_id").isNotNull()).select(
         "doc_id", F.size("hsh").alias("n_sh"), F.explode_outer("hsh").alias("g")
     )
     dfreq = toks.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -152,7 +173,18 @@ def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "g",
         F.col("r").alias("ra"),
     )
-    pb = prefix.select(
+    # indexed side: the shorter asymmetric prefix (docstring item 1; the
+    # same _ceil9 guard — a raw-double ceil of an exactly-integral
+    # 2t/(1+t)*n would SHORTEN the prefix and lose borderline pairs).
+    # idx_len <= probe_len always (2t/(1+t) >= t for t <= 1), so this is
+    # a pure filter on the already-built prefix table and both join
+    # inputs reuse one window + one dfreq exchange.
+    idx_len = (
+        F.col("n_sh")
+        - _ceil9(F.lit(2.0 * threshold / (1.0 + threshold)) * F.col("n_sh"))
+        + 1
+    )
+    pb = prefix.filter(F.col("r") <= idx_len).select(
         F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "g",
         F.col("r").alias("rb"),
     )
@@ -160,13 +192,22 @@ def prefix_filtered_candidates(sh: DataFrame, threshold: float) -> DataFrame:
     return (
         pa.join(pb, "g")
         .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("na") >= _ceil_tn(F.col("nb")))
+            # b strictly smaller than a in the (size, doc_id) pair order —
+            # exactly one orientation per unordered pair, never self-pairs
+            (
+                (F.col("nb") < F.col("na"))
+                | ((F.col("nb") == F.col("na")) & (F.col("doc_b") < F.col("doc_a")))
+            )
+            # size band: with nb <= na the binding half is nb >= ceil(t*na)
+            # (na >= ceil(t*nb) follows from na >= nb >= ceil(t*nb))
             & (F.col("nb") >= _ceil_tn(F.col("na")))
             & (1 + F.least(F.col("na") - F.col("ra"), F.col("nb") - F.col("rb"))
                >= alpha)
         )
-        .select("doc_a", "doc_b")
+        .select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
         .distinct()
     )
 
