@@ -88,7 +88,15 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "composite quality in [0,1] — the classic pretraining-filter features.",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    from ..catalog import load_spread
+
+    # load_spread (r16): two regex/split passes over every text byte are
+    # expensive per-row map work, and the single-row-group bench layout
+    # would run them on ONE task (guide §2.5) — measured min-of-9
+    # interleaved A/B at sf0.1 (bench conf): 0.207 s plain vs 0.074 s
+    # spread (2.8x); footer-driven no-op on any multi-row-group corpus,
+    # where this stays a zero-exchange scan.
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
     n_chars = F.length("text")
     n_punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
