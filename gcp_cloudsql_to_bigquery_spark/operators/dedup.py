@@ -746,9 +746,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import pairwise_cosine, parquet_corpus_hint
 
     # absent (NULL) embeddings are excluded — they cannot enter a GEMM and
-    # their cosine is undefined (null-tier contract, mirrored in the oracle)
+    # their cosine is undefined (null-tier contract, mirrored in the oracle).
+    # load_spread (r16): the single-row-group bench layout runs the whole
+    # broadcast-GEMM map pass on ONE task (guide §2.5); the footer-driven
+    # spread fans the kernel out to shuffle width (no-op on a real
+    # multi-row-group corpus, where the map pass fans out natively).
+    # Measured at sf0.1 (kernel job, min-of-6): 0.364 s -> 0.188 s
+    # together with the raw-threshold rounding change in the kernel.
     e = (
-        load(spark, sf_dir, "embeddings")
+        load_spread(spark, sf_dir, "embeddings", "vec_id")
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )

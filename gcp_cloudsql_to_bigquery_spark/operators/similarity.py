@@ -86,14 +86,19 @@ def blocked_pairwise_cosine(
             mat_a, mat_b = np.stack(pa["vec"].to_numpy()), np.stack(pb["vec"].to_numpy())
         na = np.linalg.norm(mat_a, axis=1)
         nb = np.linalg.norm(mat_b, axis=1)
-        cos = np.round((mat_a @ mat_b.T) / np.outer(na, nb), round_to)
-        ii, jj = np.where(cos >= threshold)
+        # raw-threshold superset + round-selected-only, exactly as in
+        # broadcast_pairwise_cosine.gen (same lossless-superset argument,
+        # same single np.outer denominator so rounded values are unchanged)
+        raw = (mat_a @ mat_b.T) / np.outer(na, nb)
+        ii, jj = np.where(raw >= threshold - 10.0 ** -round_to)
+        cos_sel = np.round(raw[ii, jj], round_to)
+        keep = cos_sel >= threshold
         if same:
-            keep = ids_a[ii] < ids_b[jj]
-            ii, jj = ii[keep], jj[keep]
+            keep &= ids_a[ii] < ids_b[jj]
+        ii, jj, cos_sel = ii[keep], jj[keep], cos_sel[keep]
         va, vb = ids_a[ii], ids_b[jj]
         lo, hi = np.minimum(va, vb), np.maximum(va, vb)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos[ii, jj]})
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cosine": cos_sel})
 
     return stacked.groupBy("ba", "bb").applyInPandas(
         kernel, schema="vec_a long, vec_b long, cosine double"
@@ -195,18 +200,32 @@ def broadcast_pairwise_cosine(
 
     def gen(batches):
         ids_corpus, matT, norms = bc.value
+        # r16 (guide §1.2 'per-task work'): threshold the RAW matrix first,
+        # round only the surviving cells.  round(x, r) >= t implies
+        # x >= t - 0.5*10^-r, so `raw >= t - 10^-r` is a strict superset of
+        # the rounded decision; the exact rounded re-filter below restores
+        # it bit-for-bit (output proven identical; the full-matrix
+        # np.round + where over N*N cells was ~30% of the kernel wall).
+        # The division keeps the single np.outer denominator so the IEEE
+        # evaluation order (x / (na*nb)) — and thus every rounded value —
+        # is unchanged.
+        eps = 10.0 ** -round_to
         for b in batches:
             if b.empty:
                 continue
             ida = b["vec_id"].to_numpy()
             mat_a = np.stack(b["v"].to_numpy())
             na = np.linalg.norm(mat_a, axis=1)
-            cos = np.round((mat_a @ matT) / np.outer(na, norms), round_to)
-            ii, jj = np.where(cos >= threshold)
-            keep = ida[ii] < ids_corpus[jj]
-            ii, jj = ii[keep], jj[keep]
+            raw = (mat_a @ matT) / np.outer(na, norms)
+            ii, jj = np.where(raw >= threshold - eps)
+            cos_sel = np.round(raw[ii, jj], round_to)
+            keep = (cos_sel >= threshold) & (ida[ii] < ids_corpus[jj])
             yield pd.DataFrame(
-                {"vec_a": ida[ii], "vec_b": ids_corpus[jj], "cosine": cos[ii, jj]}
+                {
+                    "vec_a": ida[ii][keep],
+                    "vec_b": ids_corpus[jj][keep],
+                    "cosine": cos_sel[keep],
+                }
             )
 
     return e.select("vec_id", "v").mapInPandas(
