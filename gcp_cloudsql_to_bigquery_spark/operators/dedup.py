@@ -747,14 +747,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # absent (NULL) embeddings are excluded — they cannot enter a GEMM and
     # their cosine is undefined (null-tier contract, mirrored in the oracle).
-    # load_spread (r16): the single-row-group bench layout runs the whole
-    # broadcast-GEMM map pass on ONE task (guide §2.5); the footer-driven
-    # spread fans the kernel out to shuffle width (no-op on a real
-    # multi-row-group corpus, where the map pass fans out natively).
-    # Measured at sf0.1 (kernel job, min-of-6): 0.364 s -> 0.188 s
-    # together with the raw-threshold rounding change in the kernel.
+    # Deliberately plain `load`, NOT `load_spread` (r16): a spread exchange
+    # was tried here (fan the broadcast-GEMM map pass out of the single-
+    # row-group scan) and REVERTED — under the bench headline conf (shuffle
+    # width 8) a 4-round interleaved A/B measured it a consistent ~60 ms
+    # REGRESSION (min 0.24 s plain vs 0.30 s spread): at this corpus size
+    # the whole kernel is ~50 ms of GEMM, so the exchange + extra Python
+    # worker round-trips cost more than the fan-out buys.  The win the
+    # spread was chasing only appears at shuffle width 32, which the
+    # headline never runs; on a real multi-row-group corpus the map pass
+    # fans out natively and the spread is a no-op anyway.
     e = (
-        load_spread(spark, sf_dir, "embeddings", "vec_id")
+        load(spark, sf_dir, "embeddings")
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     )
