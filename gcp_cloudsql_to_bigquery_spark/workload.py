@@ -101,6 +101,35 @@ _GATE_FRONT: tuple[str, ...] = (
     "fn_udtf_table_argument",
     "elt_incremental_bookmark_extract",
     "elt_range_partition_layout",
+    # --- second r16 stretch: optimization-round changes landed AFTER the
+    # block above was written, promoted here so the full changed-impl set
+    # leads the gate (changed-impls-first convention):
+    # dedup/curation/graph family (OPTIMIZATION_r16.md Findings 1+3:
+    #   footer-driven spread, explode_outer, union->arithmetic verify,
+    #   asymmetric PPJoin index prefix — shared candidate machinery):
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_ml",
+    "dedup_cluster_representatives",
+    "dedup_signal_agreement",
+    "graph_kcore",
+    "graph_bfs_layers",
+    "curation_source_overlap",
+    # complete-mode stream drains (Finding 4: trailing no-data micro-batch
+    #   skipped; append-mode drains unchanged and NOT promoted):
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_watermark",
+    "stream_dedup_redelivery",
+    "stream_session_window_dynamic_gap",
+    # Finding 5 (documents-scan spread) and Finding 6 (lazy-rounding GEMM
+    #   kernels; the spread half was reverted as a headline regression):
+    "text_quality_score",
+    "dedup_embedding_cosine",
+    # (dedup_connected_components and curation_dedup_pipeline are ALSO
+    # Finding-1/3 consumers; they already sit inside the top 50 via the
+    # r8 block below.)
     # r7-vintage rotation cohort (all 24 remaining r7 rows, CORRECTNESS_r07
     # artifact order — the staleness floor moves past r7 when these
     # confirm; VERDICT r15 item 1):
@@ -128,11 +157,14 @@ _GATE_FRONT: tuple[str, ...] = (
     "agg_ks_two_sample",
     "dq_data_contract",
     "profile_columns_generic",
-    # r8-vintage head (20 of 39, CORRECTNESS_r08 artifact order — fills
-    # the gate to 50 after the changed block grew to 6;
-    # elt_incremental_bookmark_extract is r8-vintage AND changed, so it
-    # sits in the changed block and 20 further r8 rows confirm here; the
-    # 14-row r8 remainder leads r17, starting with graph_random_walk):
+    # r8-vintage head (CORRECTNESS_r08 artifact order — fills the gate to
+    # 50 behind the changed block + r7 cohort.  After the second-stretch
+    # promotions above, the changed block is 24 wide, so only the first
+    # few rows here land inside the top 50 (dedup_connected_components and
+    # curation_dedup_pipeline — both ALSO r16-changed — plus the gapfill
+    # pair); elt_incremental_bookmark_extract is r8-vintage AND changed so
+    # it sits in the changed block; the r8 remainder leads r17, starting
+    # with elt_merge_upsert then graph_random_walk):
     "dedup_connected_components",
     "dedup_ngram_jaccard",
     "curation_dedup_pipeline",
