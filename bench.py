@@ -311,6 +311,17 @@ def main() -> None:
         best = float("inf")
         for _ in range(EXTENDED_RUNS):
             spark.catalog.clearCache()
+            # r17 (VERDICT r16 item 5): ann_pq_topk keeps a per-(session,
+            # tier, data-stat) PREPARED-PLAN cache — correct for prepared
+            # re-execution, but this tier's docstring promises "plan build
+            # + execute fresh each rep"; bust it so the recorded number
+            # measures what the protocol claims (plan-amortized numbers
+            # stay visible for the headline tier under plan_build).
+            from gcp_cloudsql_to_bigquery_spark.operators.similarity import (
+                _PQ_PLAN_CACHE,
+            )
+
+            _PQ_PLAN_CACHE.clear()
             t0 = time.time()
             qs[name](spark, sf_dir).toPandas()
             best = min(best, time.time() - t0)
@@ -355,7 +366,11 @@ def main() -> None:
     # tracks skew PERFORMANCE round-over-round in the artifact instead of
     # PERF.md prose.  Generated on demand into $SPARK_GRAFT_SKEWED_DIR
     # (default /tmp/skewed_sf); skipped with a marker when the bench is
-    # already pointed at the skewed tier.  min-of-2 on a prepared plan —
+    # already pointed at the skewed tier.  min-of-3 on a prepared plan
+    # (r17, VERDICT r16 item 3's noise damping: the r16 driver run showed
+    # 3 queries spiking ONLY in its 32-core min-of-2 skewed pass — the
+    # same tree measured r15-level at 8 cores and on a quiet box — so one
+    # contended rep was the whole story; a third rep bounds that mode) —
     # skew tracking, not the frozen headline bar.
     queries_skewed: dict[str, "float | str"] = {}
     skew_dir = os.environ.get("SPARK_GRAFT_SKEWED_DIR", "/tmp/skewed_sf")
@@ -381,12 +396,12 @@ def main() -> None:
                 if name in STREAMING:
                     best = min(
                         _timed(lambda: qs[name](spark, skew_dir).toPandas())
-                        for _ in range(2)
+                        for _ in range(3)
                     )
                 else:
                     sdf = qs[name](spark, skew_dir)
                     best = min(
-                        _timed(sdf.toPandas) for _ in range(2)
+                        _timed(sdf.toPandas) for _ in range(3)
                     )
                 queries_skewed[name] = round(best, 3)
         except Exception as e:  # bench must still emit its JSON line

@@ -1035,10 +1035,24 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_x100", "rnk")
         .agg(F.min("bucket").cast("bigint").alias("bucket"))
     )
-    exact = pts.agg(
-        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY cents)").alias("e50"),
-        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)").alias("e95"),
-        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cents)").alias("e99"),
+    # r17: the exact-certification percentiles through the distributed
+    # rank machinery (scale.global_order_stats) instead of three
+    # percentile_disc aggregates — over the high-cardinality cents column
+    # the exact percentile's value->count buffer approaches the column
+    # itself, merged on ONE reducer (the r16 buffer-agg scan's last
+    # remaining hit).  percentile_disc(p) == the smallest value whose
+    # exact 1-based rank r satisfies r >= ceil(p*n), selected here with
+    # integer cross-multiplication (r*q >= p_numerator*n) — the same
+    # rewrite elt_range_partition_layout proved against the oracle in
+    # r16.  percentile_disc ignores NULLs, so they are filtered before
+    # ranking; all three cut points fall out of ONE rank pass.
+    from .scale import global_order_stats
+
+    ranked = global_order_stats(pts.filter(F.col("cents").isNotNull()), ["cents"])
+    exact = ranked.agg(
+        F.min(F.when(F.col("_rn") * 2 >= F.col("_n_total"), F.col("cents"))).alias("e50"),
+        F.min(F.when(F.col("_rn") * 20 >= F.col("_n_total") * 19, F.col("cents"))).alias("e95"),
+        F.min(F.when(F.col("_rn") * 100 >= F.col("_n_total") * 99, F.col("cents"))).alias("e99"),
     )
     ex = (
         F.when(F.col("p_x100") == 50, F.col("e50"))

@@ -159,7 +159,16 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Single-pass table profile: row/null/distinct counts, min/max, "
     "moments, median — the data-QA summary every ingest should emit "
-    "(one aggregate of partials; exact distincts become approx_* at 100 TB).",
+    "(one aggregate of partials; exact distincts become approx_* at 100 TB). "
+    "The exact interpolated median is computed from a per-value histogram "
+    "(groupBy l_discount -> counts, cumulative walk over the DISTINCT "
+    "values, rank-select the two middle values, interpolate with the same "
+    "lower + (higher-lower)*frac arithmetic percentile() uses) — l_discount "
+    "is a bounded-domain column, so the shuffle carries one row per "
+    "distinct value per map task and the walk runs over a metadata-sized "
+    "table at any fact volume, where the percentile() aggregate buffered "
+    "a value->count map of the whole column onto ONE reducer (the r16 "
+    "buffer-agg scan's last profile hit).",
 )
 def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
@@ -174,13 +183,43 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_quantity"), 2).alias("max_qty"),
         F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.percentile("l_discount", F.lit(0.5)), 6).alias("median_disc"),
     )
     distincts = li.agg(
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_returnflag").alias("n_flags"),
     )
-    return stats.crossJoin(distincts).select(
+    # exact median over the bounded-domain column via value-histogram rank
+    # walk (r17, replaces percentile(l_discount, 0.5)):
+    #   percentile(col, 0.5) = v[lo] + (v[hi] - v[lo]) * 0.5 over the
+    #   non-null values sorted ascending, lo = (n+1) div 2, hi = n div 2
+    #   + 1 (Spark's 1 + p*(n-1) position, floor/ceil split at p = 0.5).
+    # v[k] = the smallest value whose cumulative count reaches k.  The
+    # windows run over the post-aggregate per-value table (bounded by the
+    # domain, 11 values for TPC-H discounts), never over fact grain.
+    vc = (
+        li.filter(F.col("l_discount").isNotNull())
+        .groupBy("l_discount")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = W.orderBy("l_discount").rowsBetween(W.unboundedPreceding, 0)
+    w_tot = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = vc.select(
+        "l_discount",
+        F.sum("c").over(w_cum).alias("running"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+    # integer-exact rank tests (cross-multiplied, no division):
+    #   running >= lo = floor((n+1)/2)  <=>  2*running >= n
+    #   running >= hi = floor(n/2) + 1  <=>  2*running >= n + 1
+    # (both reduce to the same rank (n+1)/2 when n is odd)
+    lo_v = F.min(F.when(F.col("running") * 2 >= F.col("n"), F.col("l_discount")))
+    hi_v = F.min(F.when(F.col("running") * 2 >= F.col("n") + 1, F.col("l_discount")))
+    med = cum.agg(
+        F.round(lo_v + (hi_v - lo_v) * F.lit(0.5), 6).alias("median_disc")
+    )
+    return stats.crossJoin(distincts).crossJoin(med).select(
         "n_rows", "n_orders", "null_qty", "min_qty", "max_qty",
         "avg_price", "sd_price", "median_disc", "n_flags",
     )

@@ -200,21 +200,46 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
     doc="ntile quartiles (global order) + first/last over an unbounded frame per segment. "
-    "NOTE: the unpartitioned ntile is a single-reducer sort — fine for ranking a "
-    "dimension, never for a 100 TB fact table.",
+    "r17: the unpartitioned ntile — the registry's last unbounded "
+    "single-reducer sort — now runs through scale.distributed_ntile "
+    "(range-partitioned exact global ranks + the integer ntile formula, "
+    "bit-identical to SQL ntile semantics), and the unbounded-frame "
+    "first/last values collapse to per-segment aggregates: under "
+    "(c_acctbal DESC NULLS LAST, c_custkey) the first row's balance IS "
+    "max(c_acctbal) (NULL only when the whole segment is NULL, which "
+    "max reproduces) and the last row's balance is NULL when the "
+    "segment has any NULL balance (nulls sort last) else min — a "
+    "groupBy + null-safe broadcast join back, no window over fact "
+    "grain at all.",
 )
 def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-    w2 = (
-        W.partitionBy("c_mktsegment")
-        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    from .scale import distributed_ntile
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
     )
-    return load(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.ntile(4).over(w).alias("bal_quartile"),
-        F.round(F.first("c_acctbal").over(w2), 2).alias("seg_max_bal"),
-        F.round(F.last("c_acctbal").over(w2), 2).alias("seg_min_bal"),
+    binned = distributed_ntile(
+        c, 4, [F.col("c_acctbal").desc(), "c_custkey"], out_col="_q"
+    )
+    seg = c.groupBy(F.col("c_mktsegment").alias("_seg")).agg(
+        F.round(F.max("c_acctbal"), 2).alias("seg_max_bal"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) == F.count("c_acctbal"), F.min("c_acctbal")
+            ),
+            2,
+        ).alias("seg_min_bal"),
+    )
+    return (
+        binned.join(
+            F.broadcast(seg), F.col("c_mktsegment").eqNullSafe(F.col("_seg"))
+        )
+        .select(
+            "c_custkey",
+            F.col("_q").cast("int").alias("bal_quartile"),
+            "seg_max_bal",
+            "seg_min_bal",
+        )
     )
 
 

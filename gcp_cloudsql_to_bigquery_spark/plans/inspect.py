@@ -253,10 +253,12 @@ def unbounded_global_buffer_aggregates(df: DataFrame) -> list[str]:
 
     Round-16 registry scan (scripts/scan_udf_buffers.py) findings: 4
     hits — two rewritten onto scale.global_order_stats (the bookmark
-    high-water mark, the range-layout boundaries), two allowlisted
-    (agg_quantile_sketch's exact side IS its sketch-validation subject;
-    profile_table's median is over the 11-distinct discount domain, so
-    the value->count buffer is domain-bounded)."""
+    high-water mark, the range-layout boundaries), two allowlisted at
+    the time.  Round 17 rewrote the remaining two as well
+    (agg_quantile_sketch's exact certification percentiles onto
+    scale.global_order_stats; profile_table's median onto a
+    bounded-domain value histogram), so the registry-wide count is now
+    ZERO and the plan_audit allowlist carries no buffer_agg entries."""
     out: list[str] = []
 
     def walk(node) -> None:

@@ -64,18 +64,13 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 # (query, invariant) -> expected count, with the justification
+# r17: the window_ntile_first_last window/single-partition entries and the
+# two buffer_agg entries (profile_table, agg_quantile_sketch) are GONE —
+# the ntile now runs through scale.distributed_ntile + per-segment
+# aggregates, profile_table's median through a bounded-domain value
+# histogram, and the sketch's exact certification percentiles through
+# scale.global_order_stats.  The allowlist is now cartesian-only.
 ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
-    ("window_ntile_first_last", "window"): (
-        1,
-        "ntile WINDOW-FUNCTION coverage entry over the customer dimension; "
-        "documented single-reducer caveat, scale path is scale.distributed_ntile",
-    ),
-    ("window_ntile_first_last", "single_partition"): (
-        1,
-        "the SAME documented single-reducer: the unpartitioned ntile window's "
-        "input exchange — one allowlisted query, one exchange, customer-dim "
-        "bounded; scale path is scale.distributed_ntile",
-    ),
     ("fn_ip_cidr_lookup", "cartesian"): (
         1,
         "non-equi probe of a CIDR table derived from the 25-row nation dim",
@@ -92,18 +87,6 @@ ALLOWLIST: dict[tuple[str, str], tuple[int, str]] = {
         2,
         "inherits ann_ivfpq_topk's two bounded coarse-assignment cartesians "
         "by composition (the report unions all six ANN family subplans)",
-    ),
-    ("agg_quantile_sketch", "buffer_agg"): (
-        1,
-        "the exact percentile_disc IS the query's subject: it validates the "
-        "KLL/approx sketch against ground truth; at 100 TB only the sketch "
-        "side runs — the exact side exists to bound its error at test scale",
-    ),
-    ("profile_table", "buffer_agg"): (
-        1,
-        "median over l_discount: the percentile buffer is a value->count "
-        "map, and the discount DOMAIN has 11 distinct values — the buffer "
-        "is domain-bounded regardless of row count",
     ),
 }
 

@@ -476,12 +476,12 @@ def test_no_unpartitioned_window_over_fact_grain_family(spark):
         df = queries()[q](spark, SF)
         n = inspect.unpartitioned_fact_window_count(df)
         assert n == 0, f"{q}: {n} fact-grain global window(s)\n" + inspect.physical_plan(df)
-    # Known allowlisted exception (full-registry sweep, round 6): the ntile
-    # WINDOW-FUNCTION coverage entry ranks the customer dimension with a
-    # documented single-reducer caveat — that query exists to cover ntile
-    # itself; the scale path is scale.distributed_ntile.
+    # r17: the last allowlisted exception is GONE — the ntile coverage
+    # entry now runs through scale.distributed_ntile (range-partitioned
+    # exact ranks + integer bucket arithmetic) and per-segment aggregates,
+    # so the registry-wide count of unpartitioned fact windows is ZERO.
     df = queries()["window_ntile_first_last"](spark, SF)
-    assert inspect.unpartitioned_fact_window_count(df) == 1
+    assert inspect.unpartitioned_fact_window_count(df) == 0
 
 
 def test_equidepth_histogram_no_ntile_no_global_sort(spark):
@@ -566,11 +566,12 @@ def test_no_unbounded_single_partition_barrier_family(spark):
         df = queries()[q](spark, SF)
         found = inspect.unbounded_single_partition_exchanges(df)
         assert found == [], f"{q}: unbounded one-task barrier(s) {found}"
-    # the one allowlisted hit: the ntile coverage entry's input exchange —
-    # same documented single-reducer as the window invariant, customer-dim
-    # bounded, scale path is scale.distributed_ntile
+    # r17: the former lone allowlisted hit is GONE — the ntile coverage
+    # entry's unpartitioned window (and its single-partition input
+    # exchange) were replaced by scale.distributed_ntile + per-segment
+    # aggregates; the registry-wide count is ZERO.
     df = queries()["window_ntile_first_last"](spark, SF)
-    assert len(inspect.unbounded_single_partition_exchanges(df)) == 1
+    assert inspect.unbounded_single_partition_exchanges(df) == []
 
 
 def test_no_row_at_a_time_python_eval_family(spark):
@@ -621,8 +622,12 @@ def test_no_unbounded_global_buffer_aggregate_family(spark):
         found = inspect.unbounded_global_buffer_aggregates(df)
         assert found == [], f"{q}: global buffer agg(s) over fact grain {found}"
     for q, why in (
-        ("agg_quantile_sketch", "exact side IS the sketch-validation subject"),
-        ("profile_table", "median buffer bounded by the 11-value discount domain"),
+        # r17: both former allowlist entries rewritten — the sketch's
+        # exact certification percentiles onto scale.global_order_stats,
+        # the profile median onto a bounded-domain value histogram; the
+        # registry-wide buffer-agg count is ZERO.
+        ("agg_quantile_sketch", "exact side now rank-selected, no buffer"),
+        ("profile_table", "median now a bounded-domain value histogram"),
     ):
         df = queries()[q](spark, SF)
-        assert len(inspect.unbounded_global_buffer_aggregates(df)) == 1, (q, why)
+        assert inspect.unbounded_global_buffer_aggregates(df) == [], (q, why)
