@@ -463,16 +463,34 @@ def lsh_candidate_pairs(sig: DataFrame, threshold: float = 0.8) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    # the re-attach sides select n_sh AND the filter below re-states the
+    # size band (a semantic no-op — every surviving pair already passed it
+    # at the band join): if this branch PRUNED n_sh, its column-pruned
+    # signature aggregate would no longer be plan-equal to the banded
+    # branch's, Catalyst could not substitute a ReusedExchange, and the
+    # whole corpus would be shingled + 64x-hashed + aggregated TWICE
+    # (observed as a third exchange and a duplicate 65-column aggregate in
+    # the r17 plan diff before this guard).  One redundant int compare per
+    # surviving pair buys the single shared signature exchange back.
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"),
+        F.col("sig").alias("sig_b"),
+    )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
         / F.lit(N_HASHES)
     )
+    size_band = F.least(F.col("na"), F.col("nb")).cast("bigint") >= F.ceil(
+        F.round(F.lit(threshold) * F.greatest(F.col("na"), F.col("nb")), 9)
+    )
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(est >= 0.55)
+        .filter((est >= 0.55) & size_band)
         .select("doc_a", "doc_b")
     )
 

@@ -70,6 +70,61 @@ _load_optional()
 # closures only (VERDICT r9 item 2 — gap analysis written to COVERAGE.md
 # before either was added); frozen again at 375 thereafter.
 _GATE_FRONT: tuple[str, ...] = (
+    # --- ROUND 17 GATE (50 slots): changed-impl-first + staleness rotation
+    # (VERDICT r16 items 1/3/4/8).  The 11 r17-changed impls lead:
+    # dedup_ngram_jaccard (direct): prefix_filtered_candidates' pair
+    #   .distinct() became a groupBy carrying the PPJoin accumulated
+    #   suffix bound (lossless; model + end-to-end witnesses in
+    #   tests/test_round17.py) — candidate set measured IDENTICAL at
+    #   sf0.1 (6,866,789) and the pair exchange disappears (the groupBy
+    #   reuses the doc_a hash partitioning).
+    # dedup_minhash_lsh (direct): lossless size band at the band join
+    #   (J>=0.8 forces min(|A|,|B|) >= ceil9(0.8*max)); n_sh rides the
+    #   signature aggregate for free.  9.84M -> 6.82M collision rows,
+    #   1.84M -> 1.59M verified candidates at sf0.1.
+    # profile_table (direct): exact median via bounded-domain value
+    #   histogram + integer rank walk (percentile() buffer agg retired).
+    # agg_quantile_sketch (direct): exact certification percentiles via
+    #   scale.global_order_stats rank selection (3 percentile_disc
+    #   buffer aggs retired).
+    # window_ntile_first_last (direct): scale.distributed_ntile + per-
+    #   segment max/min aggregates (the registry's last unbounded
+    #   Exchange SinglePartition retired).
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "profile_table",
+    "agg_quantile_sketch",
+    "window_ntile_first_last",
+    # transitive consumers of the shared candidate machinery:
+    "curation_dedup_pipeline",
+    "dedup_connected_components",
+    "dedup_cluster_representatives",
+    "dedup_signal_agreement",
+    "graph_kcore",
+    "graph_bfs_layers",
+    # r8-vintage staleness cohort (CORRECTNESS_r08 artifact order, the
+    # remainder that did not fit the r16 gate — the staleness floor moves
+    # past r8 when these confirm; VERDICT r16 item 8):
+    "graph_random_walk",
+    "text_skipgram_pairs",
+    "ts_anomaly_seasonal_residual",
+    "scale_bloom_semi_join",
+    "elt_storage_tiering_plan",
+    "fn_decimal_exact_money",
+    "geo_morton_rollup",
+    "analytics_rolling_wau",
+    "ts_liveness_check",
+    "curation_sample_weights_export",
+    "multimodal_phash_dedup",
+    "agg_correlation_matrix",
+    "multimodal_phash_thumbnail_match",
+    "curation_leakage_safe_split",
+    "sec_k_anonymity_audit",
+    "dedup_url_canonical",
+    "multimodal_shot_boundaries",
+    "fn_calendar_edge_semantics",
+    # --- end of the r17 head; the r16 gate follows (first occurrence
+    # wins, so already-listed names above keep their r17 slots) ---
     # --- ROUND 16 GATE (50 slots): changed-impl-first + staleness rotation
     # (VERDICT r15 items 1+2, ADVICE r15).  The 6 changed impls lead:
     # ann_pq_topk (VERDICT item 2): the 16-row codebook/query head now

@@ -184,3 +184,47 @@ def test_spark_candidates_still_superset_and_canonical(spark):
     # exact agreement with the model (hashes in the operator are the raw
     # ints here, so ordering/df stats coincide)
     assert set(got) == _model_candidates(docs, t)
+
+
+def test_lsh_size_band_lossless_and_prunes(spark):
+    """r17 size band at the LSH band join: J >= 0.8 forces
+    min(|A|,|B|) >= ceil9(0.8*max), so (a) every true pair at the 0.8
+    verify threshold must still come out of lsh_candidate_pairs, and
+    (b) a pair whose sizes violate the band must be pruned even when
+    its minhash bands collide (identical prefix content + a long tail
+    makes every band... not collide; instead make the small doc a strict
+    subset so SOME bands can collide while J = |small|/|large| < 0.8)."""
+    from pyspark.sql import functions as F
+
+    from gcp_cloudsql_to_bigquery_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        with_shingles,
+    )
+
+    # doc 1/2: near-identical long texts (J >= 0.8 guaranteed: only the
+    # last char differs); doc 3: a short strict prefix of doc 1 (subset
+    # shingles => minhash bands CAN collide, but size ratio < 0.8)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base + " tail one"),
+        (2, base + " tail onX"),
+        (3, base[:20]),
+    ]
+    d = with_shingles(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    )
+    sig = minhash_signatures(d)
+    # n_sh must equal the distinct-shingle count (the oracle-grain size)
+    sizes = {r.doc_id: r.n_sh for r in sig.collect()}
+    expect = {
+        r.doc_id: r.n for r in d.select(
+            "doc_id", F.size("shingles").alias("n")).collect()
+    }
+    assert sizes == expect
+    got = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sig).collect()}
+    assert (1, 2) in got           # true near-dup survives the band
+    # the subset doc's size violates the 0.8 band against both long docs
+    import math
+    assert sizes[3] < math.ceil(round(0.8 * sizes[1], 9))
+    assert (1, 3) not in got and (2, 3) not in got
