@@ -751,8 +751,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL text excluded, the dedup-family contract (with_shingles note):
     # the oracle's unnest drops such docs implicitly; an unfiltered split
     # would hand the kernel a None token list
+    # r17: load_spread — the Arrow-batched simhash kernel (per-doc token
+    # hash + 64-lane majority vote) otherwise runs on the single-row-group
+    # scan's ONE task (guide §2.5); measured 6.4 s -> see OPTIMIZATION_r17
     d = (
-        load(spark, sf_dir, "documents")
+        load_spread(spark, sf_dir, "documents", "doc_id")
         .filter(F.col("text").isNotNull())
         .select("doc_id", F.split(F.lower(F.col("text")), " ").alias("toks"))
     )
@@ -1152,7 +1155,15 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     "throughout (ratio as exact rounded percent).",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # r17: load_spread + explode_OUTER — the 5-gram md5 build otherwise
+    # runs on the single-row-group scan's ONE task, and a plain explode's
+    # Catalyst-inferred size>0 filter would push below the spread exchange
+    # and re-run the whole gram build there (the r16 minhash trap, guide
+    # §4.4).  outer == inner here: length(text) > 0 makes grams a >= 1
+    # element array (the greatest(...,1) index guard).
+    d = load_spread(spark, sf_dir, "documents", "doc_id").filter(
+        F.length("text") > 0
+    )
     toks = F.split(F.lower("text"), " ")
     grams = F.array_distinct(
         F.transform(
@@ -1160,7 +1171,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.array_join(F.slice(toks, i, 5), " ").cast("binary")),
         )
     )
-    sh = d.select("doc_id", F.explode(grams).alias("s"))
+    sh = d.select("doc_id", F.explode_outer(grams).alias("s"))
     sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= 100)
     # the df-capped posting list feeds both sides of the pair join —

@@ -257,22 +257,32 @@ def filter_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
+    # r17 (guide §1.2 per-task work): the scalar forms built TWO identical
+    # QuantileSummaries sketches and SIX independent exact-percentile
+    # value->count buffers over the same column; the array forms compute
+    # every requested quantile from ONE sketch and ONE buffer per group —
+    # value-identical (the same per-group sorted buffer answers each rank;
+    # the same deterministic sketch answers both queries), measured 4.3 s
+    # -> 1.3 s warm at sf0.1.
+    pe_qs = (0.5, 0.99, 0.49, 0.51, 0.98, 1.0)
     g = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx"),
-        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(1000)).alias("p99_approx"),
-        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
-        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
-        F.percentile("l_extendedprice", F.lit(0.49)).alias("p50_lo"),
-        F.percentile("l_extendedprice", F.lit(0.51)).alias("p50_hi"),
-        F.percentile("l_extendedprice", F.lit(0.98)).alias("p99_lo"),
-        F.percentile("l_extendedprice", F.lit(1.0)).alias("p99_hi"),
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.99)), F.lit(1000)
+        ).alias("pa"),
+        F.percentile(
+            "l_extendedprice", F.array(*[F.lit(q) for q in pe_qs])
+        ).alias("pe"),
     )
     return g.select(
         "l_returnflag",
-        F.round("p50", 4).alias("p50_exact"),
-        F.round("p99", 4).alias("p99_exact"),
-        F.col("p50_approx").between(F.col("p50_lo"), F.col("p50_hi")).alias("p50_in_bounds"),
-        F.col("p99_approx").between(F.col("p99_lo"), F.col("p99_hi")).alias("p99_in_bounds"),
+        F.round(F.element_at("pe", 1), 4).alias("p50_exact"),
+        F.round(F.element_at("pe", 2), 4).alias("p99_exact"),
+        F.element_at("pa", 1)
+        .between(F.element_at("pe", 3), F.element_at("pe", 4))
+        .alias("p50_in_bounds"),
+        F.element_at("pa", 2)
+        .between(F.element_at("pe", 5), F.element_at("pe", 6))
+        .alias("p99_in_bounds"),
     )
 
 

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, load_spread
 from ..registry import register
 
 # deliberately tiny, fixed stopword list — the heuristic is the operator,
@@ -194,7 +194,9 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cardinality is the dedup signal.",
 )
 def text_rolling_hash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # r17: load_spread — the char-7-gram md5 projection otherwise runs on
+    # the single-row-group scan's ONE task (guide §2.5)
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
     shingle_hashes = F.expr(
         "array_distinct(transform(sequence(1, greatest(length(text) - 6, 1)), "
         "i -> md5(substring(text, i, 7))))"
@@ -414,7 +416,13 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVAL_MAX = 50
     THRESHOLD = 5
-    d = load(spark, sf_dir, "documents")
+    # r17: load_spread — the 5-gram build otherwise runs on the single-
+    # row-group scan's ONE task (guide §2.5); explode_OUTER below keeps
+    # the Catalyst-inferred size>0 filter from re-running the gram build
+    # under the spread exchange (guide §4.4).  Output-equivalent: a NULL
+    # g row (null text or < 5 tokens) is dropped by the equi-join on g,
+    # exactly as plain explode dropped the empty/null gram arrays.
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
     # Docs with < 5 tokens have NO 5-grams.  sequence(0, n-5) flips to a
     # DESCENDING [0, -1, ...] when n < 5 (slice(start=0) then crashes) while
@@ -427,7 +435,7 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, 5), " "))
     )
-    exploded = d.select("doc_id", F.explode(grams).alias("g"))
+    exploded = d.select("doc_id", F.explode_outer(grams).alias("g"))
     ev = exploded.filter(F.col("doc_id") < EVAL_MAX).select(
         F.col("doc_id").alias("eval_doc"), "g"
     )
@@ -467,7 +475,10 @@ def text_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "narrow codegen expressions — per-row arrays, no shuffle.",
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # r17: load_spread — the per-doc 3-gram build + distinct (a pure
+    # projection, no shuffle at all) otherwise runs on the single-row-group
+    # scan's ONE task (guide §2.5): measured 5.6 s -> 0.5 s warm at sf0.1
+    d = load_spread(spark, sf_dir, "documents", "doc_id")
     toks = tokens(F.col("text"))
     # < 3 tokens => zero 3-grams (ascending-index guard: sequence(0, n-3)
     # would flip descending and crash slice; the oracle's range() is empty).
@@ -686,13 +697,19 @@ _SPAN_N = 8  # words per duplicated-span shingle
     f"text as one shingle.  Exact integer micro-fraction output.",
 )
 def text_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # r17: load_spread + explode_OUTER — same rationale as
+    # dedup_containment: spread the single-task gram build, and keep the
+    # inferred size>0 filter from re-running it under the exchange.
+    # outer == inner: length(text) > 0 makes shingles >= 1 element.
+    d = load_spread(spark, sf_dir, "documents", "doc_id").filter(
+        F.length("text") > 0
+    )
     shingles = F.expr(
         "array_distinct(transform("
         f"sequence(1, greatest(size(split(lower(text), ' ')) - {_SPAN_N - 1}, 1)), "
         f"i -> md5(concat_ws(' ', slice(split(lower(text), ' '), i, {_SPAN_N})))))"
     )
-    sh = d.select("doc_id", F.explode(shingles).alias("s"))
+    sh = d.select("doc_id", F.explode_outer(shingles).alias("s"))
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
     dup = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
     return (
@@ -796,11 +813,20 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same shuffle profile as TF-IDF.",
 )
 def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    # r17: load_spread — the tokenize + posexplode map work otherwise runs
+    # on the single-row-group scan's ONE task (guide §2.5).  The explicit
+    # isNotNull filter reproduces what plain posexplode did implicitly
+    # (null text -> null toks -> row dropped) as a cheap PUSHED scan
+    # filter, so posexplode_OUTER (outer == inner on the now always
+    # non-empty split arrays) cannot leak a null row AND the inferred
+    # size>0 filter cannot re-run the tokenize under the exchange (§4.4).
+    d = load_spread(spark, sf_dir, "documents", "doc_id").filter(
+        F.col("text").isNotNull()
+    )
     toks = tokens(F.col("text"))
     tok = (
         d.select(
-            "doc_id", F.posexplode(toks).alias("pos0", "w"), toks.alias("all")
+            "doc_id", F.posexplode_outer(toks).alias("pos0", "w"), toks.alias("all")
         )
         .filter(F.col("w") != "")
         .select(
@@ -997,7 +1023,12 @@ def text_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one join back — uniform md5 keys, skew-free.  Exact ppm integers.",
 )
 def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # r17: load_spread + explode_OUTER — same rationale as
+    # dedup_containment (spread the single-task 5-gram md5 build; outer ==
+    # inner because length(text) > 0 guarantees >= 1 gram).
+    d = load_spread(spark, sf_dir, "documents", "doc_id").filter(
+        F.length("text") > 0
+    )
     toks = F.split(F.lower("text"), " ")
     grams = F.array_distinct(
         F.transform(
@@ -1005,7 +1036,7 @@ def text_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.md5(F.array_join(F.slice(toks, i, 5), " ").cast("binary")),
         )
     )
-    sh = d.select("doc_id", F.explode(grams).alias("s"))
+    sh = d.select("doc_id", F.explode_outer(grams).alias("s"))
     firstseen = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
     joined = sh.join(firstseen, "s")
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
@@ -1225,6 +1256,11 @@ def text_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     # NULL doc_id excluded: chunks are keyed by doc (oracle WHERE)
+    # r17 note: a load_spread variant was measured and REVERTED (warm
+    # min-of-4: 1.13 s plain vs 1.34 s spread at sf0.1) — this query's
+    # cost is the doc-partitioned chunking window, which already fans out
+    # on its own exchange; the tokenize map work is too light to amortize
+    # an extra spread exchange (the r16 cosine-revert lesson).
     docs = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull())
