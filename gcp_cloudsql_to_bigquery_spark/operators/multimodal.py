@@ -36,7 +36,20 @@ def media_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the id (``int(doc_id)`` seeds planes, dims, box trees), and every
     decode result is keyed back by it — a blob without identity can be
     neither synthesized nor addressed.  Each oracle states the same
-    ``doc_id IS NOT NULL`` (or an arithmetic predicate that implies it)."""
+    ``doc_id IS NOT NULL`` (or an arithmetic predicate that implies it).
+
+    r17 note: a ``load_spread`` variant of this scan was measured and
+    REVERTED — family-wide warm A/B at sf0.1 (15 queries, min-of-3 each):
+    11.37 s plain vs 16.76 s spread, EVERY query flat-to-worse (e.g.
+    phash_thumbnail_match 3.22 -> 3.48 s, decode_features 0.49 -> 1.71 s).
+    Unlike the JVM-codegen text/dedup map work the r17 spread batch
+    parallelized, this module's cost sits in stacked mapInPandas kernels:
+    above a spread exchange each Python stage pays 32 worker spin-ups and
+    many small Arrow batches where the single-task form streams a few
+    large batches through one warm worker — at bench volume the boundary
+    overhead swamps the parallelism (the r16 cosine-revert lesson, guide
+    §4.2's batch-size caveat).  On a real multi-row-group corpus the scan
+    fans out natively and none of this applies."""
     return load(spark, sf_dir, "documents").filter(F.col("doc_id").isNotNull())
 
 
