@@ -1628,16 +1628,23 @@ def agg_kmv_theta_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("seg", F.expr(_EST).alias("est"))
     )
     exact = base.groupBy("seg").agg(F.count(F.lit(1)).alias("n"))
+    # r17 (guide §2.2 — partition-count explosion): both the seg-pair
+    # cross join and the non-equi isin join below are over HANDFUL-row
+    # inputs, but without broadcast hints each plans as a cartesian whose
+    # partition count is the PRODUCT of its inputs' — 32 x 32 x 32 =
+    # 32,768 ten-row tasks at AQE-off width 32 (stage-profiled: 17 s wall
+    # of pure scheduling for ~300 k rows).  Broadcasting the tiny sides
+    # pins the fan-out to the probe side's width: same rows, 32 tasks.
     pairs = (
         exact.select(F.col("seg").alias("seg_a"))
-        .join(exact.select(F.col("seg").alias("seg_b")))
+        .join(F.broadcast(exact.select(F.col("seg").alias("seg_b"))))
         .filter(F.col("seg_a") < F.col("seg_b"))
     )
     # theta-union: DEDUP the combined draw set FIRST (a part shared by both
     # segments contributes one u), THEN keep the k smallest — dedup after
     # truncation under-fills the sketch and collapses the estimate
     merged = (
-        pairs.join(sk, F.col("seg").isin(F.col("seg_a"), F.col("seg_b")))
+        F.broadcast(pairs).join(sk, F.col("seg").isin(F.col("seg_a"), F.col("seg_b")))
         .select("seg_a", "seg_b", "u")
         .distinct()
         .withColumn(
